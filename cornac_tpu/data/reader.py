@@ -1,0 +1,244 @@
+"""Line-oriented data reading for all supported input formats.
+
+Capability parity with reference ``cornac/data/reader.py:21-345``: 12 line
+formats (UI, UIR, UIRT, UITup, UIReview, UBI, UBIT, UBITJson, SIT, SITJson,
+USIT, USITJson) plus frequency / set / basket / sequence filters and
+binarize-by-threshold.
+"""
+
+import ast
+import itertools
+from collections import Counter
+
+
+def _parse_ui(tokens, line_idx=0, id_inline=False, **kwargs):
+    if id_inline:
+        return [(str(line_idx + 1), iid, 1.0) for iid in tokens]
+    return [(tokens[0], iid, 1.0) for iid in tokens[1:]]
+
+
+def _parse_uir(tokens, **kwargs):
+    return [(tokens[0], tokens[1], float(tokens[2]))]
+
+
+def _parse_uirt(tokens, **kwargs):
+    return [(tokens[0], tokens[1], float(tokens[2]), int(tokens[3]))]
+
+
+def _parse_uitup(tokens, **kwargs):
+    tup_sep = kwargs.get("tup_sep")
+    return [
+        (tokens[0], tokens[1], [tuple(t.split(tup_sep)) for t in tokens[2:]])
+    ]
+
+
+def _parse_uireview(tokens, **kwargs):
+    return [(tokens[0], tokens[1], tokens[2])]
+
+
+def _parse_ubi(tokens, **kwargs):
+    return [(tokens[0], tokens[1], tokens[2])]
+
+
+def _parse_ubit(tokens, **kwargs):
+    return [(tokens[0], tokens[1], tokens[2], int(tokens[3]))]
+
+
+def _parse_ubitjson(tokens, **kwargs):
+    return [
+        (tokens[0], tokens[1], tokens[2], int(tokens[3]), ast.literal_eval(tokens[4]))
+    ]
+
+
+def _parse_sit(tokens, **kwargs):
+    return [(tokens[0], tokens[1], int(tokens[2]))]
+
+
+def _parse_sitjson(tokens, **kwargs):
+    return [(tokens[0], tokens[1], int(tokens[2]), ast.literal_eval(tokens[3]))]
+
+
+def _parse_usit(tokens, **kwargs):
+    return [(tokens[0], tokens[1], tokens[2], int(tokens[3]))]
+
+
+def _parse_usitjson(tokens, **kwargs):
+    return [
+        (tokens[0], tokens[1], tokens[2], int(tokens[3]), ast.literal_eval(tokens[4]))
+    ]
+
+
+PARSERS = {
+    "UI": _parse_ui,
+    "UIR": _parse_uir,
+    "UIRT": _parse_uirt,
+    "UITup": _parse_uitup,
+    "UIReview": _parse_uireview,
+    "UBI": _parse_ubi,
+    "UBIT": _parse_ubit,
+    "UBITJson": _parse_ubitjson,
+    "SIT": _parse_sit,
+    "SITJson": _parse_sitjson,
+    "USIT": _parse_usit,
+    "USITJson": _parse_usitjson,
+}
+
+BASKET_FMTS = {"UBI", "UBIT", "UBITJson"}
+SEQUENCE_FMTS = {"SIT", "SITJson", "USIT", "USITJson"}
+
+
+class Reader:
+    """Read and filter raw interaction files.
+
+    Parameters mirror the reference reader (``data/reader.py:98-199``):
+    ``user_set``/``item_set`` retain only listed entities; ``min_user_freq``/
+    ``min_item_freq`` drop rare entities; ``num_top_freq_user``/``..._item``
+    retain only the most frequent; ``min/max_basket_size``,
+    ``min_basket_sequence``, ``min/max_sequence_size`` filter basket/session
+    data; ``bin_threshold`` binarizes explicit ratings.
+    """
+
+    def __init__(
+        self,
+        user_set=None,
+        item_set=None,
+        min_user_freq=1,
+        min_item_freq=1,
+        num_top_freq_user=0,
+        num_top_freq_item=0,
+        min_basket_size=1,
+        max_basket_size=-1,
+        min_basket_sequence=1,
+        min_sequence_size=1,
+        max_sequence_size=-1,
+        bin_threshold=None,
+        encoding="utf-8",
+        errors=None,
+    ):
+        self.user_set = set(user_set) if user_set is not None else None
+        self.item_set = set(item_set) if item_set is not None else None
+        self.min_uf = min_user_freq
+        self.min_if = min_item_freq
+        self.num_top_freq_user = num_top_freq_user
+        self.num_top_freq_item = num_top_freq_item
+        self.min_basket_size = min_basket_size
+        self.max_basket_size = max_basket_size
+        self.min_basket_sequence = min_basket_sequence
+        self.min_sequence_size = min_sequence_size
+        self.max_sequence_size = max_sequence_size
+        self.bin_threshold = bin_threshold
+        self.encoding = encoding
+        self.errors = errors
+
+    def _filter(self, tuples, fmt="UIR"):
+        u_pos, i_pos, r_pos = fmt.find("U"), fmt.find("I"), fmt.find("R")
+
+        if self.bin_threshold is not None and r_pos >= 0:
+            thr = self.bin_threshold
+            tuples = [
+                tuple(1.0 if p == r_pos else v for p, v in enumerate(t))
+                for t in tuples
+                if t[r_pos] >= thr
+            ]
+
+        if self.num_top_freq_user > 0:
+            freq = Counter(t[u_pos] for t in tuples)
+            keep = {k for k, _ in freq.most_common(self.num_top_freq_user)}
+            tuples = [t for t in tuples if t[u_pos] in keep]
+
+        if self.num_top_freq_item > 0:
+            freq = Counter(t[i_pos] for t in tuples)
+            keep = {k for k, _ in freq.most_common(self.num_top_freq_item)}
+            tuples = [t for t in tuples if t[i_pos] in keep]
+
+        if self.user_set is not None:
+            tuples = [t for t in tuples if t[u_pos] in self.user_set]
+
+        if self.item_set is not None:
+            tuples = [t for t in tuples if t[i_pos] in self.item_set]
+
+        if self.min_uf > 1:
+            freq = Counter(t[u_pos] for t in tuples)
+            tuples = [t for t in tuples if freq[t[u_pos]] >= self.min_uf]
+
+        if self.min_if > 1:
+            freq = Counter(t[i_pos] for t in tuples)
+            tuples = [t for t in tuples if freq[t[i_pos]] >= self.min_if]
+
+        return tuples
+
+    def _filter_basket(self, tuples, fmt="UBI"):
+        u_pos, b_pos = fmt.find("U"), fmt.find("B")
+
+        if self.min_basket_size > 1:
+            sizes = Counter(t[b_pos] for t in tuples)
+            tuples = [t for t in tuples if sizes[t[b_pos]] >= self.min_basket_size]
+
+        if self.max_basket_size > 1:
+            sizes = Counter(t[b_pos] for t in tuples)
+            tuples = [t for t in tuples if sizes[t[b_pos]] <= self.max_basket_size]
+
+        if self.min_basket_sequence > 1:
+            n_baskets_of = Counter(
+                u for (u, _) in {(t[u_pos], t[b_pos]) for t in tuples}
+            )
+            tuples = [
+                t for t in tuples if n_baskets_of[t[u_pos]] >= self.min_basket_sequence
+            ]
+
+        return tuples
+
+    def _filter_sequence(self, tuples, fmt="SIT"):
+        s_pos = fmt.find("S")
+
+        if self.min_sequence_size > 1:
+            sizes = Counter(t[s_pos] for t in tuples)
+            tuples = [t for t in tuples if sizes[t[s_pos]] >= self.min_sequence_size]
+
+        if self.max_sequence_size > 1:
+            sizes = Counter(t[s_pos] for t in tuples)
+            tuples = [t for t in tuples if sizes[t[s_pos]] <= self.max_sequence_size]
+
+        return tuples
+
+    def read(
+        self, fpath, fmt="UIR", sep="\t", skip_lines=0, id_inline=False, parser=None, **kwargs
+    ):
+        """Parse a file line-by-line into tuples according to ``fmt`` or a
+        custom ``parser`` callable, then apply the configured filters."""
+        parser = PARSERS.get(fmt, None) if parser is None else parser
+        if parser is None:
+            raise ValueError(
+                "Invalid line format: {}\nSupported formats: {}".format(
+                    fmt, list(PARSERS.keys())
+                )
+            )
+
+        with open(fpath, encoding=self.encoding, errors=self.errors) as f:
+            tuples = [
+                tup
+                for idx, line in enumerate(itertools.islice(f, skip_lines, None))
+                for tup in parser(
+                    line.strip().split(sep), line_idx=idx, id_inline=id_inline, **kwargs
+                )
+            ]
+
+        tuples = self._filter(tuples, fmt=fmt)
+        if fmt in BASKET_FMTS:
+            tuples = self._filter_basket(tuples, fmt=fmt)
+        elif fmt in SEQUENCE_FMTS:
+            tuples = self._filter_sequence(tuples, fmt=fmt)
+        return tuples
+
+
+def read_text(fpath, sep=None, encoding="utf-8", errors=None):
+    """Read a text file; with ``sep`` return (texts, ids), else a list of lines."""
+    with open(fpath, encoding=encoding, errors=errors) as f:
+        if sep is None:
+            return [line.strip() for line in f]
+        texts, ids = [], []
+        for line in f:
+            tokens = line.strip().split(sep)
+            ids.append(tokens[0])
+            texts.append(sep.join(tokens[1:]))
+        return texts, ids

@@ -1,0 +1,328 @@
+"""Propensity-based stratified evaluation (Jadidinejad et al., TOIS 2021).
+
+Parity with reference
+``cornac/eval_methods/propensity_stratified_evaluation.py:131-430``: item
+propensities from a discrete power-law fit to item frequencies, test-set
+stratification into quantiles, Closed / IPS / per-stratum / Unbiased rows.
+
+Deviations (documented on purpose):
+- The power-law fit is an in-house Clauset-Shalizi-Newman discrete MLE with
+  KS-based xmin selection instead of the external ``powerlaw`` package (not
+  available in this environment); same estimator family, same outputs
+  (alpha, xmin).
+- The IPS pass weights each user's positives by inverse propensity inside
+  the metric aggregation. (The reference passes a weighted dense mask into
+  metrics that expect index arrays — ``np.isin(pd_rank, weighted_mask)`` —
+  which silently degenerates; we compute a well-defined IPS-weighted recall
+  instead.)
+"""
+
+import time
+from collections import OrderedDict, defaultdict
+
+import numpy as np
+
+from ..data import Dataset
+from ..experiment.result import PSTResult, Result
+from ..metrics import RankingContext
+from ..utils.common import safe_indexing
+from .base_method import BaseMethod, _csr_row_masks, rating_eval
+from .ratio_split import RatioSplit
+
+
+def fit_discrete_powerlaw(data, xmin_candidates=None):
+    """Discrete power-law MLE (Clauset-Shalizi-Newman 2009, eq. 3.7 approx):
+    alpha = 1 + n / sum(ln(x / (xmin - 0.5))), with xmin chosen to minimize
+    the KS distance between the empirical and fitted CDFs."""
+    data = np.asarray(data, dtype=np.float64)
+    data = data[data > 0]
+    if xmin_candidates is None:
+        xmin_candidates = np.unique(data)
+        if len(xmin_candidates) > 100:  # cap the search grid
+            xmin_candidates = np.quantile(xmin_candidates, np.linspace(0, 0.95, 100))
+            xmin_candidates = np.unique(np.round(xmin_candidates))
+
+    best = (np.inf, 2.0, float(np.min(data)))  # (ks, alpha, xmin)
+    for xmin in xmin_candidates:
+        tail = data[data >= xmin]
+        if len(tail) < 2:
+            continue
+        alpha = 1.0 + len(tail) / np.sum(np.log(tail / (xmin - 0.5)))
+        if not np.isfinite(alpha) or alpha <= 1.0:
+            continue
+        # empirical vs model CDF on the tail
+        xs = np.sort(tail)
+        emp_cdf = np.arange(1, len(xs) + 1) / len(xs)
+        model_ccdf = (xs / xmin) ** (1.0 - alpha)
+        ks = np.max(np.abs(emp_cdf - (1.0 - model_ccdf)))
+        if ks < best[0]:
+            best = (ks, float(alpha), float(xmin))
+    return best[1], best[2]
+
+
+class PropensityStratifiedEvaluation(BaseMethod):
+    """Stratify the test set by estimated item propensity and report
+    closed-loop, IPS-weighted, per-stratum, and unbiased aggregate results."""
+
+    def __init__(
+        self,
+        data,
+        test_size=0.2,
+        val_size=0.0,
+        n_strata=2,
+        rating_threshold=1.0,
+        seed=None,
+        exclude_unknowns=True,
+        verbose=False,
+        **kwargs,
+    ):
+        BaseMethod.__init__(
+            self,
+            data=data,
+            rating_threshold=rating_threshold,
+            seed=seed,
+            exclude_unknowns=exclude_unknowns,
+            verbose=verbose,
+            **kwargs,
+        )
+
+        self.n_strata = n_strata
+        self.props = self._estimate_propensities()
+
+        self.train_size, self.val_size, self.test_size = RatioSplit.validate_size(
+            val_size, test_size, len(data)
+        )
+        self._split()
+
+    def _estimate_propensities(self):
+        """Item propensity ~ freq^alpha above the power-law cutoff."""
+        item_freq = defaultdict(int)
+        for u, i, r in self.data:
+            item_freq[i] += 1
+
+        freqs = np.array(list(item_freq.values()), dtype="float")
+        alpha, fmin = fit_discrete_powerlaw(freqs)
+
+        if self.verbose:
+            print("Powerlaw exponential estimates: %f, min=%d" % (alpha, fmin))
+
+        for k, v in item_freq.items():
+            if v > fmin:
+                item_freq[k] = pow(v, alpha)
+
+        return item_freq
+
+    def _split(self):
+        data_idx = self.rng.permutation(len(self.data))
+        train_idx = data_idx[: self.train_size]
+        test_idx = data_idx[-self.test_size :]
+        val_idx = data_idx[self.train_size : -self.test_size]
+
+        train_data = safe_indexing(self.data, train_idx)
+        test_data = safe_indexing(self.data, test_idx)
+        val_data = safe_indexing(self.data, val_idx) if len(val_idx) > 0 else None
+
+        self._build_datasets(
+            train_data=train_data, test_data=test_data, val_data=val_data
+        )
+        self._build_stratified_dataset(test_data=test_data)
+
+    def _build_stratified_dataset(self, test_data):
+        self.stratified_sets = {}
+
+        test_props = np.array(
+            [self.props[i] for (u, i, r) in test_data], dtype="float"
+        )
+
+        minp = test_props.min() - 0.01 * test_props.min()
+        maxp = test_props.max() + 0.01 * test_props.max()
+        width = (maxp - minp) / self.n_strata
+        strata = np.array(
+            [
+                f"Q{idx}"
+                for idx in np.digitize(x=test_props, bins=np.arange(minp, maxp, width))
+            ]
+        )
+
+        for stratum in sorted(np.unique(strata)):
+            qtest_data = [
+                tup for tup, q in zip(test_data, strata) if q == stratum
+            ]
+            qtest_set = Dataset.build(
+                data=qtest_data,
+                fmt=self.fmt,
+                global_uid_map=self.global_uid_map,
+                global_iid_map=self.global_iid_map,
+                seed=self.seed,
+                exclude_unknowns=self.exclude_unknowns,
+            )
+            if self.verbose:
+                print("---")
+                print("Test data ({}): {} ratings".format(stratum, qtest_set.num_ratings))
+            self.stratified_sets[stratum] = qtest_set
+
+    def _ips_ranking_eval(self, model, metrics, test_set, val_set):
+        """IPS-weighted ranking metrics: each positive contributes with
+        weight 1/propensity, normalized per user."""
+        if len(metrics) == 0:
+            return [], []
+
+        n_items = (
+            self.train_set.num_items if self.exclude_unknowns else test_set.num_items
+        )
+        # propensity per dense item index (1.0 when unknown)
+        prop_per_item = np.ones(n_items, dtype="float")
+        for raw_iid, idx in self.global_iid_map.items():
+            if idx < n_items:
+                prop_per_item[idx] = max(self.props.get(raw_iid, 1.0), 1e-12)
+        ips_weight = 1.0 / prop_per_item
+
+        avg_results = []
+        user_results = [{} for _ in enumerate(metrics)]
+
+        test_mat = test_set.csr_matrix
+        train_mat = self.train_set.csr_matrix
+        val_mat = None if val_set is None else val_set.csr_matrix
+        test_users = np.unique(test_set.uir_tuple[0])
+
+        batch = 1024
+        for start in range(0, len(test_users), batch):
+            users = test_users[start : start + batch]
+            pos_mask = _csr_row_masks(test_mat, users, n_items, self.rating_threshold)
+            keep = pos_mask.any(axis=1)
+            if not keep.any():
+                continue
+            users, pos_mask = users[keep], pos_mask[keep]
+            train_pos = _csr_row_masks(train_mat, users, n_items, self.rating_threshold)
+            val_pos = (
+                _csr_row_masks(val_mat, users, n_items, self.rating_threshold)
+                if val_mat is not None
+                else np.zeros_like(pos_mask)
+            )
+            neg_mask = ~(pos_mask | train_pos | val_pos)
+            cand_mask = pos_mask | neg_mask
+
+            scores = np.asarray(model.score_batch(users), dtype=np.float64)[:, :n_items]
+            scores = np.where(cand_mask, scores, -np.inf)
+
+            ctx = RankingContext(scores, pos_mask, cand_mask)
+            w = np.where(pos_mask, ips_weight[None, :], 0.0)
+            total_w = w.sum(axis=1)
+            for i, mt in enumerate(metrics):
+                k = getattr(mt, "k", -1)
+                k_eff = ctx.truncation(k)[:, None]
+                # IPS-weighted share of positives retrieved inside the cutoff
+                hit_w = np.where(ctx.pos_ranks < k_eff, w, 0.0).sum(axis=1)
+                vals = hit_w / np.maximum(total_w, 1e-12)
+                user_results[i].update(
+                    {int(u): float(v) for u, v in zip(users, vals)}
+                )
+
+        for i, mt in enumerate(metrics):
+            avg_results.append(
+                sum(user_results[i].values()) / max(len(user_results[i]), 1)
+            )
+        return avg_results, user_results
+
+    def _eval(self, model, test_set, val_set, user_based, props=None):
+        from .base_method import ranking_eval
+
+        metric_avg_results = OrderedDict()
+        metric_user_results = OrderedDict()
+
+        avg_results, user_results = rating_eval(
+            model=model,
+            metrics=self.rating_metrics,
+            test_set=test_set,
+            user_based=user_based,
+        )
+        for i, mt in enumerate(self.rating_metrics):
+            metric_avg_results[mt.name] = avg_results[i]
+            metric_user_results[mt.name] = user_results[i]
+
+        if props is None:
+            avg_results, user_results = ranking_eval(
+                model=model,
+                metrics=self.ranking_metrics,
+                train_set=self.train_set,
+                test_set=test_set,
+                val_set=val_set,
+                rating_threshold=self.rating_threshold,
+                exclude_unknowns=self.exclude_unknowns,
+                verbose=self.verbose,
+            )
+        else:
+            avg_results, user_results = self._ips_ranking_eval(
+                model=model,
+                metrics=self.ranking_metrics,
+                test_set=test_set,
+                val_set=val_set,
+            )
+        for i, mt in enumerate(self.ranking_metrics):
+            metric_avg_results[mt.name] = avg_results[i]
+            metric_user_results[mt.name] = user_results[i]
+
+        return Result(model.name, metric_avg_results, metric_user_results)
+
+    def evaluate(self, model, metrics, user_based, show_validation=True):
+        result = PSTResult(model.name)
+
+        if self.train_set is None:
+            raise ValueError("train_set is required but None!")
+        if self.test_set is None:
+            raise ValueError("test_set is required but None!")
+
+        self._reset()
+        self.rating_metrics, self.ranking_metrics = self.organize_metrics(metrics)
+
+        if self.verbose:
+            print("\n[{}] Training started!".format(model.name))
+
+        start = time.time()
+        model.fit(self.train_set, self.val_set)
+        train_time = time.time() - start  # noqa: F841 (reported via rows)
+
+        if self.verbose:
+            print("\n[{}] Evaluation started!".format(model.name))
+
+        # closed-loop evaluation on the sampled test set
+        test_result = self._eval(
+            model=model,
+            test_set=self.test_set,
+            val_set=self.val_set,
+            user_based=user_based,
+        )
+        test_result.metric_avg_results["SIZE"] = self.test_set.num_ratings
+        result.append(test_result)
+
+        # inverse-propensity-scored evaluation
+        ips_result = self._eval(
+            model=model,
+            test_set=self.test_set,
+            val_set=self.val_set,
+            user_based=user_based,
+            props=self.props,
+        )
+        ips_result.metric_avg_results["SIZE"] = self.test_set.num_ratings
+        result.append(ips_result)
+
+        # per-stratum evaluation
+        for _, qtest_set in self.stratified_sets.items():
+            qtest_result = self._eval(
+                model=model,
+                test_set=qtest_set,
+                val_set=self.val_set,
+                user_based=user_based,
+            )
+            qtest_result.metric_avg_results["SIZE"] = qtest_set.num_ratings
+            result.append(qtest_result)
+
+        result.organize()
+
+        val_result = None
+        if show_validation and self.val_set is not None:
+            val_result = self._eval(
+                model=model, test_set=self.val_set, val_set=None, user_based=user_based
+            )
+
+        return result, val_result

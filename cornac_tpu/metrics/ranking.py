@@ -1,0 +1,351 @@
+"""Ranking metrics.
+
+Two computation paths per metric, both with the exact semantics of reference
+``cornac/metrics/ranking.py:20-527``:
+
+- ``compute(...)``: per-user, numpy — identical inputs/outputs to the
+  reference (``gt_pos``/``gt_neg`` index vectors, ``pd_rank`` ranked
+  candidate indices, ``pd_scores`` candidate scores). Used as ground truth
+  in tests and by the slow/compat eval path.
+- ``batch_compute(ctx)``: vectorized over a batch of users via a shared
+  :class:`RankingContext` of rank/count arrays derived from a dense score
+  matrix. This is what the batched TPU eval harness calls — it replaces the
+  reference's per-user Python loop (``eval_methods/base_method.py:177-226``).
+  Count-based metrics (AUC, MAP, Precision/Recall tp counts) are tie-exact;
+  order-based metrics (NDCG/NCRR/MRR positions) match the reference up to
+  tie-breaking among equal scores.
+"""
+
+import numpy as np
+from scipy.stats import rankdata
+
+
+class RankingContext:
+    """Lazily-computed per-batch ranking quantities.
+
+    Parameters
+    ----------
+    scores: (B, N) float array
+        Model scores; columns outside the candidate set must be ``-inf``.
+    pos_mask: (B, N) bool array
+        Ground-truth positive items (a subset of the candidate set).
+    cand_mask: (B, N) bool array
+        Candidate items under evaluation (positives + negatives).
+    """
+
+    def __init__(self, scores, pos_mask, cand_mask):
+        self.scores = scores
+        self.pos_mask = pos_mask
+        self.cand_mask = cand_mask
+        self.B, self.N = scores.shape
+        self.n_pos = pos_mask.sum(axis=1)
+        self.n_cand = cand_mask.sum(axis=1)
+        self.n_neg = self.n_cand - self.n_pos
+        self._rank_of = None
+        self._tie_counts = None
+
+    @property
+    def rank_of(self):
+        """(B, N) int: 0-based descending-score rank of each column
+        (excluded columns sink to the bottom; ties broken by column index)."""
+        if self._rank_of is None:
+            order = np.argsort(-self.scores, axis=1, kind="stable")
+            self._rank_of = np.empty_like(order)
+            rows = np.arange(self.B)[:, None]
+            self._rank_of[rows, order] = np.arange(self.N)[None, :]
+        return self._rank_of
+
+    @property
+    def pos_ranks(self):
+        """(B, N) int: rank of each positive column, N (=out of range) elsewhere."""
+        return np.where(self.pos_mask, self.rank_of, self.N)
+
+    def _compute_tie_counts(self):
+        """For every column j (restricted to candidates): the number of
+        candidates with score strictly below scores[:, j] (``c_lt``) and the
+        number of positives with score strictly below (``p_lt``). Exact under
+        ties — one ascending sort + prefix sums per row."""
+        s = np.where(self.cand_mask, self.scores, -np.inf)
+        order = np.argsort(s, axis=1, kind="stable")  # ascending; excluded first
+        rows = np.arange(self.B)[:, None]
+        s_sorted = np.take_along_axis(s, order, axis=1)
+        cand_sorted = np.take_along_axis(self.cand_mask, order, axis=1)
+        pos_sorted = np.take_along_axis(self.pos_mask, order, axis=1)
+
+        # index (within sorted row) of the first element of each tie group
+        idx = np.arange(self.N)[None, :]
+        new_group = np.ones((self.B, self.N), dtype=bool)
+        new_group[:, 1:] = s_sorted[:, 1:] != s_sorted[:, :-1]
+        group_start = np.maximum.accumulate(np.where(new_group, idx, 0), axis=1)
+
+        # prefix counts of candidates / positives before a sorted position
+        cand_cum = np.concatenate(
+            [np.zeros((self.B, 1), dtype=np.int64), np.cumsum(cand_sorted, axis=1)],
+            axis=1,
+        )
+        pos_cum = np.concatenate(
+            [np.zeros((self.B, 1), dtype=np.int64), np.cumsum(pos_sorted, axis=1)],
+            axis=1,
+        )
+        c_lt_sorted = np.take_along_axis(cand_cum, group_start, axis=1)
+        p_lt_sorted = np.take_along_axis(pos_cum, group_start, axis=1)
+
+        c_lt = np.empty((self.B, self.N), dtype=np.int64)
+        p_lt = np.empty((self.B, self.N), dtype=np.int64)
+        c_lt[rows, order] = c_lt_sorted
+        p_lt[rows, order] = p_lt_sorted
+        self._tie_counts = (c_lt, p_lt)
+
+    @property
+    def c_lt(self):
+        """(B, N): per column, #candidates with strictly lower score."""
+        if self._tie_counts is None:
+            self._compute_tie_counts()
+        return self._tie_counts[0]
+
+    @property
+    def p_lt(self):
+        """(B, N): per column, #positives with strictly lower score."""
+        if self._tie_counts is None:
+            self._compute_tie_counts()
+        return self._tie_counts[1]
+
+    def truncation(self, k):
+        """(B,) effective cutoff length: ``k`` if positive else the full
+        candidate-list length (reference truncates ``pd_rank[:k]``)."""
+        if k > 0:
+            return np.full(self.B, k, dtype=np.int64)
+        return self.n_cand
+
+    def tp_at_k(self, k):
+        """(B,) number of positives ranked inside the cutoff."""
+        k_eff = self.truncation(k)[:, None]
+        return (self.pos_ranks < k_eff).sum(axis=1)
+
+
+class RankingMetric:
+    """Base ranking metric (higher is better)."""
+
+    def __init__(self, name=None, k=-1, higher_better=True):
+        assert hasattr(k, "__len__") or k == -1 or k > 0
+        self.type = "ranking"
+        self.name = name
+        self.k = k
+        self.higher_better = higher_better
+
+    def compute(self, **kwargs):
+        raise NotImplementedError()
+
+    def batch_compute(self, ctx):
+        """Vectorized metric over a :class:`RankingContext`; returns (B,)."""
+        raise NotImplementedError()
+
+
+class NDCG(RankingMetric):
+    """Normalized Discounted Cumulative Gain (binary relevance)."""
+
+    def __init__(self, k=-1):
+        RankingMetric.__init__(self, name="NDCG@{}".format(k), k=k)
+
+    @staticmethod
+    def dcg_score(gt_pos, pd_rank, k=-1):
+        """DCG over the (optionally truncated) ranked list with 0/1 gains."""
+        truncated = pd_rank[:k] if k > 0 else pd_rank
+        rel = np.isin(truncated, gt_pos).astype(int)
+        gain = 2**rel - 1
+        discounts = np.log2(np.arange(len(rel)) + 2)
+        return np.sum(gain / discounts)
+
+    def compute(self, gt_pos, pd_rank, **kwargs):
+        dcg = self.dcg_score(gt_pos, pd_rank, self.k)
+        idcg = self.dcg_score(gt_pos, gt_pos, self.k)
+        return dcg / idcg
+
+    def batch_compute(self, ctx):
+        k_eff = ctx.truncation(self.k)[:, None]
+        pos_ranks = ctx.pos_ranks
+        dcg = np.where(
+            pos_ranks < k_eff, 1.0 / np.log2(pos_ranks + 2.0), 0.0
+        ).sum(axis=1)
+        # ideal: positives occupy the first min(n_pos, k_eff) slots
+        n_ideal = np.minimum(ctx.n_pos, k_eff[:, 0])
+        max_n = int(n_ideal.max()) if len(n_ideal) else 0
+        discounts = 1.0 / np.log2(np.arange(max_n) + 2.0)
+        cum = np.concatenate([[0.0], np.cumsum(discounts)])
+        idcg = cum[n_ideal]
+        return dcg / np.maximum(idcg, 1e-12)
+
+
+class NCRR(RankingMetric):
+    """Normalized Cumulative Reciprocal Rank."""
+
+    def __init__(self, k=-1):
+        RankingMetric.__init__(self, name="NCRR@{}".format(k), k=k)
+
+    def compute(self, gt_pos, pd_rank, **kwargs):
+        truncated = pd_rank[: self.k] if self.k > 0 else pd_rank
+        hit_positions = np.where(np.isin(truncated, gt_pos))[0]
+        if len(hit_positions) == 0:
+            return 0.0
+        crr = np.sum(1.0 / (hit_positions + 1))
+        max_nb_pos = min(len(gt_pos), len(truncated))
+        icrr = np.sum(1.0 / (np.arange(max_nb_pos) + 1))
+        return crr / icrr
+
+    def batch_compute(self, ctx):
+        k_eff = ctx.truncation(self.k)[:, None]
+        pos_ranks = ctx.pos_ranks
+        crr = np.where(pos_ranks < k_eff, 1.0 / (pos_ranks + 1.0), 0.0).sum(axis=1)
+        n_ideal = np.minimum(ctx.n_pos, k_eff[:, 0])
+        max_n = int(n_ideal.max()) if len(n_ideal) else 0
+        cum = np.concatenate([[0.0], np.cumsum(1.0 / (np.arange(max_n) + 1.0))])
+        icrr = cum[n_ideal]
+        return np.where(crr > 0, crr / np.maximum(icrr, 1e-12), 0.0)
+
+
+class MRR(RankingMetric):
+    """Mean Reciprocal Rank (reciprocal rank of the first hit)."""
+
+    def __init__(self):
+        RankingMetric.__init__(self, name="MRR")
+
+    def compute(self, gt_pos, pd_rank, **kwargs):
+        matched = np.nonzero(np.isin(pd_rank, gt_pos))[0]
+        if len(matched) == 0:
+            raise ValueError(
+                "No matched between ground-truth items and recommendations"
+            )
+        return 1.0 / (matched[0] + 1)
+
+    def batch_compute(self, ctx):
+        first_pos_rank = ctx.pos_ranks.min(axis=1)
+        return 1.0 / (first_pos_rank + 1.0)
+
+
+class MeasureAtK(RankingMetric):
+    """Shared tp / tp+fn / tp+fp computation for @K measures."""
+
+    def __init__(self, name=None, k=-1):
+        RankingMetric.__init__(self, name, k)
+
+    def compute(self, gt_pos, pd_rank, **kwargs):
+        truncated = pd_rank[: self.k] if self.k > 0 else pd_rank
+        tp = np.sum(np.isin(truncated, gt_pos))
+        tp_fn = len(gt_pos)
+        tp_fp = self.k if self.k > 0 else len(truncated)
+        return tp, tp_fn, tp_fp
+
+    def _batch_counts(self, ctx):
+        tp = ctx.tp_at_k(self.k)
+        tp_fn = ctx.n_pos
+        tp_fp = ctx.truncation(self.k)
+        return tp, tp_fn, tp_fp
+
+
+class HitRatio(MeasureAtK):
+    """1.0 when at least one positive appears in the top-k."""
+
+    def __init__(self, k=-1):
+        super().__init__(name="HitRatio@{}".format(k), k=k)
+
+    def compute(self, gt_pos, pd_rank, **kwargs):
+        tp, *_ = MeasureAtK.compute(self, gt_pos, pd_rank, **kwargs)
+        return 1.0 if tp > 0 else 0.0
+
+    def batch_compute(self, ctx):
+        tp, _, _ = self._batch_counts(ctx)
+        return (tp > 0).astype(np.float64)
+
+
+class Precision(MeasureAtK):
+    """Precision@K."""
+
+    def __init__(self, k=-1):
+        super().__init__(name="Precision@{}".format(k), k=k)
+
+    def compute(self, gt_pos, pd_rank, **kwargs):
+        tp, _, tp_fp = MeasureAtK.compute(self, gt_pos, pd_rank, **kwargs)
+        return tp / tp_fp
+
+    def batch_compute(self, ctx):
+        tp, _, tp_fp = self._batch_counts(ctx)
+        return tp / tp_fp
+
+
+class Recall(MeasureAtK):
+    """Recall@K."""
+
+    def __init__(self, k=-1):
+        super().__init__(name="Recall@{}".format(k), k=k)
+
+    def compute(self, gt_pos, pd_rank, **kwargs):
+        tp, tp_fn, _ = MeasureAtK.compute(self, gt_pos, pd_rank, **kwargs)
+        return tp / tp_fn
+
+    def batch_compute(self, ctx):
+        tp, tp_fn, _ = self._batch_counts(ctx)
+        return tp / np.maximum(tp_fn, 1)
+
+
+class FMeasure(MeasureAtK):
+    """F1@K."""
+
+    def __init__(self, k=-1):
+        super().__init__(name="F1@{}".format(k), k=k)
+
+    def compute(self, gt_pos, pd_rank, **kwargs):
+        tp, tp_fn, tp_fp = MeasureAtK.compute(self, gt_pos, pd_rank, **kwargs)
+        prec = tp / tp_fp
+        rec = tp / tp_fn
+        return 2 * (prec * rec) / (prec + rec) if (prec + rec) > 0 else 0
+
+    def batch_compute(self, ctx):
+        tp, tp_fn, tp_fp = self._batch_counts(ctx)
+        prec = tp / tp_fp
+        rec = tp / np.maximum(tp_fn, 1)
+        denom = prec + rec
+        return np.where(denom > 0, 2 * prec * rec / np.maximum(denom, 1e-12), 0.0)
+
+
+class AUC(RankingMetric):
+    """Area under the ROC curve over (positive, negative) candidate pairs."""
+
+    def __init__(self):
+        RankingMetric.__init__(self, name="AUC")
+
+    def compute(self, item_indices, pd_scores, gt_pos, gt_neg=None, **kwargs):
+        pos_mask = np.isin(item_indices, gt_pos)
+        neg_mask = (
+            np.logical_not(pos_mask) if gt_neg is None else np.isin(item_indices, gt_neg)
+        )
+        pos_scores = pd_scores[pos_mask]
+        neg_scores = pd_scores[neg_mask]
+        ui_scores = np.repeat(pos_scores, len(neg_scores))
+        uj_scores = np.tile(neg_scores, len(pos_scores))
+        return (ui_scores > uj_scores).sum() / len(uj_scores)
+
+    def batch_compute(self, ctx):
+        # pairs won: for each positive, #negatives with strictly lower score
+        neg_lt = np.where(ctx.pos_mask, ctx.c_lt - ctx.p_lt, 0).sum(axis=1)
+        denom = ctx.n_pos * ctx.n_neg
+        return neg_lt / np.maximum(denom, 1)
+
+
+class MAP(RankingMetric):
+    """Mean Average Precision (rankdata 'max' convention of the reference)."""
+
+    def __init__(self):
+        RankingMetric.__init__(self, name="MAP")
+
+    def compute(self, item_indices, pd_scores, gt_pos, **kwargs):
+        relevant = np.isin(item_indices, gt_pos)
+        rank = rankdata(-pd_scores, "max")[relevant]
+        L = rankdata(-pd_scores[relevant], "max")
+        return (L / rank).mean()
+
+    def batch_compute(self, ctx):
+        # rankdata('max') of -scores == #candidates with score >= s
+        c_ge = ctx.n_cand[:, None] - ctx.c_lt
+        p_ge = ctx.n_pos[:, None] - ctx.p_lt
+        ap = np.where(ctx.pos_mask, p_ge / np.maximum(c_ge, 1), 0.0).sum(axis=1)
+        return ap / np.maximum(ctx.n_pos, 1)

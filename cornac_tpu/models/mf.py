@@ -1,0 +1,313 @@
+"""MF — biased Matrix Factorization (Koren et al., 2009).
+
+Capability parity with reference ``cornac/models/mf/recom_mf.py:32`` +
+``backend_cpu.pyx:20-120`` (Cython/OpenMP hogwild SGD), redesigned for TPU:
+
+- Training is a jit-compiled epoch: a ``lax.fori_loop`` over fixed-size
+  minibatches of observed ratings, each step = gather factor rows →
+  elementwise error → scatter-add updates. One compilation, whole epoch on
+  device, deterministic (no hogwild races; reference needed
+  ``num_threads=1`` for determinism, ``recom_mf.py`` docstring).
+- Epoch order is a fresh seeded permutation per epoch (the reference CPU
+  kernel iterates in data order; minibatch shuffling is standard SGD and
+  changes results only within seed variance).
+- ``score_batch`` is one device matmul over the item-factor table —
+  this is what the batched eval harness calls.
+
+SVD (reference ``models/svd/recom_svd.py:20``) is MF fitted on mean-centered
+ratings; see :class:`SVD` below.
+"""
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..exception import ScoreException
+from ..utils import get_rng
+from ..utils.init_utils import normal, zeros
+from .recommender import ANNMixin, MEASURE_DOT, Recommender
+
+DTYPE = np.float32
+
+
+@partial(
+    jax.jit,
+    static_argnames=("batch_size", "use_bias"),
+    donate_argnums=(0, 1, 2, 3),
+)
+def _mf_sgd_epoch(
+    U, V, Bu, Bi, perm, mask, rid, cid, val, lr, reg, mu, batch_size, use_bias
+):
+    """One SGD epoch over all observed ratings, minibatched on device."""
+    n_batches = perm.shape[0] // batch_size
+
+    def body(b, carry):
+        U, V, Bu, Bi, loss = carry
+        idx = jax.lax.dynamic_slice(perm, (b * batch_size,), (batch_size,))
+        m = jax.lax.dynamic_slice(mask, (b * batch_size,), (batch_size,))
+        u, i, r = rid[idx], cid[idx], val[idx]
+        pu, qi = U[u], V[i]
+        pred = jnp.sum(pu * qi, axis=1)
+        if use_bias:
+            pred = pred + mu + Bu[u] + Bi[i]
+        err = (r - pred) * m
+        loss = loss + jnp.sum(err * err)
+        dU = err[:, None] * qi - reg * pu * m[:, None]
+        dV = err[:, None] * pu - reg * qi * m[:, None]
+        U = U.at[u].add(lr * dU)
+        V = V.at[i].add(lr * dV)
+        if use_bias:
+            Bu = Bu.at[u].add(lr * (err - reg * Bu[u] * m))
+            Bi = Bi.at[i].add(lr * (err - reg * Bi[i] * m))
+        return U, V, Bu, Bi, loss
+
+    U, V, Bu, Bi, loss = jax.lax.fori_loop(
+        0, n_batches, body, (U, V, Bu, Bi, jnp.float32(0.0))
+    )
+    return U, V, Bu, Bi, 0.5 * loss
+
+
+@jax.jit
+def _mf_scores(U, V, Bu, Bi, mu, users, known_mask):
+    """(B, num_items) score matrix: mu + Bu + Bi + U V^T on the MXU.
+    Unknown users (mask 0) contribute no personal term, matching reference
+    ``recom_mf.py:273-284``."""
+    pu = U[users] * known_mask[:, None]
+    bu = Bu[users] * known_mask
+    return mu + bu[:, None] + Bi[None, :] + pu @ V.T
+
+
+class MF(Recommender, ANNMixin):
+    """Biased MF trained with deterministic minibatch SGD on device.
+
+    Parameters mirror the reference: ``k`` factors, ``max_iter`` epochs,
+    ``learning_rate``, ``lambda_reg``, ``use_bias``, ``early_stop`` (stop on
+    small delta-loss), ``init_params`` ({'U','V','Bu','Bi'}), ``seed``.
+    """
+
+    def __init__(
+        self,
+        name="MF",
+        k=10,
+        max_iter=20,
+        learning_rate=0.01,
+        batch_size=256,
+        lambda_reg=0.02,
+        use_bias=True,
+        early_stop=False,
+        trainable=True,
+        verbose=False,
+        init_params=None,
+        seed=None,
+    ):
+        super().__init__(name=name, trainable=trainable, verbose=verbose)
+        self.k = k
+        self.max_iter = max_iter
+        self.learning_rate = learning_rate
+        self.batch_size = batch_size
+        self.lambda_reg = lambda_reg
+        self.use_bias = use_bias
+        self.early_stop = early_stop
+        self.seed = seed
+
+        self.init_params = {} if init_params is None else init_params
+        self.u_factors = self.init_params.get("U", None)
+        self.i_factors = self.init_params.get("V", None)
+        self.u_biases = self.init_params.get("Bu", None)
+        self.i_biases = self.init_params.get("Bi", None)
+
+    def _init(self):
+        rng = get_rng(self.seed)
+        if self.u_factors is None:
+            self.u_factors = normal(
+                [self.num_users, self.k], std=0.01, random_state=rng, dtype=DTYPE
+            )
+        if self.i_factors is None:
+            self.i_factors = normal(
+                [self.num_items, self.k], std=0.01, random_state=rng, dtype=DTYPE
+            )
+        if self.u_biases is None:
+            self.u_biases = zeros(self.num_users, dtype=DTYPE)
+        if self.i_biases is None:
+            self.i_biases = zeros(self.num_items, dtype=DTYPE)
+        self.global_mean = np.dtype(DTYPE).type(
+            self.global_mean if self.use_bias else 0.0
+        )
+
+    def fit(self, train_set, val_set=None):
+        Recommender.fit(self, train_set, val_set)
+        self._init()
+        if self.trainable:
+            self._fit_tpu(train_set)
+        return self
+
+    def _fit_tpu(self, train_set):
+        rng = get_rng(self.seed)
+        rid, cid, val = train_set.uir_tuple
+        n = len(val)
+        bsz = min(self.batch_size, n)
+        n_pad = (-n) % bsz
+
+        rid_d = jnp.asarray(rid, dtype=jnp.int32)
+        cid_d = jnp.asarray(cid, dtype=jnp.int32)
+        val_d = jnp.asarray(val, dtype=jnp.float32)
+        mask_h = np.concatenate([np.ones(n, DTYPE), np.zeros(n_pad, DTYPE)])
+
+        U = jnp.asarray(self.u_factors)
+        V = jnp.asarray(self.i_factors)
+        Bu = jnp.asarray(self.u_biases)
+        Bi = jnp.asarray(self.i_biases)
+
+        last_loss = 0.0
+        for epoch in range(self.max_iter):
+            perm = np.concatenate([rng.permutation(n), np.zeros(n_pad, np.int64)])
+            U, V, Bu, Bi, loss = _mf_sgd_epoch(
+                U,
+                V,
+                Bu,
+                Bi,
+                jnp.asarray(perm, dtype=jnp.int32),
+                jnp.asarray(mask_h),
+                rid_d,
+                cid_d,
+                val_d,
+                jnp.float32(self.learning_rate),
+                jnp.float32(self.lambda_reg),
+                jnp.float32(self.global_mean),
+                batch_size=bsz,
+                use_bias=self.use_bias,
+            )
+            loss = float(loss)
+            if self.verbose:
+                print("Epoch %d/%d, loss = %.2f" % (epoch + 1, self.max_iter, loss))
+            if self.early_stop and epoch > 0 and abs(loss - last_loss) < 1e-5:
+                if self.verbose:
+                    print("Early stopping, delta_loss = %.4f" % (loss - last_loss))
+                break
+            last_loss = loss
+
+        self.u_factors = np.asarray(U)
+        self.i_factors = np.asarray(V)
+        self.u_biases = np.asarray(Bu)
+        self.i_biases = np.asarray(Bi)
+
+    # ------------------------------------------------------------------ #
+    # scoring
+    # ------------------------------------------------------------------ #
+    def score(self, user_idx, item_idx=None):
+        if item_idx is not None and self.is_unknown_item(item_idx):
+            raise ScoreException("Can't make score prediction for item %d" % item_idx)
+
+        if item_idx is None:
+            known_item_scores = self.global_mean + self.i_biases.astype(np.float64)
+            if self.knows_user(user_idx):
+                known_item_scores = known_item_scores + self.u_biases[user_idx]
+                known_item_scores = known_item_scores + self.i_factors @ self.u_factors[
+                    user_idx
+                ]
+            return known_item_scores
+
+        item_score = self.global_mean + self.i_biases[item_idx]
+        if self.knows_user(user_idx):
+            item_score += self.u_biases[user_idx]
+            item_score += self.u_factors[user_idx].dot(self.i_factors[item_idx])
+        return item_score
+
+    def score_batch(self, user_indices):
+        users = np.asarray(user_indices)
+        known = (users >= 0) & (users < self.num_users)
+        scores = _mf_scores(
+            jnp.asarray(self.u_factors),
+            jnp.asarray(self.i_factors),
+            jnp.asarray(self.u_biases),
+            jnp.asarray(self.i_biases),
+            jnp.float32(self.global_mean),
+            jnp.asarray(np.where(known, users, 0), dtype=jnp.int32),
+            jnp.asarray(known.astype(DTYPE)),
+        )
+        scores = np.asarray(scores, dtype=np.float64)
+        total = self.total_items
+        if scores.shape[1] < total:
+            out = np.broadcast_to(
+                scores.min(axis=1, keepdims=True), (scores.shape[0], total)
+            ).copy()
+            out[:, : scores.shape[1]] = scores
+            return out
+        return scores
+
+    def score_pairs(self, user_indices, item_indices):
+        # mirrors score()/rate(): unknown item -> default score (global mean);
+        # unknown user -> mu + item bias; known pair -> full biased dot
+        users = np.asarray(user_indices)
+        items = np.asarray(item_indices)
+        known_u = (users >= 0) & (users < self.num_users)
+        known_i = (items >= 0) & (items < self.num_items)
+        u_safe = np.where(known_u, users, 0)
+        i_safe = np.where(known_i, items, 0)
+        personal = self.u_biases[u_safe] + np.sum(
+            self.u_factors[u_safe] * self.i_factors[i_safe], axis=1
+        )
+        scores = (
+            float(self.global_mean)
+            + self.i_biases[i_safe]
+            + np.where(known_u, personal, 0.0)
+        )
+        return np.where(known_i, scores, float(self.global_mean))
+
+    # ------------------------------------------------------------------ #
+    # ANN vectors
+    # ------------------------------------------------------------------ #
+    def get_vector_measure(self):
+        return MEASURE_DOT
+
+    def get_user_vectors(self):
+        user_vectors = self.u_factors
+        if self.use_bias:
+            user_vectors = np.concatenate(
+                (user_vectors, np.ones([user_vectors.shape[0], 1])), axis=1
+            )
+        return user_vectors
+
+    def get_item_vectors(self):
+        item_vectors = self.i_factors
+        if self.use_bias:
+            item_vectors = np.concatenate(
+                (item_vectors, self.i_biases.reshape((-1, 1))), axis=1
+            )
+        return item_vectors
+
+
+class SVD(MF):
+    """SVD-style MF (reference ``models/svd/recom_svd.py:20`` delegates to MF
+    with biases enabled; kept as a named alias for API parity)."""
+
+    def __init__(
+        self,
+        name="SVD",
+        k=10,
+        max_iter=20,
+        learning_rate=0.01,
+        batch_size=256,
+        lambda_reg=0.02,
+        early_stop=False,
+        trainable=True,
+        verbose=False,
+        init_params=None,
+        seed=None,
+    ):
+        super().__init__(
+            name=name,
+            k=k,
+            max_iter=max_iter,
+            learning_rate=learning_rate,
+            batch_size=batch_size,
+            lambda_reg=lambda_reg,
+            use_bias=True,
+            early_stop=early_stop,
+            trainable=trainable,
+            verbose=verbose,
+            init_params=init_params,
+            seed=seed,
+        )

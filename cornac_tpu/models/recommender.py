@@ -1,0 +1,440 @@
+"""Recommender base classes.
+
+Capability parity with reference ``cornac/models/recommender.py`` —
+``ANNMixin`` (@51), ``Recommender`` (@84), ``NextBasketRecommender`` (@655),
+``NextItemRecommender`` (@712) — extended with two vectorized hooks that the
+batched TPU eval harness uses:
+
+- ``score_batch(user_indices) -> (B, total_items)``: dense score matrix for
+  a batch of users. Factor models override this with a single jitted matmul;
+  the default loops ``score`` (slow but correct for any model).
+- ``score_pairs(users, items) -> (n,)`` / ``rate_batch``: vectorized
+  pointwise prediction for rating metrics.
+"""
+
+import copy
+import inspect
+import json
+import os
+import pickle
+import warnings
+from datetime import datetime
+from glob import glob
+
+import numpy as np
+
+from ..exception import ScoreException
+from ..utils.common import clip
+
+MEASURE_L2 = "l2 distance aka. Euclidean distance"
+MEASURE_DOT = "dot product aka. inner product"
+MEASURE_COSINE = "cosine similarity"
+
+
+def is_ann_supported(recom):
+    """True if the recommender exposes vectors for ANN indexing."""
+    return getattr(recom, "_ann_supported", False)
+
+
+class ANNMixin:
+    """Mixin advertising vector representations for ANN search."""
+
+    _ann_supported = True
+
+    def get_vector_measure(self):
+        """One of MEASURE_L2 / MEASURE_DOT / MEASURE_COSINE."""
+        raise NotImplementedError()
+
+    def get_user_vectors(self):
+        """Query vectors, one row per user."""
+        raise NotImplementedError()
+
+    def get_item_vectors(self):
+        """Index vectors, one row per item."""
+        raise NotImplementedError()
+
+
+class Recommender:
+    """Generic recommender. Subclasses implement ``fit`` and ``score`` (and
+    ideally ``score_batch``/``score_pairs`` for fast device evaluation)."""
+
+    def __init__(self, name, trainable=True, verbose=False):
+        self.name = name
+        self.trainable = trainable
+        self.verbose = verbose
+        self.is_fitted = False
+
+        # attributes excluded from saving (bulky data handles)
+        self.ignored_attrs = ["train_set", "val_set", "test_set"]
+
+        self.num_users = None
+        self.num_items = None
+        self.uid_map = None
+        self.iid_map = None
+        self.max_rating = None
+        self.min_rating = None
+        self.global_mean = None
+
+        self.__user_ids = None
+        self.__item_ids = None
+
+    # ------------------------------------------------------------------ #
+    # bookkeeping
+    # ------------------------------------------------------------------ #
+    @property
+    def total_users(self):
+        """User count including unknown test/val users."""
+        return len(self.uid_map) if self.uid_map is not None else self.num_users
+
+    @property
+    def total_items(self):
+        """Item count including unknown test/val items."""
+        return len(self.iid_map) if self.iid_map is not None else self.num_items
+
+    @property
+    def user_ids(self):
+        if self.__user_ids is None:
+            self.__user_ids = list(self.uid_map.keys())
+        return self.__user_ids
+
+    @property
+    def item_ids(self):
+        if self.__item_ids is None:
+            self.__item_ids = list(self.iid_map.keys())
+        return self.__item_ids
+
+    def reset_info(self):
+        self.best_value = float("-inf")
+        self.best_epoch = 0
+        self.current_epoch = 0
+        self.stopped_epoch = 0
+        self.wait = 0
+
+    def __deepcopy__(self, memo):
+        cls = self.__class__
+        result = cls.__new__(cls)
+        ignored = set(self.ignored_attrs)
+        for k, v in self.__dict__.items():
+            if k in ignored:
+                continue
+            setattr(result, k, copy.deepcopy(v))
+        return result
+
+    @classmethod
+    def _get_init_params(cls):
+        """Constructor parameter names — this introspected signature doubles
+        as the config schema for clone()/hyperopt."""
+        init = getattr(cls.__init__, "deprecated_original", cls.__init__)
+        if init is object.__init__:
+            return []
+        init_signature = inspect.signature(init)
+        return sorted(
+            p.name for p in init_signature.parameters.values() if p.name != "self"
+        )
+
+    def clone(self, new_params=None):
+        """Fresh instance with (optionally overridden) constructor params."""
+        new_params = {} if new_params is None else new_params
+        init_params = {}
+        for name in self._get_init_params():
+            init_params[name] = new_params.get(name, copy.deepcopy(getattr(self, name)))
+        return self.__class__(**init_params)
+
+    # ------------------------------------------------------------------ #
+    # persistence
+    # ------------------------------------------------------------------ #
+    def save(self, save_dir=None, save_trainset=False, metadata=None):
+        """Pickle the model (minus data handles) plus a ``.meta`` JSON."""
+        if save_dir is None:
+            return
+
+        model_dir = os.path.join(save_dir, self.name)
+        os.makedirs(model_dir, exist_ok=True)
+        timestamp = datetime.now().strftime("%Y-%m-%d_%H-%M-%S-%f")
+        model_file = os.path.join(model_dir, "{}.pkl".format(timestamp))
+
+        saved_model = copy.deepcopy(self)
+        with open(model_file, "wb") as f:
+            pickle.dump(saved_model, f, protocol=pickle.HIGHEST_PROTOCOL)
+        if self.verbose:
+            print("{} model is saved to {}".format(self.name, model_file))
+
+        metadata = {} if metadata is None else metadata
+        metadata["model_classname"] = type(saved_model).__name__
+        metadata["model_file"] = os.path.basename(model_file)
+
+        if save_trainset:
+            trainset_file = model_file + ".trainset"
+            with open(trainset_file, "wb") as f:
+                pickle.dump(self.train_set, f, protocol=pickle.HIGHEST_PROTOCOL)
+            metadata["trainset_file"] = os.path.basename(trainset_file)
+
+        with open(model_file + ".meta", "w", encoding="utf-8") as f:
+            json.dump(metadata, f, ensure_ascii=False, indent=4)
+
+        return model_file
+
+    @staticmethod
+    def load(model_path, trainable=False):
+        """Load the newest ``.pkl`` in a directory, or an exact file path."""
+        if os.path.isdir(model_path):
+            model_file = sorted(glob("{}/*.pkl".format(model_path)))[-1]
+        else:
+            model_file = model_path
+
+        with open(model_file, "rb") as f:
+            model = pickle.load(f)
+        model.trainable = trainable
+        model.load_from = model_file
+        return model
+
+    # ------------------------------------------------------------------ #
+    # training
+    # ------------------------------------------------------------------ #
+    def fit(self, train_set, val_set=None):
+        """Capture train-set statistics; subclasses call super().fit() first
+        and then run their training loop."""
+        if self.is_fitted:
+            warnings.warn(
+                "Model is already fitted. Re-fitting will overwrite the previous model."
+            )
+
+        self.reset_info()
+        train_set.reset()
+        if val_set is not None:
+            val_set.reset()
+
+        self.num_users = train_set.num_users
+        self.num_items = train_set.num_items
+        self.uid_map = train_set.uid_map
+        self.iid_map = train_set.iid_map
+        self.min_rating = train_set.min_rating
+        self.max_rating = train_set.max_rating
+        self.global_mean = train_set.global_mean
+
+        self.train_set = train_set
+        self.val_set = val_set
+
+        self.is_fitted = True
+
+        return self
+
+    def knows_user(self, user_idx):
+        """True if the user index is within the training prefix."""
+        return user_idx is not None and 0 <= user_idx < self.num_users
+
+    def knows_item(self, item_idx):
+        """True if the item index is within the training prefix."""
+        return item_idx is not None and 0 <= item_idx < self.num_items
+
+    def is_unknown_user(self, user_idx):
+        return not self.knows_user(user_idx)
+
+    def is_unknown_item(self, item_idx):
+        return not self.knows_item(item_idx)
+
+    def transform(self, test_set):
+        """Optional pre-eval hook to cache expensive test-time computations."""
+        pass
+
+    # ------------------------------------------------------------------ #
+    # scoring
+    # ------------------------------------------------------------------ #
+    def score(self, user_idx, item_idx=None):
+        """Score one (user, item) pair, or all known items when
+        ``item_idx`` is None."""
+        raise NotImplementedError("The algorithm is not able to make score prediction!")
+
+    def default_score(self):
+        """Cold-start fallback score."""
+        return self.global_mean
+
+    def score_batch(self, user_indices):
+        """(B, total_items) dense score matrix for a batch of users.
+
+        Default: per-user ``score`` loop with the same unknown-item /
+        exception fallbacks as ``rank`` (reference ``recommender.py:499-511``).
+        Factor models override this with a single device matmul.
+        """
+        total = self.total_items
+        out = np.empty((len(user_indices), total), dtype=np.float64)
+        for b, user_idx in enumerate(user_indices):
+            try:
+                known = np.asarray(self.score(user_idx), dtype=np.float64)
+            except ScoreException:
+                known = np.full(total, self.default_score(), dtype=np.float64)
+            if len(known) == total:
+                out[b] = known
+            else:
+                out[b] = known.min()
+                out[b, : len(known)] = known
+        return out
+
+    def score_pairs(self, user_indices, item_indices):
+        """(n,) scores for aligned (user, item) index arrays. Default loops
+        ``score``; vectorized in factor models."""
+        out = np.empty(len(user_indices), dtype=np.float64)
+        for i, (u, it) in enumerate(zip(user_indices, item_indices)):
+            try:
+                out[i] = self.score(u, it)
+            except ScoreException:
+                out[i] = self.default_score()
+        return out
+
+    def rate(self, user_idx, item_idx, clipping=True):
+        """Pointwise rating prediction with optional clipping."""
+        try:
+            rating_pred = self.score(user_idx, item_idx)
+        except ScoreException:
+            rating_pred = self.default_score()
+
+        if clipping:
+            rating_pred = clip(rating_pred, self.min_rating, self.max_rating)
+        return rating_pred
+
+    def rate_batch(self, user_indices, item_indices, clipping=True):
+        """Vectorized ``rate`` over aligned index arrays."""
+        preds = np.asarray(self.score_pairs(user_indices, item_indices))
+        if clipping:
+            preds = clip(preds, self.min_rating, self.max_rating)
+        return preds
+
+    def rank(self, user_idx, item_indices=None, k=-1, **kwargs):
+        """Rank candidate items for one user; returns (ranked_items, scores
+        aligned with ``item_indices``)."""
+        try:
+            known_item_scores = self.score(user_idx, **kwargs)
+        except ScoreException:
+            known_item_scores = np.ones(self.total_items) * self.default_score()
+
+        # unknown items (beyond what score() covers) get the minimum score
+        if len(known_item_scores) == self.total_items:
+            all_item_scores = known_item_scores
+        else:
+            all_item_scores = np.ones(self.total_items) * np.min(known_item_scores)
+            all_item_scores[: self.num_items] = known_item_scores
+
+        item_indices = (
+            np.arange(self.num_items)
+            if item_indices is None
+            else np.asarray(item_indices)
+        )
+        item_scores = all_item_scores[item_indices]
+
+        if k != -1:  # partial sort: O(n + k log k)
+            partitioned_idx = np.argpartition(item_scores, -k)
+            top_k_idx = partitioned_idx[-k:]
+            sorted_top_k_idx = top_k_idx[np.argsort(item_scores[top_k_idx])]
+            partitioned_idx[-k:] = sorted_top_k_idx
+            ranked_items = item_indices[partitioned_idx[::-1]]
+        else:
+            ranked_items = item_indices[item_scores.argsort()[::-1]]
+
+        return ranked_items, item_scores
+
+    def recommend(self, user_id, k=-1, remove_seen=False, train_set=None):
+        """Top-k recommendation by raw user ID, returning raw item IDs."""
+        user_idx = self.uid_map.get(user_id, -1)
+        if user_idx == -1:
+            raise ValueError(f"{user_id} is unknown to the model.")
+
+        if k < -1 or k > self.total_items:
+            raise ValueError(
+                f"k={k} is invalid, there are {self.total_users} users in total."
+            )
+
+        item_indices = np.arange(self.total_items)
+        if remove_seen:
+            seen_mask = np.zeros(len(item_indices), dtype="bool")
+            if train_set is None:
+                raise ValueError("train_set must be provided to remove seen items.")
+            if user_idx < train_set.csr_matrix.shape[0]:
+                seen_mask[train_set.csr_matrix.getrow(user_idx).indices] = True
+                item_indices = item_indices[~seen_mask]
+
+        item_rank, _ = self.rank(user_idx, item_indices)
+        if k != -1:
+            item_rank = item_rank[:k]
+
+        return [self.item_ids[i] for i in item_rank]
+
+    def recommend_batch(self, user_ids, k=-1, remove_seen=False, train_set=None):
+        """Batch top-k recommendation by raw user IDs (device-batched when
+        the model overrides ``score_batch``)."""
+        user_idx = np.array([self.uid_map.get(uid, -1) for uid in user_ids])
+        if (user_idx == -1).any():
+            unknown = [uid for uid, i in zip(user_ids, user_idx) if i == -1]
+            raise ValueError(f"{unknown} are unknown to the model.")
+
+        scores = np.asarray(self.score_batch(user_idx), dtype=np.float64)
+        if remove_seen:
+            if train_set is None:
+                raise ValueError("train_set must be provided to remove seen items.")
+            csr = train_set.csr_matrix
+            for b, u in enumerate(user_idx):
+                if u < csr.shape[0]:
+                    scores[b, csr.getrow(u).indices] = -np.inf
+
+        order = np.argsort(-scores, axis=1, kind="stable")
+        if k != -1:
+            order = order[:, :k]
+        return [[self.item_ids[i] for i in row] for row in order]
+
+    # ------------------------------------------------------------------ #
+    # early stopping
+    # ------------------------------------------------------------------ #
+    def monitor_value(self, train_set, val_set):
+        """Value watched by ``early_stop``; override per model."""
+        raise NotImplementedError()
+
+    def early_stop(self, train_set, val_set, min_delta=0.0, patience=0):
+        """Return True when training should stop (no improvement on the
+        monitored validation value)."""
+        self.current_epoch += 1
+        current_value = self.monitor_value(train_set, val_set)
+        if current_value is None:
+            return False
+
+        if np.greater_equal(current_value - self.best_value, min_delta):
+            self.best_value = current_value
+            self.best_epoch = self.current_epoch
+            self.wait = 0
+        else:
+            self.wait += 1
+            if self.wait >= patience:
+                self.stopped_epoch = self.current_epoch
+
+        if self.stopped_epoch > 0:
+            print("Early stopping:")
+            print(
+                "- best epoch = {}, stopped epoch = {}".format(
+                    self.best_epoch, self.stopped_epoch
+                )
+            )
+            print(
+                "- best monitored value = {:.6f} (delta = {:.6f})".format(
+                    self.best_value, current_value - self.best_value
+                )
+            )
+            return True
+        return False
+
+
+class NextBasketRecommender(Recommender):
+    """Base for next-basket models: ``score`` takes history baskets."""
+
+    def __init__(self, name, trainable=True, verbose=False):
+        super().__init__(name=name, trainable=trainable, verbose=verbose)
+
+    def score(self, user_idx, history_baskets, **kwargs):
+        raise NotImplementedError("The algorithm is not able to make score prediction!")
+
+
+class NextItemRecommender(Recommender):
+    """Base for next-item models: ``score`` takes history items."""
+
+    def __init__(self, name, trainable=True, verbose=False):
+        super().__init__(name=name, trainable=trainable, verbose=verbose)
+
+    def score(self, user_idx, history_items, **kwargs):
+        raise NotImplementedError("The algorithm is not able to make score prediction!")

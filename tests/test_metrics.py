@@ -1,0 +1,172 @@
+"""Metric tests: closed-form expectations for the per-user path, and
+vectorized batch_compute vs per-user compute consistency on random data —
+the parity guarantee the batched eval harness rests on."""
+
+import numpy as np
+import pytest
+
+from cornac_tpu.metrics import (
+    AUC,
+    MAE,
+    MAP,
+    MRR,
+    MSE,
+    NCRR,
+    NDCG,
+    FMeasure,
+    HitRatio,
+    Precision,
+    RankingContext,
+    Recall,
+    RMSE,
+)
+
+
+class TestRatingMetrics:
+    def test_mae(self):
+        assert MAE().compute(np.asarray([1.0, 2.0]), np.asarray([1.0, 3.0])) == 0.5
+
+    def test_mse(self):
+        assert MSE().compute(np.asarray([1.0, 2.0]), np.asarray([1.0, 4.0])) == 2.0
+
+    def test_rmse(self):
+        assert RMSE().compute(np.asarray([0.0, 0.0]), np.asarray([3.0, 4.0])) == pytest.approx(
+            np.sqrt(12.5)
+        )
+
+    def test_names(self):
+        assert MAE().name == "MAE" and MSE().name == "MSE" and RMSE().name == "RMSE"
+
+
+class TestRankingClosedForm:
+    def test_ndcg_perfect(self):
+        gt_pos = np.array([0, 1])
+        pd_rank = np.array([0, 1, 2, 3])
+        assert NDCG(k=2).compute(gt_pos=gt_pos, pd_rank=pd_rank) == pytest.approx(1.0)
+
+    def test_ndcg_partial(self):
+        gt_pos = np.array([2])
+        pd_rank = np.array([0, 1, 2])
+        expected = (1 / np.log2(4)) / (1 / np.log2(2))
+        assert NDCG(k=3).compute(gt_pos=gt_pos, pd_rank=pd_rank) == pytest.approx(expected)
+
+    def test_precision_recall_f1(self):
+        gt_pos = np.array([0, 2])
+        pd_rank = np.array([0, 1, 2, 3])
+        assert Precision(k=2).compute(gt_pos=gt_pos, pd_rank=pd_rank) == 0.5
+        assert Recall(k=2).compute(gt_pos=gt_pos, pd_rank=pd_rank) == 0.5
+        assert FMeasure(k=2).compute(gt_pos=gt_pos, pd_rank=pd_rank) == 0.5
+
+    def test_hit_ratio(self):
+        assert HitRatio(k=1).compute(gt_pos=np.array([5]), pd_rank=np.array([5, 1])) == 1.0
+        assert HitRatio(k=1).compute(gt_pos=np.array([1]), pd_rank=np.array([5, 1])) == 0.0
+
+    def test_mrr(self):
+        assert MRR().compute(gt_pos=np.array([3]), pd_rank=np.array([1, 2, 3])) == pytest.approx(
+            1 / 3
+        )
+        with pytest.raises(ValueError):
+            MRR().compute(gt_pos=np.array([9]), pd_rank=np.array([1, 2]))
+
+    def test_auc(self):
+        item_indices = np.arange(4)
+        pd_scores = np.array([4.0, 3.0, 2.0, 1.0])
+        gt_pos = np.array([0])
+        assert AUC().compute(
+            item_indices=item_indices, pd_scores=pd_scores, gt_pos=gt_pos
+        ) == pytest.approx(1.0)
+        gt_pos = np.array([3])
+        assert AUC().compute(
+            item_indices=item_indices, pd_scores=pd_scores, gt_pos=gt_pos
+        ) == pytest.approx(0.0)
+
+    def test_map(self):
+        item_indices = np.arange(3)
+        pd_scores = np.array([3.0, 2.0, 1.0])
+        gt_pos = np.array([0, 2])
+        # AP = mean(1/1, 2/3)
+        assert MAP().compute(
+            item_indices=item_indices, pd_scores=pd_scores, gt_pos=gt_pos
+        ) == pytest.approx((1.0 + 2.0 / 3.0) / 2)
+
+
+def _random_case(rng, n_items=50):
+    """Random candidate/positive structure + tie-free scores."""
+    scores = rng.permutation(n_items).astype(np.float64)  # unique -> no ties
+    cand = rng.rand(n_items) < 0.8
+    cand[rng.randint(n_items)] = True
+    pos = cand & (rng.rand(n_items) < 0.3)
+    if not pos.any():
+        pos[np.flatnonzero(cand)[0]] = True
+    return scores, pos, cand
+
+
+METRICS = [
+    NDCG(k=5),
+    NDCG(k=-1),
+    NCRR(k=5),
+    NCRR(k=-1),
+    MRR(),
+    HitRatio(k=5),
+    Precision(k=5),
+    Recall(k=5),
+    FMeasure(k=5),
+    AUC(),
+    MAP(),
+]
+
+
+class TestBatchVsPerUser:
+    """batch_compute must reproduce per-user compute (reference semantics)
+    on tie-free inputs."""
+
+    @pytest.mark.parametrize("metric", METRICS, ids=lambda m: m.name)
+    def test_consistency(self, metric):
+        rng = np.random.RandomState(0)
+        B, N = 40, 50
+        rows = [_random_case(rng, N) for _ in range(B)]
+        scores = np.stack([r[0] for r in rows])
+        pos_mask = np.stack([r[1] for r in rows])
+        cand_mask = np.stack([r[2] for r in rows])
+
+        masked = np.where(cand_mask, scores, -np.inf)
+        ctx = RankingContext(masked, pos_mask, cand_mask)
+        batch_vals = metric.batch_compute(ctx)
+
+        for b in range(B):
+            item_indices = np.flatnonzero(cand_mask[b])
+            gt_pos = np.flatnonzero(pos_mask[b])
+            gt_neg = np.flatnonzero(cand_mask[b] & ~pos_mask[b])
+            item_scores = scores[b][item_indices]
+            order = item_indices[np.argsort(-item_scores, kind="stable")]
+            expected = metric.compute(
+                gt_pos=gt_pos,
+                gt_neg=gt_neg,
+                pd_rank=order,
+                pd_scores=item_scores,
+                item_indices=item_indices,
+            )
+            assert batch_vals[b] == pytest.approx(expected, abs=1e-10), (
+                f"{metric.name} row {b}"
+            )
+
+    def test_auc_with_ties_exact(self):
+        """Count-based metrics stay exact under tied scores."""
+        rng = np.random.RandomState(1)
+        B, N = 20, 30
+        scores = rng.randint(0, 5, size=(B, N)).astype(np.float64)  # many ties
+        cand_mask = np.ones((B, N), dtype=bool)
+        pos_mask = rng.rand(B, N) < 0.3
+        pos_mask[:, 0] = True
+
+        ctx = RankingContext(scores, pos_mask, cand_mask)
+        for metric in [AUC(), MAP()]:
+            batch_vals = metric.batch_compute(ctx)
+            for b in range(B):
+                expected = metric.compute(
+                    item_indices=np.arange(N),
+                    pd_scores=scores[b],
+                    gt_pos=np.flatnonzero(pos_mask[b]),
+                    gt_neg=np.flatnonzero(~pos_mask[b]),
+                )
+                assert batch_vals[b] == pytest.approx(expected, abs=1e-10)

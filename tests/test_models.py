@@ -1,0 +1,161 @@
+"""Model tests: base Recommender behavior + each factor model trains,
+scores, ranks, saves/loads, clones on tiny data."""
+
+import os
+
+import numpy as np
+import pytest
+
+from cornac_tpu.data import Reader
+from cornac_tpu.eval_methods import RatioSplit
+from cornac_tpu.models import (
+    BPR,
+    MF,
+    PMF,
+    SVD,
+    WBPR,
+    BaselineOnly,
+    GlobalAvg,
+    MostPop,
+    Recommender,
+    is_ann_supported,
+)
+
+DATA_DIR = os.path.join(os.path.dirname(__file__), "data")
+
+
+@pytest.fixture(scope="module")
+def split():
+    data = Reader().read(os.path.join(DATA_DIR, "rating.txt"), fmt="UIR")
+    return RatioSplit(data=data, test_size=0.2, rating_threshold=3.0, seed=123)
+
+
+ALL_MODELS = [
+    lambda: MF(k=4, max_iter=3, seed=123),
+    lambda: SVD(k=4, max_iter=3, seed=123),
+    lambda: PMF(k=4, max_iter=3, seed=123),
+    lambda: PMF(k=4, max_iter=3, variant="linear", seed=123),
+    lambda: BPR(k=4, max_iter=3, seed=123),
+    lambda: WBPR(k=4, max_iter=3, seed=123),
+    lambda: BaselineOnly(max_iter=3, seed=123),
+    lambda: GlobalAvg(),
+    lambda: MostPop(),
+]
+
+
+@pytest.mark.parametrize("make_model", ALL_MODELS, ids=lambda f: f().name)
+class TestModelContract:
+    def test_fit_score_rank(self, split, make_model):
+        model = make_model().fit(split.train_set)
+        # single score
+        s = model.rate(0, 0)
+        assert np.isfinite(s)
+        # full ranking
+        ranked, scores = model.rank(0, k=5)
+        assert len(ranked) == model.total_items
+        # score_batch agrees with per-user score on known users
+        batch = model.score_batch(np.array([0, 1]))
+        assert batch.shape == (2, model.total_items)
+        row = np.asarray(model.score(0), dtype=np.float64)
+        np.testing.assert_allclose(batch[0, : len(row)], row, rtol=1e-4, atol=1e-5)
+
+    def test_clone(self, split, make_model):
+        model = make_model()
+        clone = model.clone()
+        assert clone.name == model.name
+        assert clone is not model
+
+    def test_save_load(self, split, make_model, tmp_path):
+        model = make_model().fit(split.train_set)
+        path = model.save(str(tmp_path))
+        loaded = Recommender.load(path)
+        assert loaded.name == model.name
+        np.testing.assert_allclose(
+            loaded.score_batch(np.array([0])), model.score_batch(np.array([0]))
+        )
+
+
+class TestRecommenderBase:
+    def test_knows_user_item(self, split):
+        m = MostPop().fit(split.train_set)
+        assert m.knows_user(0)
+        assert not m.knows_user(m.num_users)
+        assert m.is_unknown_item(m.num_items)
+
+    def test_recommend_raw_ids(self, split):
+        m = MostPop().fit(split.train_set)
+        uid = list(m.uid_map.keys())[0]
+        recs = m.recommend(uid, k=5)
+        assert len(recs) == 5
+        assert all(r in m.iid_map for r in recs)
+        with pytest.raises(ValueError):
+            m.recommend("no-such-user")
+
+    def test_recommend_remove_seen(self, split):
+        m = MostPop().fit(split.train_set)
+        uid = list(m.uid_map.keys())[0]
+        uidx = m.uid_map[uid]
+        seen = set(split.train_set.csr_matrix.getrow(uidx).indices)
+        recs = m.recommend(uid, k=5, remove_seen=True, train_set=split.train_set)
+        rec_idx = {m.iid_map[r] for r in recs}
+        assert not (rec_idx & seen)
+
+    def test_recommend_batch(self, split):
+        m = MF(k=4, max_iter=2, seed=1).fit(split.train_set)
+        uids = list(m.uid_map.keys())[:3]
+        recs = m.recommend_batch(uids, k=4)
+        assert len(recs) == 3 and all(len(r) == 4 for r in recs)
+        # agree with single-user recommend
+        assert recs[0] == m.recommend(uids[0], k=4)
+
+    def test_ann_support(self, split):
+        assert is_ann_supported(MF(k=2))
+        assert is_ann_supported(BPR(k=2))
+        assert not is_ann_supported(MostPop())
+        m = BPR(k=2, max_iter=1, seed=1).fit(split.train_set)
+        assert m.get_user_vectors().shape[1] == 3  # k + bias column
+        assert m.get_item_vectors().shape[1] == 3
+
+    def test_early_stop_protocol(self, split):
+        class Monitored(MostPop):
+            def __init__(self):
+                super().__init__(name="Monitored")
+                self.values = iter([1.0, 2.0, 1.5, 1.4])
+
+            def monitor_value(self, train_set, val_set):
+                return next(self.values)
+
+        m = Monitored().fit(split.train_set)
+        assert not m.early_stop(split.train_set, None, patience=1)  # 1.0 best
+        assert not m.early_stop(split.train_set, None, patience=1)  # 2.0 improves
+        assert m.early_stop(split.train_set, None, patience=1)  # 1.5 worse -> stop
+        assert m.best_epoch == 2
+
+
+class TestModelQuality:
+    """Sanity: trained models must beat random on ranking/rating."""
+
+    def test_mf_fits_train(self, split):
+        # small batch so the tiny dataset still gets many SGD steps/epoch
+        m = MF(
+            k=8, max_iter=50, learning_rate=0.02, batch_size=8, seed=123
+        ).fit(split.train_set)
+        u, i, r = split.train_set.uir_tuple
+        preds = m.score_pairs(u, i)
+        rmse = np.sqrt(((preds - r) ** 2).mean())
+        assert rmse < 1.0  # in-sample fit on tiny data
+
+    def test_bpr_learns_train_ordering(self, split):
+        """After training, observed items should outscore unobserved ones
+        for their users (the BPR objective itself; the fixture ratings are
+        random so generalization AUC is not meaningful)."""
+        m = BPR(
+            k=8, max_iter=50, learning_rate=0.05, batch_size=16, seed=123
+        ).fit(split.train_set)
+        u, i, _ = split.train_set.uir_tuple
+        rng = np.random.RandomState(0)
+        j = rng.randint(0, split.train_set.num_items, size=len(u))
+        ok = ~split.train_set.is_observed(u, j)
+        pos = m.score_pairs(u[ok], i[ok])
+        neg = m.score_pairs(u[ok], j[ok])
+        assert (pos > neg).mean() > 0.8
