@@ -1,0 +1,116 @@
+"""Benchmark: BPR train (200 epochs) + full ranking eval at ML-100K scale.
+
+Mirrors the reference's headline config (README.md:98 / quickstart: BPR
+k=10, max_iter=200, lr=0.001, lambda_reg=0.01 on ML-100K, RatioSplit 0.2,
+threshold 4.0) on seeded synthetic data of identical shape (943 users,
+1682 items, 100k ratings) — the benchmark environment has no network
+egress, so ML-100K itself cannot be downloaded. Timing methodology:
+compile is warmed up first (the reference's Cython kernels are
+ahead-of-time compiled, so excluding jit compile keeps the comparison
+apples-to-apples), then one full train+eval run is timed.
+
+Baseline: reference BPR on ML-100K, unspecified CPU — 3.74 s train +
+1.49 s test = 5.23 s total (BASELINE.md).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import time
+
+import numpy as np
+
+BASELINE_TOTAL_S = 5.23
+
+
+def make_ml100k_like(seed=7):
+    """Seeded implicit-feedback data, ML-100K shape, with popularity and
+    preference structure (exposure correlates with preference so ranking
+    models have signal)."""
+    rng = np.random.RandomState(seed)
+    n_users, n_items, n_ratings = 943, 1682, 100_000
+
+    item_pop = rng.zipf(1.3, size=n_items).astype(np.float64)
+    item_pop /= item_pop.sum()
+    u_f = rng.normal(0, 1.0, (n_users, 6))
+    i_f = rng.normal(0, 1.0, (n_items, 6))
+
+    data = []
+    seen = set()
+    while len(data) < n_ratings:
+        m = (n_ratings - len(data)) * 2
+        users = rng.randint(n_users, size=m)
+        items = rng.choice(n_items, size=m, p=item_pop)
+        affinity = np.einsum("ij,ij->i", u_f[users], i_f[items])
+        keep = rng.rand(m) < 1.0 / (1.0 + np.exp(-affinity))  # exposure ~ preference
+        for u, i, a in zip(users[keep], items[keep], affinity[keep]):
+            if len(data) == n_ratings:
+                break
+            if (u, i) in seen:
+                continue
+            seen.add((u, i))
+            r = float(np.clip(np.round(3.5 + a + rng.normal(0, 0.8)), 1, 5))
+            data.append((f"u{u}", f"i{i}", r))
+    return data
+
+
+def run_once(rs, max_iter):
+    from cornac_tpu.eval_methods.base_method import ranking_eval
+    from cornac_tpu.metrics import AUC, MAP, NDCG, Precision, Recall
+    from cornac_tpu.models import BPR
+
+    model = BPR(
+        k=10, max_iter=max_iter, learning_rate=0.001, lambda_reg=0.01, seed=123
+    )
+    t0 = time.time()
+    model.fit(rs.train_set)
+    train_s = time.time() - t0
+
+    metrics = [AUC(), MAP(), NDCG(k=10), Precision(k=10), Recall(k=10)]
+    t0 = time.time()
+    avg, _ = ranking_eval(
+        model,
+        metrics,
+        rs.train_set,
+        rs.test_set,
+        rating_threshold=4.0,
+        exclude_unknowns=True,
+    )
+    test_s = time.time() - t0
+    quality = dict(zip([m.name for m in metrics], [float(a) for a in avg]))
+    return train_s, test_s, quality
+
+
+def main():
+    from cornac_tpu.eval_methods import RatioSplit
+
+    data = make_ml100k_like()
+    rs = RatioSplit(
+        data=data, test_size=0.2, rating_threshold=4.0, seed=123, verbose=False
+    )
+
+    # warm up jit compiles (same shapes as the timed run)
+    run_once(rs, max_iter=1)
+
+    train_s, test_s, quality = run_once(rs, max_iter=200)
+    total = train_s + test_s
+
+    print(
+        json.dumps(
+            {
+                "metric": "bpr_ml100k_train200_plus_rankeval_wallclock",
+                "value": round(total, 4),
+                "unit": "s",
+                "vs_baseline": round(BASELINE_TOTAL_S / total, 3),
+                "detail": {
+                    "train_s": round(train_s, 4),
+                    "test_s": round(test_s, 4),
+                    **{k: round(v, 4) for k, v in quality.items()},
+                },
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

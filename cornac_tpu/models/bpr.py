@@ -24,7 +24,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..ops.membership import build_csr_device, is_member
+from ..ops.membership import build_membership
 from ..utils import get_rng
 from ..utils.init_utils import uniform, zeros
 from .recommender import ANNMixin, MEASURE_DOT, Recommender
@@ -37,77 +37,84 @@ DTYPE = np.float32
     static_argnames=("batch_size", "use_bias", "num_items"),
     donate_argnums=(0, 1, 2),
 )
-def _bpr_epoch(
+def _bpr_epochs(
     U,
     V,
     Bi,
     key,
     rid,
     cid,
-    indptr,
-    indices,
+    membership,
     neg_population,
     lr,
     reg,
     batch_size,
     use_bias,
     num_items,
+    n_epochs,
 ):
-    """One BPR epoch: sample |R| triplets, reject observed negatives by
-    masking, apply minibatched SGD updates. Returns updated params plus
-    (correct, skipped) counters for parity with the reference progress bar."""
+    """Run ``n_epochs`` BPR epochs in one compiled program (no host
+    round-trips between epochs). Each epoch: sample |R| triplets, reject
+    observed negatives by masking, apply minibatched SGD updates. Returns
+    updated params plus the last epoch's (correct, skipped) counters for
+    parity with the reference progress stats. ``n_epochs`` is a traced
+    scalar so one compilation serves any epoch count."""
     n = rid.shape[0]
     n_pad = (-n) % batch_size
     n_total = n + n_pad
-
-    k_pos, k_neg = jax.random.split(key)
-    pos_idx = jax.random.randint(k_pos, (n_total,), 0, n)
-    if neg_population is None:
-        neg_items = jax.random.randint(k_neg, (n_total,), 0, num_items)
-    else:
-        neg_pos = jax.random.randint(k_neg, (n_total,), 0, neg_population.shape[0])
-        neg_items = neg_population[neg_pos]
-
-    users = rid[pos_idx]
-    pos_items = cid[pos_idx]
-    observed = is_member(indptr, indices, users, neg_items)
-    valid = ~observed & (pos_items != neg_items)
-    # padded tail contributes nothing
-    pad_mask = jnp.arange(n_total) < n
-    valid = valid & pad_mask
-
     n_batches = n_total // batch_size
+    pad_mask = jnp.arange(n_total) < n
 
-    def body(b, carry):
-        U, V, Bi, correct, skipped = carry
-        sl = lambda a: jax.lax.dynamic_slice(a, (b * batch_size,), (batch_size,))
-        u, i, j, m = sl(users), sl(pos_items), sl(neg_items), sl(valid)
-        mf = m.astype(U.dtype)
+    def epoch(e, carry):
+        U, V, Bi, _, _ = carry
+        k_pos, k_neg = jax.random.split(jax.random.fold_in(key, e))
+        pos_idx = jax.random.randint(k_pos, (n_total,), 0, n)
+        if neg_population is None:
+            neg_items = jax.random.randint(k_neg, (n_total,), 0, num_items)
+        else:
+            neg_pos = jax.random.randint(
+                k_neg, (n_total,), 0, neg_population.shape[0]
+            )
+            neg_items = neg_population[neg_pos]
 
-        wu, vi, vj = U[u], V[i], V[j]
-        x_uij = jnp.sum(wu * (vi - vj), axis=1)
-        if use_bias:
-            x_uij = x_uij + Bi[i] - Bi[j]
-        z = mf / (1.0 + jnp.exp(x_uij))  # d(-ln sigma(x))/dx, masked
+        users = rid[pos_idx]
+        pos_items = cid[pos_idx]
+        observed = membership.query(users, neg_items)
+        valid = ~observed & (pos_items != neg_items) & pad_mask
 
-        correct = correct + jnp.sum((x_uij > 0) & m)
-        skipped = skipped + jnp.sum(sl(pad_mask) & ~m)
+        def body(b, carry):
+            U, V, Bi, correct, skipped = carry
+            sl = lambda a: jax.lax.dynamic_slice(a, (b * batch_size,), (batch_size,))
+            u, i, j, m = sl(users), sl(pos_items), sl(neg_items), sl(valid)
+            mf = m.astype(U.dtype)
 
-        dU = z[:, None] * (vi - vj) - reg * wu * mf[:, None]
-        dVi = z[:, None] * wu - reg * vi * mf[:, None]
-        dVj = -z[:, None] * wu - reg * vj * mf[:, None]
-        U = U.at[u].add(lr * dU)
-        V = V.at[i].add(lr * dVi)
-        V = V.at[j].add(lr * dVj)
-        if use_bias:
-            Bi = Bi.at[i].add(lr * (z - reg * Bi[i] * mf))
-            Bi = Bi.at[j].add(lr * (-z - reg * Bi[j] * mf))
-        return U, V, Bi, correct, skipped
+            wu, vi, vj = U[u], V[i], V[j]
+            x_uij = jnp.sum(wu * (vi - vj), axis=1)
+            if use_bias:
+                x_uij = x_uij + Bi[i] - Bi[j]
+            z = mf / (1.0 + jnp.exp(x_uij))  # d(-ln sigma(x))/dx, masked
 
-    U, V, Bi, correct, skipped = jax.lax.fori_loop(
-        0, n_batches, body, (U, V, Bi, jnp.int32(0), jnp.int32(0))
+            correct = correct + jnp.sum((x_uij > 0) & m)
+            skipped = skipped + jnp.sum(sl(pad_mask) & ~m)
+
+            dU = z[:, None] * (vi - vj) - reg * wu * mf[:, None]
+            dVi = z[:, None] * wu - reg * vi * mf[:, None]
+            dVj = -z[:, None] * wu - reg * vj * mf[:, None]
+            U = U.at[u].add(lr * dU)
+            V = V.at[i].add(lr * dVi)
+            V = V.at[j].add(lr * dVj)
+            if use_bias:
+                Bi = Bi.at[i].add(lr * (z - reg * Bi[i] * mf))
+                Bi = Bi.at[j].add(lr * (-z - reg * Bi[j] * mf))
+            return U, V, Bi, correct, skipped
+
+        return jax.lax.fori_loop(
+            0, n_batches, body, (U, V, Bi, jnp.int32(0), jnp.int32(0))
+        )
+
+    return jax.lax.fori_loop(
+        0, n_epochs, epoch, (U, V, Bi, jnp.int32(0), jnp.int32(0))
     )
-    return U, V, Bi, correct, skipped
 
 
 @jax.jit
@@ -180,7 +187,7 @@ class BPR(Recommender, ANNMixin):
         rid, cid, _ = train_set.uir_tuple
         rid_d = jnp.asarray(rid, dtype=jnp.int32)
         cid_d = jnp.asarray(cid, dtype=jnp.int32)
-        indptr, indices = build_csr_device(train_set.csr_matrix)
+        membership = build_membership(train_set.csr_matrix)
         neg_pop = self._neg_population(train_set)
 
         U = jnp.asarray(self.u_factors)
@@ -189,29 +196,35 @@ class BPR(Recommender, ANNMixin):
 
         base_key = jax.random.PRNGKey(self.rng.randint(2**31))
         n = len(rid)
-        for epoch in range(self.max_iter):
-            U, V, Bi, correct, skipped = _bpr_epoch(
+        # verbose mode reports per-epoch; otherwise the whole fit is one
+        # compiled multi-epoch program (no host round-trips)
+        chunk = 1 if self.verbose else self.max_iter
+        done = 0
+        while done < self.max_iter:
+            e = min(chunk, self.max_iter - done)
+            U, V, Bi, correct, skipped = _bpr_epochs(
                 U,
                 V,
                 Bi,
-                jax.random.fold_in(base_key, epoch),
+                jax.random.fold_in(base_key, done),
                 rid_d,
                 cid_d,
-                indptr,
-                indices,
+                membership,
                 neg_pop,
                 jnp.float32(self.learning_rate),
                 jnp.float32(self.lambda_reg),
                 batch_size=min(self.batch_size, n),
                 use_bias=self.use_bias,
                 num_items=train_set.num_items,
+                n_epochs=e,
             )
+            done += e
             if self.verbose:
                 correct, skipped = int(correct), int(skipped)
                 print(
                     "Epoch %d/%d, correct: %.2f%%, skipped: %.2f%%"
                     % (
-                        epoch + 1,
+                        done,
                         self.max_iter,
                         100.0 * correct / (n - skipped + 1e-8),
                         100.0 * skipped / n,

@@ -1,25 +1,114 @@
 """Device-side membership tests over sparse interaction sets.
 
 TPU-native replacement for the reference's per-sample CSR binary search in C
-(``models/bpr/recom_bpr.pyx:47-51 has_non_zero``): a branchless, fully
-vectorized binary search over CSR rows. All arithmetic is int32 (TPU-native;
-no emulated int64), so it is safe at any catalog scale — unlike a flattened
-``u * num_items + i`` key encoding, which overflows int32 beyond ~2^31
-cells.
+(``models/bpr/recom_bpr.pyx:47-51 has_non_zero``). Two strategies, chosen at
+build time by :func:`build_membership`:
+
+- **bitmap**: one bit per (user, item) cell packed into uint32 words — a
+  single gather + bit test per query. Used when the dense cell count fits
+  int32 indexing and a modest HBM budget (default 64 MB).
+- **binary search**: branchless vectorized search over CSR rows, with the
+  step count bounded by log2(max row degree) instead of a worst-case
+  constant. All arithmetic int32 (TPU-native; no emulated int64), safe at
+  any catalog scale.
 """
+
+import math
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-# 2^31 rows is beyond any realistic per-row degree; 31 halving steps always
-# converge the [lo, hi) window of the binary search.
-_SEARCH_STEPS = 31
+_BITMAP_MAX_BYTES = 64 * 1024 * 1024
+
+
+class Membership:
+    """Device-resident membership structure with a jit-safe ``query``.
+
+    Instances are pytree-compatible via the (arrays, meta) split so they
+    can be closed over in jitted functions.
+    """
+
+    def __init__(self, kind, arrays, num_items, search_steps=0):
+        self.kind = kind  # 'bitmap' | 'csr'
+        self.arrays = arrays
+        self.num_items = num_items
+        self.search_steps = search_steps
+
+    def query(self, users, items):
+        """(n,) bool — whether each (user, item) pair is a stored entry.
+        Runs under jit; pure VPU math + gathers."""
+        users = users.astype(jnp.int32)
+        items = items.astype(jnp.int32)
+        if self.kind == "bitmap":
+            (bitmap,) = self.arrays
+            key = users * jnp.int32(self.num_items) + items
+            word = bitmap[jax.lax.shift_right_logical(key, 5)]
+            bit = jax.lax.shift_right_logical(
+                word, (key & 31).astype(jnp.uint32)
+            ) & jnp.uint32(1)
+            return bit != 0
+
+        indptr, indices = self.arrays
+        lo = indptr[users]
+        hi = indptr[users + 1]
+        row_end = hi
+
+        def step(_, carry):
+            lo, hi = carry
+            active = lo < hi
+            mid = (lo + hi) // 2
+            v = indices[jnp.maximum(mid, 0)]
+            go_right = v < items
+            new_lo = jnp.where(active & go_right, mid + 1, lo)
+            new_hi = jnp.where(active & ~go_right, mid, hi)
+            return new_lo, new_hi
+
+        lo, hi = jax.lax.fori_loop(0, self.search_steps, step, (lo, hi))
+        found = (lo < row_end) & (
+            indices[jnp.minimum(lo, indices.shape[0] - 1)] == items
+        )
+        return found
+
+
+def build_membership(csr_matrix, bitmap_max_bytes=_BITMAP_MAX_BYTES):
+    """Host-side: build the best membership structure for a scipy CSR."""
+    n_users, n_items = csr_matrix.shape
+    n_cells = n_users * n_items
+    if n_cells < 2**31 and n_cells // 8 <= bitmap_max_bytes:
+        words = np.zeros((n_cells + 31) // 32, dtype=np.uint32)
+        rows = np.repeat(
+            np.arange(n_users, dtype=np.int64), np.diff(csr_matrix.indptr)
+        )
+        keys = rows * n_items + csr_matrix.indices
+        np.bitwise_or.at(words, keys >> 5, np.uint32(1) << (keys & 31).astype(np.uint32))
+        return Membership("bitmap", (jnp.asarray(words),), n_items)
+
+    if not csr_matrix.has_sorted_indices:
+        csr_matrix = csr_matrix.sorted_indices()
+    max_degree = int(np.diff(csr_matrix.indptr).max(initial=0))
+    steps = max(1, math.ceil(math.log2(max_degree + 1)) + 1)
+    return Membership(
+        "csr",
+        (
+            jnp.asarray(np.asarray(csr_matrix.indptr, dtype=np.int32)),
+            jnp.asarray(np.asarray(csr_matrix.indices, dtype=np.int32)),
+        ),
+        n_items,
+        search_steps=steps,
+    )
+
+
+# pytree registration so Membership can cross jit boundaries as an argument
+jax.tree_util.register_pytree_node(
+    Membership,
+    lambda m: (m.arrays, (m.kind, m.num_items, m.search_steps)),
+    lambda meta, arrays: Membership(meta[0], arrays, meta[1], meta[2]),
+)
 
 
 def build_csr_device(csr_matrix):
-    """Host-side: (indptr, indices) int32 device arrays from a scipy CSR
-    (column indices sorted within each row)."""
+    """(indptr, indices) int32 device arrays from a scipy CSR (legacy)."""
     if not csr_matrix.has_sorted_indices:
         csr_matrix = csr_matrix.sorted_indices()
     return (
@@ -28,30 +117,7 @@ def build_csr_device(csr_matrix):
     )
 
 
-def is_member(indptr, indices, users, items):
-    """(n,) bool — whether each (user, item) pair is a stored entry.
-
-    Vectorized binary search: every element keeps its own [lo, hi) window in
-    the CSR ``indices`` array; 31 fixed halving steps run as pure VPU math
-    under jit (no data-dependent control flow).
-    """
-    users = users.astype(jnp.int32)
-    items = items.astype(jnp.int32)
-    lo = indptr[users]
-    hi = indptr[users + 1]
-    row_end = hi
-
-    def step(_, carry):
-        lo, hi = carry
-        active = lo < hi
-        mid = (lo + hi) // 2
-        # clamp for empty windows; result unused when inactive
-        v = indices[jnp.maximum(mid, 0)]
-        go_right = v < items
-        new_lo = jnp.where(active & go_right, mid + 1, lo)
-        new_hi = jnp.where(active & ~go_right, mid, hi)
-        return new_lo, new_hi
-
-    lo, hi = jax.lax.fori_loop(0, _SEARCH_STEPS, step, (lo, hi))
-    found = (lo < row_end) & (indices[jnp.minimum(lo, indices.shape[0] - 1)] == items)
-    return found
+def is_member(indptr, indices, users, items, search_steps=31):
+    """Legacy functional form of the CSR binary search."""
+    m = Membership("csr", (indptr, indices), 0, search_steps=search_steps)
+    return m.query(users, items)
