@@ -34,7 +34,7 @@ DTYPE = np.float32
 
 @partial(
     jax.jit,
-    static_argnames=("batch_size", "use_bias", "num_items"),
+    static_argnames=("batch_size", "use_bias", "num_items", "variant"),
     donate_argnums=(0, 1, 2),
 )
 def _bpr_epochs(
@@ -52,6 +52,7 @@ def _bpr_epochs(
     use_bias,
     num_items,
     n_epochs,
+    variant="bpr",
 ):
     """Run ``n_epochs`` BPR epochs in one compiled program (no host
     round-trips between epochs). Each epoch: sample |R| triplets, reject
@@ -92,20 +93,27 @@ def _bpr_epochs(
             x_uij = jnp.sum(wu * (vi - vj), axis=1)
             if use_bias:
                 x_uij = x_uij + Bi[i] - Bi[j]
-            z = mf / (1.0 + jnp.exp(x_uij))  # d(-ln sigma(x))/dx, masked
+            if variant == "hinge":
+                # max-margin (MMMF, recom_mmmf.pyx:144-159): update only
+                # misordered pairs, with unit magnitude and no reg otherwise
+                upd = mf * (x_uij <= 0)
+                z = upd
+            else:
+                upd = mf
+                z = mf / (1.0 + jnp.exp(x_uij))  # d(-ln sigma(x))/dx
 
             correct = correct + jnp.sum((x_uij > 0) & m)
             skipped = skipped + jnp.sum(sl(pad_mask) & ~m)
 
-            dU = z[:, None] * (vi - vj) - reg * wu * mf[:, None]
-            dVi = z[:, None] * wu - reg * vi * mf[:, None]
-            dVj = -z[:, None] * wu - reg * vj * mf[:, None]
+            dU = z[:, None] * (vi - vj) - reg * wu * upd[:, None]
+            dVi = z[:, None] * wu - reg * vi * upd[:, None]
+            dVj = -z[:, None] * wu - reg * vj * upd[:, None]
             U = U.at[u].add(lr * dU)
             V = V.at[i].add(lr * dVi)
             V = V.at[j].add(lr * dVj)
             if use_bias:
-                Bi = Bi.at[i].add(lr * (z - reg * Bi[i] * mf))
-                Bi = Bi.at[j].add(lr * (-z - reg * Bi[j] * mf))
+                Bi = Bi.at[i].add(lr * (z - reg * Bi[i] * upd))
+                Bi = Bi.at[j].add(lr * (-z - reg * Bi[j] * upd))
             return U, V, Bi, correct, skipped
 
         return jax.lax.fori_loop(
@@ -158,6 +166,8 @@ class BPR(Recommender, ANNMixin):
         self.u_factors = self.init_params.get("U", None)
         self.i_factors = self.init_params.get("V", None)
         self.i_biases = self.init_params.get("Bi", None)
+
+    _variant = "bpr"
 
     def _init(self):
         # full-table init over total entities: unknown users/items keep
@@ -217,6 +227,7 @@ class BPR(Recommender, ANNMixin):
                 use_bias=self.use_bias,
                 num_items=train_set.num_items,
                 n_epochs=e,
+                variant=self._variant,
             )
             done += e
             if self.verbose:

@@ -10,14 +10,23 @@ from cornac_tpu.data import Reader
 from cornac_tpu.eval_methods import RatioSplit
 from cornac_tpu.models import (
     BPR,
+    EASE,
+    MCF,
     MF,
+    MMMF,
+    NMF,
     PMF,
     SVD,
     WBPR,
+    WMF,
     BaselineOnly,
     GlobalAvg,
+    ItemKNN,
     MostPop,
     Recommender,
+    SKMeans,
+    SoRec,
+    UserKNN,
     is_ann_supported,
 )
 
@@ -40,6 +49,16 @@ ALL_MODELS = [
     lambda: BaselineOnly(max_iter=3, seed=123),
     lambda: GlobalAvg(),
     lambda: MostPop(),
+    lambda: NMF(k=4, max_iter=3, seed=123),
+    lambda: NMF(k=4, max_iter=3, use_bias=True, seed=123),
+    lambda: EASE(lamb=10.0, verbose=False),
+    lambda: WMF(k=4, max_iter=2, verbose=False, seed=123),
+    lambda: UserKNN(k=3, verbose=False, seed=123),
+    lambda: ItemKNN(k=3, verbose=False, seed=123),
+    lambda: UserKNN(k=3, similarity="pearson", weighting="idf", verbose=False),
+    lambda: ItemKNN(k=3, mean_centered=True, weighting="bm25", verbose=False),
+    lambda: MMMF(k=4, max_iter=3, seed=123),
+    lambda: SKMeans(k=3, max_iter=5, verbose=False, seed=123),
 ]
 
 
@@ -73,6 +92,43 @@ class TestModelContract:
         np.testing.assert_allclose(
             loaded.score_batch(np.array([0])), model.score_batch(np.array([0]))
         )
+
+
+class TestGraphCoFactorization:
+    """SoRec (user graph) and MCF (item graph) with graph modalities."""
+
+    def _graph_split(self, which):
+        from cornac_tpu.data import GraphModality, Reader
+
+        data = Reader().read(os.path.join(DATA_DIR, "rating.txt"), fmt="UIR")
+        rng = np.random.RandomState(5)
+        if which == "user":
+            ids = [f"user{i}" for i in range(15)]
+        else:
+            ids = [f"item{i}" for i in range(20)]
+        edges = [
+            (ids[rng.randint(len(ids))], ids[rng.randint(len(ids))], 1.0)
+            for _ in range(40)
+        ]
+        modality = GraphModality(data=edges)
+        kwargs = {"user_graph": modality} if which == "user" else {"item_graph": modality}
+        return RatioSplit(data=data, test_size=0.2, seed=123, **kwargs)
+
+    def test_sorec(self):
+        split = self._graph_split("user")
+        m = SoRec(k=4, max_iter=3, seed=123).fit(split.train_set)
+        ranked, _ = m.rank(0, k=5)
+        assert len(ranked) == m.total_items
+        batch = m.score_batch(np.array([0, 1]))
+        row = np.asarray(m.score(0), dtype=np.float64)
+        np.testing.assert_allclose(batch[0, : len(row)], row, rtol=1e-4, atol=1e-5)
+
+    def test_mcf(self):
+        split = self._graph_split("item")
+        m = MCF(k=4, max_iter=3, seed=123).fit(split.train_set)
+        ranked, _ = m.rank(0, k=5)
+        assert len(ranked) == m.total_items
+        assert np.isfinite(m.rate(0, 0))
 
 
 class TestRecommenderBase:
