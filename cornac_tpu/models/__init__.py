@@ -12,10 +12,12 @@ from .knn import ItemKNN, UserKNN
 from .mcf import MCF
 from .mmmf import MMMF
 from .mf import MF, SVD
+from .ncf import GMF, MLP, NCFBase, NeuMF
 from .nmf import NMF
 from .pmf import PMF
 from .skm import SKMeans
 from .sorec import SoRec
+from .vaecf import VAECF
 from .wmf import WMF
 
 __all__ = [
@@ -24,11 +26,15 @@ __all__ = [
     "BaselineOnly",
     "EASE",
     "GlobalAvg",
+    "GMF",
     "ItemKNN",
     "MCF",
     "MF",
     "MMMF",
+    "MLP",
     "MostPop",
+    "NCFBase",
+    "NeuMF",
     "NextBasketRecommender",
     "NextItemRecommender",
     "NMF",
@@ -38,6 +44,7 @@ __all__ = [
     "SoRec",
     "SVD",
     "UserKNN",
+    "VAECF",
     "WBPR",
     "WMF",
     "is_ann_supported",

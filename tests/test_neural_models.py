@@ -1,0 +1,88 @@
+"""Neural model family: VAECF + NCF trio train, score, and plug into the
+batched eval harness."""
+
+import os
+
+import numpy as np
+import pytest
+
+from cornac_tpu.data import Reader
+from cornac_tpu.eval_methods import RatioSplit, ranking_eval
+from cornac_tpu.metrics import NDCG, Recall
+from cornac_tpu.models import GMF, MLP, NeuMF, VAECF
+
+DATA_DIR = os.path.join(os.path.dirname(__file__), "data")
+
+
+@pytest.fixture(scope="module")
+def split():
+    data = Reader().read(os.path.join(DATA_DIR, "rating.txt"), fmt="UIR")
+    return RatioSplit(data=data, test_size=0.2, rating_threshold=3.0, seed=123)
+
+
+NEURAL_MODELS = [
+    lambda: VAECF(k=4, autoencoder_structure=[8], n_epochs=3, batch_size=8, seed=123, verbose=False),
+    lambda: VAECF(k=4, likelihood="bern", n_epochs=2, batch_size=8, seed=123, verbose=False),
+    lambda: GMF(num_factors=4, num_epochs=3, batch_size=64, seed=123, verbose=False),
+    lambda: MLP(layers=(16, 8, 4), num_epochs=3, batch_size=64, seed=123, verbose=False),
+    lambda: NeuMF(num_factors=4, layers=(16, 8, 4), num_epochs=3, batch_size=64, seed=123, verbose=False),
+]
+
+
+@pytest.mark.parametrize("make_model", NEURAL_MODELS, ids=lambda f: f().name)
+def test_fit_and_eval(split, make_model):
+    model = make_model().fit(split.train_set)
+    # scoring surfaces
+    row = np.asarray(model.score(0))
+    assert row.shape == (model.num_items,)
+    assert np.isfinite(row).all()
+    batch = model.score_batch(np.array([0, 1]))
+    assert batch.shape == (2, model.total_items)
+    np.testing.assert_allclose(batch[0, : len(row)], row, rtol=1e-4, atol=1e-5)
+    # plugs into the eval harness
+    avg, _ = ranking_eval(
+        model, [NDCG(k=3), Recall(k=3)], split.train_set, split.test_set,
+        rating_threshold=3.0,
+    )
+    assert all(np.isfinite(v) for v in avg)
+
+
+def test_vaecf_likelihood_validation():
+    with pytest.raises(ValueError):
+        VAECF(likelihood="nope")
+    with pytest.raises(ValueError):
+        VAECF(act_fn="nope")
+
+
+def test_neumf_pretrained(split):
+    gmf = GMF(num_factors=4, num_epochs=2, batch_size=64, seed=1, verbose=False).fit(
+        split.train_set
+    )
+    mlp = MLP(layers=(8, 4), num_epochs=2, batch_size=64, seed=1, verbose=False).fit(
+        split.train_set
+    )
+    neumf = NeuMF(
+        num_factors=4, layers=(8, 4), num_epochs=2, batch_size=64, seed=1,
+        verbose=False,
+    ).pretrain(gmf, mlp)
+    neumf.fit(split.train_set)
+    assert np.isfinite(neumf.score(0)).all()
+
+
+def test_vaecf_learns(split):
+    """Training should improve multinomial likelihood of train rows: the
+    top-scored items should overlap the user's seen items more than chance."""
+    m = VAECF(
+        k=8, autoencoder_structure=[16], n_epochs=50, batch_size=16, seed=123,
+        verbose=False,
+    ).fit(split.train_set)
+    csr = split.train_set.csr_matrix
+    hits, total = 0, 0
+    for u in range(split.train_set.num_users):
+        seen = set(csr.getrow(u).indices)
+        if not seen:
+            continue
+        top = np.argsort(-m.score(u))[: len(seen)]
+        hits += len(seen & set(top))
+        total += len(seen)
+    assert hits / total > 0.3  # >> chance (~len(seen)/num_items)
