@@ -1,0 +1,437 @@
+"""Next-item (session-based) evaluation.
+
+Capability parity with reference
+``cornac/eval_methods/next_item_evaluation.py:34-772``: modes 'last'/'next',
+session- or user-averaged results, and the three constructors
+(``from_splits``, ``from_timestamps`` global temporal cutoff,
+``leave_last_out``). TPU redesign of the hot loop (reference calls
+``model.rank`` once per prediction position, ``:99-128``): prediction
+positions are collected into batches and scored through
+``NextItemRecommender.score_history_batch`` — models with a device forward
+(GRU4Rec/SASRec) score hundreds of positions per call; metrics run through
+the vectorized batch engine.
+"""
+
+import time
+import warnings
+from collections import OrderedDict, defaultdict
+
+import numpy as np
+
+from ..data import SequentialDataset
+from ..experiment.result import Result
+from ..metrics import RankingContext
+from ..models import NextItemRecommender
+from ..utils import validate_format
+from .base_method import BaseMethod
+
+EVALUATION_MODES = frozenset(["last", "next"])
+
+
+def ranking_eval(
+    model,
+    metrics,
+    train_set,
+    test_set,
+    user_based=False,
+    exclude_unknowns=True,
+    mode="last",
+    verbose=False,
+    batch_size=256,
+):
+    """Evaluate ranking metrics over test-session prediction positions."""
+    if len(metrics) == 0:
+        return [], []
+
+    avg_results = []
+    session_results = [defaultdict(list) for _ in enumerate(metrics)]
+    user_results = [defaultdict(list) for _ in enumerate(metrics)]
+
+    n_items = train_set.num_items if exclude_unknowns else test_set.num_items
+
+    # collect all prediction positions: (sid, user, history, target)
+    tasks = []
+    user_sessions = defaultdict(list)
+    session_ids = []
+    for [sid], [mapped_ids], [session_items] in test_set.si_iter(
+        batch_size=1, shuffle=False
+    ):
+        if len(session_items) < 2:  # too short to predict from
+            continue
+        user_idx = test_set.uir_tuple[0][mapped_ids[0]]
+        if user_based:
+            user_sessions[user_idx].append(sid)
+        session_ids.append(sid)
+
+        start_pos = 1 if mode == "next" else len(session_items) - 1
+        for test_pos in range(start_pos, len(session_items)):
+            tasks.append(
+                (sid, user_idx, list(session_items[:test_pos]), session_items[test_pos])
+            )
+
+    for start in range(0, len(tasks), batch_size):
+        chunk = tasks[start : start + batch_size]
+        users = np.asarray([t[1] for t in chunk])
+        histories = [t[2] for t in chunk]
+        targets = np.asarray([t[3] for t in chunk])
+
+        scores = np.asarray(
+            model.score_history_batch(users, histories), dtype=np.float64
+        )[:, :n_items]
+
+        pos_mask = np.zeros((len(chunk), n_items), dtype=bool)
+        in_range = targets < n_items
+        pos_mask[np.flatnonzero(in_range), targets[in_range]] = True
+        keep = pos_mask.any(axis=1)
+        if not keep.any():
+            continue
+        cand_mask = np.ones_like(pos_mask)
+
+        ctx = RankingContext(
+            np.where(cand_mask, scores, -np.inf)[keep],
+            pos_mask[keep],
+            cand_mask[keep],
+        )
+        kept_idx = np.flatnonzero(keep)
+        for i, mt in enumerate(metrics):
+            values = mt.batch_compute(ctx)
+            for local, v in zip(kept_idx, values):
+                sid, user_idx = chunk[local][0], chunk[local][1]
+                if user_based:
+                    user_results[i][user_idx].append(float(v))
+                else:
+                    session_results[i][sid].append(float(v))
+
+    for i, mt in enumerate(metrics):
+        if user_based:
+            user_ids = list(user_sessions.keys())
+            user_avg = [np.mean(user_results[i][u]) for u in user_ids]
+            avg_results.append(np.mean(user_avg) if user_avg else float("nan"))
+        else:
+            flat = [s for sid in session_ids for s in session_results[i][sid]]
+            avg_results.append(np.mean(flat) if flat else float("nan"))
+    return avg_results, user_results
+
+
+class NextItemEvaluation(BaseMethod):
+    """Next-item evaluation protocol over SequentialDatasets."""
+
+    def __init__(
+        self,
+        data=None,
+        fmt="SIT",
+        seed=None,
+        mode="last",
+        exclude_unknowns=True,
+        verbose=False,
+        **kwargs,
+    ):
+        super().__init__(
+            data=data,
+            fmt=fmt,
+            seed=seed,
+            exclude_unknowns=exclude_unknowns,
+            verbose=verbose,
+            **kwargs,
+        )
+        if mode not in EVALUATION_MODES:
+            raise ValueError(f"{mode} is not supported. ({EVALUATION_MODES})")
+        self.mode = mode
+        self.global_sid_map = kwargs.get("global_sid_map", OrderedDict())
+
+    def _build_datasets(self, train_data, test_data, val_data=None):
+        self.train_set = SequentialDataset.build(
+            data=train_data,
+            fmt=self.fmt,
+            global_uid_map=self.global_uid_map,
+            global_iid_map=self.global_iid_map,
+            global_sid_map=self.global_sid_map,
+            seed=self.seed,
+            exclude_unknowns=False,
+        )
+        if self.verbose:
+            print("---")
+            print("Training data:")
+            print("Number of users = {}".format(self.train_set.num_users))
+            print("Number of items = {}".format(self.train_set.num_items))
+            print("Number of sessions = {}".format(self.train_set.num_sessions))
+
+        self.test_set = SequentialDataset.build(
+            data=test_data,
+            fmt=self.fmt,
+            global_uid_map=self.global_uid_map,
+            global_iid_map=self.global_iid_map,
+            global_sid_map=self.global_sid_map,
+            seed=self.seed,
+            exclude_unknowns=self.exclude_unknowns,
+        )
+        if self.verbose:
+            print("---")
+            print("Test data:")
+            print("Number of sessions = {}".format(self.test_set.num_sessions))
+
+        if val_data is not None and len(val_data) > 0:
+            self.val_set = SequentialDataset.build(
+                data=val_data,
+                fmt=self.fmt,
+                global_uid_map=self.global_uid_map,
+                global_iid_map=self.global_iid_map,
+                global_sid_map=self.global_sid_map,
+                seed=self.seed,
+                exclude_unknowns=self.exclude_unknowns,
+            )
+
+        self.total_sessions = 0 if self.val_set is None else self.val_set.num_sessions
+        self.total_sessions += self.test_set.num_sessions + self.train_set.num_sessions
+
+    def _build_modalities(self):
+        # sequential protocols carry no auxiliary modalities
+        pass
+
+    @staticmethod
+    def eval(
+        model,
+        train_set,
+        test_set,
+        exclude_unknowns,
+        ranking_metrics,
+        user_based=False,
+        verbose=False,
+        mode="last",
+        **kwargs,
+    ):
+        metric_avg_results = OrderedDict()
+        metric_user_results = OrderedDict()
+
+        avg_results, user_results = ranking_eval(
+            model=model,
+            metrics=ranking_metrics,
+            train_set=train_set,
+            test_set=test_set,
+            user_based=user_based,
+            exclude_unknowns=exclude_unknowns,
+            mode=mode,
+            verbose=verbose,
+        )
+        for i, mt in enumerate(ranking_metrics):
+            metric_avg_results[mt.name] = avg_results[i]
+            metric_user_results[mt.name] = user_results[i]
+
+        return Result(model.name, metric_avg_results, metric_user_results)
+
+    def evaluate(self, model, metrics, user_based, show_validation=True):
+        base_model = getattr(model, "model", None)
+        if not isinstance(model, NextItemRecommender) and not isinstance(
+            base_model, NextItemRecommender
+        ):
+            raise ValueError(
+                "model must be a NextItemRecommender but '%s' is provided" % type(model)
+            )
+
+        if self.train_set is None:
+            raise ValueError("train_set is required but None!")
+        if self.test_set is None:
+            raise ValueError("test_set is required but None!")
+
+        self._reset()
+
+        if self.verbose:
+            print("\n[{}] Training started!".format(model.name))
+        start = time.time()
+        model.fit(self.train_set, self.val_set)
+        train_time = time.time() - start
+
+        if self.verbose:
+            print("\n[{}] Evaluation started!".format(model.name))
+        rating_metrics, ranking_metrics = self.organize_metrics(metrics)
+        if len(rating_metrics) > 0:
+            warnings.warn(
+                "NextItemEvaluation only supports ranking metrics. The given "
+                "rating metrics {} will be ignored!".format(
+                    [mt.name for mt in rating_metrics]
+                )
+            )
+
+        start = time.time()
+        model.transform(self.test_set)
+        test_result = self.eval(
+            model=model,
+            train_set=self.train_set,
+            test_set=self.test_set,
+            exclude_unknowns=self.exclude_unknowns,
+            ranking_metrics=ranking_metrics,
+            user_based=user_based,
+            mode=self.mode,
+            verbose=self.verbose,
+        )
+        test_time = time.time() - start
+        test_result.metric_avg_results["Train (s)"] = train_time
+        test_result.metric_avg_results["Test (s)"] = test_time
+
+        val_result = None
+        if show_validation and self.val_set is not None:
+            start = time.time()
+            model.transform(self.val_set)
+            val_result = self.eval(
+                model=model,
+                train_set=self.train_set,
+                test_set=self.val_set,
+                exclude_unknowns=self.exclude_unknowns,
+                ranking_metrics=ranking_metrics,
+                user_based=user_based,
+                mode=self.mode,
+                verbose=self.verbose,
+            )
+            val_result.metric_avg_results["Time (s)"] = time.time() - start
+
+        return test_result, val_result
+
+    @classmethod
+    def from_splits(
+        cls,
+        train_data,
+        test_data,
+        val_data=None,
+        fmt="SIT",
+        exclude_unknowns=False,
+        seed=None,
+        verbose=False,
+        **kwargs,
+    ):
+        """Build from pre-split sequential data."""
+        method = cls(
+            fmt=fmt,
+            exclude_unknowns=exclude_unknowns,
+            seed=seed,
+            verbose=verbose,
+            **kwargs,
+        )
+        return method.build(
+            train_data=train_data, test_data=test_data, val_data=val_data
+        )
+
+    @classmethod
+    def from_timestamps(
+        cls,
+        data,
+        test_timestamp,
+        val_timestamp=None,
+        fmt="USIT",
+        exclude_unknowns=True,
+        mode="last",
+        seed=None,
+        verbose=False,
+        **kwargs,
+    ):
+        """Global temporal split: each session goes wholly to the split
+        indicated by its last event's timestamp (train < val_ts <= val <
+        test_ts <= test). Leakage-free protocol per Meng et al. (RecSys
+        2020) and Hidasi & Czapp (RecSys 2023)."""
+        fmt = validate_format(fmt, ["SIT", "USIT", "SITJson", "USITJson"])
+
+        if val_timestamp is not None and val_timestamp >= test_timestamp:
+            raise ValueError(
+                "val_timestamp ({}) must be strictly smaller than "
+                "test_timestamp ({}).".format(val_timestamp, test_timestamp)
+            )
+
+        sid_pos = 1 if fmt in ["USIT", "USITJson"] else 0
+        ts_pos = 3 if fmt in ["USIT", "USITJson"] else 2
+
+        last_ts = {}
+        for tup in data:
+            sid, t = tup[sid_pos], float(tup[ts_pos])
+            if sid not in last_ts or t > last_ts[sid]:
+                last_ts[sid] = t
+
+        train_data, val_data, test_data = [], [], []
+        for tup in data:
+            ts = last_ts[tup[sid_pos]]
+            if ts >= test_timestamp:
+                test_data.append(tup)
+            elif val_timestamp is not None and ts >= val_timestamp:
+                val_data.append(tup)
+            else:
+                train_data.append(tup)
+
+        if len(train_data) == 0:
+            raise ValueError(
+                "Empty train partition: no session ends before the cutoff."
+            )
+        if len(test_data) == 0:
+            raise ValueError(
+                "Empty test partition: no session ends at or after "
+                "test_timestamp ({}).".format(test_timestamp)
+            )
+        if val_timestamp is not None and len(val_data) == 0:
+            warnings.warn(
+                "Empty validation partition; proceeding with no validation set."
+            )
+            val_data = None
+
+        return cls.from_splits(
+            train_data=train_data,
+            test_data=test_data,
+            val_data=val_data,
+            fmt=fmt,
+            exclude_unknowns=exclude_unknowns,
+            seed=seed,
+            verbose=verbose,
+            mode=mode,
+            **kwargs,
+        )
+
+    @classmethod
+    def leave_last_out(
+        cls,
+        data,
+        fmt="UIRT",
+        exclude_unknowns=True,
+        mode="last",
+        seed=None,
+        verbose=False,
+        **kwargs,
+    ):
+        """Per-user leave-last-out: each user's chronological interactions
+        form one session; last item -> test, second-to-last -> val. Standard
+        protocol of the sequential-recommendation literature (SASRec,
+        BERT4Rec); see from_timestamps for the leakage-free alternative."""
+        fmt = validate_format(fmt, ["UIRT"])
+
+        by_user = OrderedDict()
+        for u, i, _, t in data:
+            by_user.setdefault(u, []).append((float(t), i, t))
+
+        train_data, val_data, test_data = [], [], []
+        n_skipped = 0
+        for u, events in by_user.items():
+            if len(events) < 3:
+                n_skipped += 1
+                continue
+            events.sort(key=lambda x: x[0])
+            seq = [(u, u, i, t) for _, i, t in events]
+            train_data.extend(seq[:-2])
+            val_data.extend(seq[:-1])
+            test_data.extend(seq)
+
+        if len(train_data) == 0:
+            raise ValueError("Empty train set: no user has at least 3 interactions.")
+
+        if verbose:
+            print(
+                "Leave-last-out: {} users kept, {} dropped (<3 interactions)".format(
+                    len(by_user) - n_skipped, n_skipped
+                )
+            )
+
+        return cls.from_splits(
+            train_data=train_data,
+            test_data=test_data,
+            val_data=val_data,
+            fmt="USIT",
+            exclude_unknowns=exclude_unknowns,
+            seed=seed,
+            verbose=verbose,
+            mode=mode,
+            **kwargs,
+        )

@@ -8,6 +8,8 @@ from .recommender import (
 from .baseline import BaselineOnly, GlobalAvg, MostPop
 from .bpr import BPR, WBPR
 from .ease import EASE
+from .fpmc import FPMC
+from .gru4rec import GRU4Rec
 from .knn import ItemKNN, UserKNN
 from .mcf import MCF
 from .mmmf import MMMF
@@ -15,7 +17,9 @@ from .mf import MF, SVD
 from .ncf import GMF, MLP, NCFBase, NeuMF
 from .nmf import NMF
 from .pmf import PMF
+from .sasrec import SASRec
 from .skm import SKMeans
+from .spop import SPop
 from .sorec import SoRec
 from .vaecf import VAECF
 from .wmf import WMF
@@ -25,8 +29,10 @@ __all__ = [
     "BPR",
     "BaselineOnly",
     "EASE",
+    "FPMC",
     "GlobalAvg",
     "GMF",
+    "GRU4Rec",
     "ItemKNN",
     "MCF",
     "MF",
@@ -40,8 +46,10 @@ __all__ = [
     "NMF",
     "PMF",
     "Recommender",
+    "SASRec",
     "SKMeans",
     "SoRec",
+    "SPop",
     "SVD",
     "UserKNN",
     "VAECF",

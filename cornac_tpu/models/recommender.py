@@ -438,3 +438,17 @@ class NextItemRecommender(Recommender):
 
     def score(self, user_idx, history_items, **kwargs):
         raise NotImplementedError("The algorithm is not able to make score prediction!")
+
+    def score_history_batch(self, user_indices, histories):
+        """(B, num_items) scores for a batch of (user, history) pairs — the
+        hook the batched next-item eval harness calls. Sequence models
+        override this with a padded device forward; the default loops
+        ``score``."""
+        out = np.empty((len(user_indices), self.num_items), dtype=np.float64)
+        for b, (u, h) in enumerate(zip(user_indices, histories)):
+            try:
+                row = np.asarray(self.score(u, h), dtype=np.float64)
+            except ScoreException:
+                row = np.full(self.num_items, self.default_score())
+            out[b] = row[: self.num_items]
+        return out

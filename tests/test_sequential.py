@@ -1,0 +1,117 @@
+"""Sequential subsystem: NextItemEvaluation protocol + SPop/FPMC/GRU4Rec/
+SASRec end-to-end."""
+
+import os
+
+import numpy as np
+import pytest
+
+from cornac_tpu import Experiment
+from cornac_tpu.data import Reader
+from cornac_tpu.eval_methods import NextItemEvaluation
+from cornac_tpu.metrics import MRR, NDCG, HitRatio, Recall
+from cornac_tpu.models import FPMC, GRU4Rec, SASRec, SPop
+
+DATA_DIR = os.path.join(os.path.dirname(__file__), "data")
+
+
+def _seq_data():
+    return Reader().read(os.path.join(DATA_DIR, "sequence.txt"), fmt="USIT")
+
+
+@pytest.fixture(scope="module")
+def nie():
+    data = _seq_data()
+    # split sessions: first 80% train by session order
+    sids = sorted({t[1] for t in data})
+    cut = sids[int(len(sids) * 0.7)]
+    train = [t for t in data if t[1] <= cut]
+    test = [t for t in data if t[1] > cut]
+    return NextItemEvaluation.from_splits(
+        train_data=train, test_data=test, fmt="USIT", exclude_unknowns=True,
+        seed=123, mode="next",
+    )
+
+
+SEQ_MODELS = [
+    lambda: SPop(),
+    lambda: SPop(use_session_popularity=False),
+    lambda: FPMC(embedding_dim=8, n_epochs=3, seed=123),
+    lambda: GRU4Rec(layers=[8], n_epochs=2, batch_size=8, max_len=10, seed=123),
+    lambda: GRU4Rec(layers=[8], loss="bpr-max", n_epochs=2, batch_size=8, max_len=10, n_sample=16, seed=123),
+    lambda: GRU4Rec(layers=[8], loss="top1", n_epochs=2, batch_size=8, max_len=10, n_sample=16, seed=123),
+    lambda: SASRec(embedding_dim=8, n_layers=1, max_len=10, n_epochs=2, batch_size=8, seed=123),
+]
+
+
+@pytest.mark.parametrize("make_model", SEQ_MODELS, ids=lambda f: type(f()).__name__)
+def test_next_item_flow(nie, make_model):
+    model = make_model()
+    result, _ = nie.evaluate(
+        model, [NDCG(k=5), HitRatio(k=5), Recall(k=5), MRR()], user_based=False
+    )
+    for name, value in result.metric_avg_results.items():
+        assert np.isfinite(value), name
+
+
+def test_mode_validation():
+    with pytest.raises(ValueError):
+        NextItemEvaluation(mode="bogus")
+
+
+def test_from_timestamps():
+    data = _seq_data()
+    ts = sorted(t[3] for t in data)
+    cutoff = ts[int(len(ts) * 0.8)]
+    nie = NextItemEvaluation.from_timestamps(
+        data, test_timestamp=cutoff, fmt="USIT", seed=1
+    )
+    assert nie.train_set is not None and nie.test_set is not None
+    # sessions are atomic: no session index appears in both sets
+    assert not (
+        set(nie.train_set.session_indices) & set(nie.test_set.session_indices)
+    )
+
+
+def test_leave_last_out():
+    data = Reader().read(os.path.join(DATA_DIR, "rating.txt"), fmt="UIRT")
+    nie = NextItemEvaluation.leave_last_out(data, seed=1)
+    assert nie.train_set is not None
+    assert nie.val_set is not None
+    result, _ = nie.evaluate(SPop(), [HitRatio(k=5)], user_based=False)
+    assert np.isfinite(result.metric_avg_results["HitRatio@5"])
+
+
+def test_experiment_integration(nie, tmp_path, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    exp = Experiment(
+        eval_method=nie,
+        models=[SPop(), FPMC(embedding_dim=8, n_epochs=2, seed=1)],
+        metrics=[NDCG(k=5), HitRatio(k=5)],
+    )
+    exp.run()
+    assert len(exp.result) == 2
+
+
+def test_gru4rec_learns_repetitive_pattern():
+    """On strongly patterned sessions the GRU must beat popularity."""
+    rng = np.random.RandomState(0)
+    data = []
+    sid = 0
+    # pattern: item i is always followed by item (i+1) % 12
+    for _ in range(60):
+        sid += 1
+        start = rng.randint(12)
+        t0 = 1000 * sid
+        for j in range(5):
+            data.append((f"u{sid % 7}", f"s{sid}", f"i{(start + j) % 12}", t0 + j))
+    sids = sorted({t[1] for t in data}, key=lambda s: int(s[1:]))
+    cut = int(len(sids) * 0.8)
+    train = [t for t in data if int(t[1][1:]) <= cut]
+    test = [t for t in data if int(t[1][1:]) > cut]
+    nie = NextItemEvaluation.from_splits(
+        train_data=train, test_data=test, fmt="USIT", seed=7, mode="next"
+    )
+    gru = GRU4Rec(layers=[16], n_epochs=60, batch_size=16, max_len=6, learning_rate=0.1, seed=7)
+    res, _ = nie.evaluate(gru, [HitRatio(k=1)], user_based=False)
+    assert res.metric_avg_results["HitRatio@1"] > 0.5  # chance = 1/12
