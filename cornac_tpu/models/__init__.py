@@ -6,6 +6,7 @@ from .recommender import (
     is_ann_supported,
 )
 from .baseline import BaselineOnly, GlobalAvg, MostPop
+from .basket import GPTop, TIFUKNN, UPCF
 from .bpr import BPR, WBPR
 from .ease import EASE
 from .fpmc import FPMC
@@ -32,6 +33,7 @@ __all__ = [
     "FPMC",
     "GlobalAvg",
     "GMF",
+    "GPTop",
     "GRU4Rec",
     "ItemKNN",
     "MCF",
@@ -51,6 +53,8 @@ __all__ = [
     "SoRec",
     "SPop",
     "SVD",
+    "TIFUKNN",
+    "UPCF",
     "UserKNN",
     "VAECF",
     "WBPR",

@@ -429,6 +429,19 @@ class NextBasketRecommender(Recommender):
     def score(self, user_idx, history_baskets, **kwargs):
         raise NotImplementedError("The algorithm is not able to make score prediction!")
 
+    def score_baskets_batch(self, user_indices, histories):
+        """(B, num_items) scores for a batch of (user, history-baskets)
+        pairs — the hook the batched next-basket eval harness calls. The
+        default loops ``score``."""
+        out = np.empty((len(user_indices), self.num_items), dtype=np.float64)
+        for b, (u, h) in enumerate(zip(user_indices, histories)):
+            try:
+                row = np.asarray(self.score(u, h), dtype=np.float64)
+            except ScoreException:
+                row = np.full(self.num_items, self.default_score())
+            out[b] = row[: self.num_items]
+        return out
+
 
 class NextItemRecommender(Recommender):
     """Base for next-item models: ``score`` takes history items."""
