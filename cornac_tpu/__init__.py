@@ -7,7 +7,7 @@ evaluation is batched device scoring + vectorized metrics; determinism and
 parallelism coexist by construction (seeded ``jax.random``, no hogwild).
 """
 
-from . import data, datasets, eval_methods, experiment, metrics, models
+from . import data, datasets, eval_methods, experiment, hyperopt, metrics, models
 from .experiment import Experiment
 
 __version__ = "0.1.0"
@@ -18,6 +18,7 @@ __all__ = [
     "datasets",
     "eval_methods",
     "experiment",
+    "hyperopt",
     "metrics",
     "models",
 ]

@@ -1,0 +1,185 @@
+"""Hyper-parameter search (Grid / Random), composable with Experiment.
+
+Capability parity with reference ``cornac/hyperopt.py:30-289``: search
+wrappers are themselves Recommenders (clone-per-point retraining, best model
+kept), scoring with the right eval function for the metric/model type. The
+inner evaluations go through the batched device eval harness, so each trial
+is as fast as a normal fit+eval.
+"""
+
+from itertools import product
+
+import numpy as np
+
+from .eval_methods import ranking_eval, rating_eval
+from .eval_methods.next_item_evaluation import (
+    ranking_eval as next_item_ranking_eval,
+)
+from .metrics import RatingMetric
+from .models import NextItemRecommender, Recommender
+from .utils import get_rng
+
+__all__ = ["Discrete", "Continuous", "GridSearch", "RandomSearch"]
+
+
+class SearchDomain:
+    """Named parameter domain."""
+
+    def __init__(self, name):
+        self.name = name
+
+    def _sample(self, rng):
+        raise NotImplementedError()
+
+
+class Discrete(SearchDomain):
+    """Finite set of candidate values."""
+
+    def __init__(self, name, values):
+        super().__init__(name=name)
+        self.values = values
+
+    def _sample(self, rng):
+        return rng.choice(self.values)
+
+
+class Continuous(SearchDomain):
+    """Uniform range [low, high)."""
+
+    def __init__(self, name, low=0.0, high=1.0):
+        super().__init__(name=name)
+        self.low = low
+        self.high = high
+
+    def _sample(self, rng):
+        return rng.uniform(low=self.low, high=self.high)
+
+
+class BaseSearch(Recommender):
+    """Clone-and-retrain search over a parameter space; behaves as the best
+    found model afterwards."""
+
+    def __init__(self, model, space, metric, eval_method, name="BaseSearch"):
+        super().__init__(name=name, verbose=model.verbose)
+        self.model = model
+        self.space = sorted(space, key=lambda x: x.name)  # reproducible order
+        self.metric = metric
+        self.eval_method = eval_method
+
+    def _build_param_set(self):
+        raise NotImplementedError()
+
+    def fit(self, train_set, val_set=None):
+        assert val_set is not None
+        Recommender.fit(self, train_set, val_set)
+
+        param_set = self._build_param_set()
+        compare_op = np.greater if self.metric.higher_better else np.less
+        self.best_score = -np.inf if self.metric.higher_better else np.inf
+        self.best_model = None
+        self.best_params = None
+
+        for params in param_set:
+            if self.verbose:
+                print("Evaluating: {}".format(params))
+
+            model = self.model.clone(params).fit(train_set, val_set)
+
+            if isinstance(self.metric, RatingMetric):
+                score = rating_eval(model, [self.metric], val_set)[0][0]
+            elif isinstance(model, NextItemRecommender):
+                score = next_item_ranking_eval(
+                    model,
+                    [self.metric],
+                    train_set,
+                    val_set,
+                    exclude_unknowns=self.eval_method.exclude_unknowns,
+                    mode=self.eval_method.mode,
+                    verbose=False,
+                )[0][0]
+            else:
+                score = ranking_eval(
+                    model,
+                    [self.metric],
+                    train_set,
+                    val_set,
+                    rating_threshold=self.eval_method.rating_threshold,
+                    exclude_unknowns=self.eval_method.exclude_unknowns,
+                    verbose=False,
+                )[0][0]
+
+            if compare_op(score, self.best_score):
+                self.best_score = score
+                self.best_model = model
+                self.best_params = params
+
+            del model
+
+        if self.verbose:
+            print("Best parameter settings: {}".format(self.best_params))
+            print("{} = {:.4f}".format(self.metric.name, self.best_score))
+
+        return self
+
+    def transform(self, test_set):
+        return self.best_model.transform(test_set)
+
+    def score(self, user_idx, *args, **kwargs):
+        return self.best_model.score(user_idx, *args, **kwargs)
+
+    def score_batch(self, user_indices):
+        return self.best_model.score_batch(user_indices)
+
+    def score_pairs(self, user_indices, item_indices):
+        return self.best_model.score_pairs(user_indices, item_indices)
+
+    def rank(self, user_idx, item_indices=None, k=-1, **kwargs):
+        return self.best_model.rank(user_idx, item_indices, k, **kwargs)
+
+
+class GridSearch(BaseSearch):
+    """Cartesian product over Discrete domains."""
+
+    def __init__(self, model, space, metric, eval_method):
+        super().__init__(
+            model,
+            self._validate(space),
+            metric,
+            eval_method,
+            name="GridSearch_{}".format(model.name),
+        )
+
+    @staticmethod
+    def _validate(space):
+        for domain in space:
+            if not isinstance(domain, Discrete):
+                raise ValueError(
+                    "GridSearch only supports Discrete domain but {} is not!\n"
+                    "Please consider using RandomSearch instead.".format(domain.name)
+                )
+        return space
+
+    def _build_param_set(self):
+        keys = [d.name for d in self.space]
+        return [
+            dict(zip(keys, params))
+            for params in product(*[sorted(d.values) for d in self.space])
+        ]
+
+
+class RandomSearch(BaseSearch):
+    """n_trails points sampled from the domains."""
+
+    def __init__(self, model, space, metric, eval_method, n_trails=10):
+        super().__init__(
+            model, space, metric, eval_method, name="RandomSearch_{}".format(model.name)
+        )
+        self.n_trails = n_trails
+
+    def _build_param_set(self):
+        keys = [d.name for d in self.space]
+        rng = get_rng(getattr(self.model, "seed", None))
+        return [
+            dict(zip(keys, [d._sample(rng) for d in self.space]))
+            for _ in range(self.n_trails)
+        ]

@@ -5,6 +5,7 @@ from .recommender import (
     Recommender,
     is_ann_supported,
 )
+from .ann import AnnoyANN, BaseANN, FaissANN, HNSWLibANN, ScaNNANN, TPUExactANN
 from .baseline import BaselineOnly, GlobalAvg, MostPop
 from .basket import GPTop, TIFUKNN, UPCF
 from .bpr import BPR, WBPR
@@ -27,14 +28,18 @@ from .wmf import WMF
 
 __all__ = [
     "ANNMixin",
+    "AnnoyANN",
+    "BaseANN",
     "BPR",
     "BaselineOnly",
     "EASE",
+    "FaissANN",
     "FPMC",
     "GlobalAvg",
     "GMF",
     "GPTop",
     "GRU4Rec",
+    "HNSWLibANN",
     "ItemKNN",
     "MCF",
     "MF",
@@ -49,11 +54,13 @@ __all__ = [
     "PMF",
     "Recommender",
     "SASRec",
+    "ScaNNANN",
     "SKMeans",
     "SoRec",
     "SPop",
     "SVD",
     "TIFUKNN",
+    "TPUExactANN",
     "UPCF",
     "UserKNN",
     "VAECF",
