@@ -13,6 +13,7 @@ from .ease import EASE
 from .fpmc import FPMC
 from .gru4rec import GRU4Rec
 from .knn import ItemKNN, UserKNN
+from .lightgcn import LightGCN, NGCF
 from .mcf import MCF
 from .mmmf import MMMF
 from .mf import MF, SVD
@@ -24,6 +25,7 @@ from .skm import SKMeans
 from .spop import SPop
 from .sorec import SoRec
 from .vaecf import VAECF
+from .vbpr import AMR, VBPR
 from .wmf import WMF
 
 __all__ = [
@@ -41,6 +43,7 @@ __all__ = [
     "GRU4Rec",
     "HNSWLibANN",
     "ItemKNN",
+    "LightGCN",
     "MCF",
     "MF",
     "MMMF",
@@ -48,6 +51,7 @@ __all__ = [
     "MostPop",
     "NCFBase",
     "NeuMF",
+    "NGCF",
     "NextBasketRecommender",
     "NextItemRecommender",
     "NMF",
@@ -64,6 +68,8 @@ __all__ = [
     "UPCF",
     "UserKNN",
     "VAECF",
+    "VBPR",
+    "AMR",
     "WBPR",
     "WMF",
     "is_ann_supported",

@@ -1,0 +1,97 @@
+"""Graph-CF (LightGCN/NGCF) and visual (VBPR/AMR) model families."""
+
+import os
+
+import numpy as np
+import pytest
+
+from cornac_tpu.data import ImageModality, Reader
+from cornac_tpu.eval_methods import RatioSplit, ranking_eval
+from cornac_tpu.metrics import NDCG, Recall
+from cornac_tpu.models import AMR, LightGCN, NGCF, VBPR
+
+DATA_DIR = os.path.join(os.path.dirname(__file__), "data")
+
+
+def _uir_data():
+    return Reader().read(os.path.join(DATA_DIR, "rating.txt"), fmt="UIR")
+
+
+@pytest.fixture(scope="module")
+def split():
+    return RatioSplit(
+        data=_uir_data(), test_size=0.2, rating_threshold=3.0, seed=123
+    )
+
+
+@pytest.fixture(scope="module")
+def image_split():
+    rng = np.random.RandomState(0)
+    ids = [f"item{i}" for i in range(20)]
+    feats = rng.rand(20, 12).astype(np.float32)
+    return RatioSplit(
+        data=_uir_data(),
+        test_size=0.2,
+        rating_threshold=3.0,
+        seed=123,
+        item_image=ImageModality(features=feats, ids=ids),
+    )
+
+
+@pytest.mark.parametrize(
+    "make_model",
+    [
+        lambda: LightGCN(emb_size=8, num_layers=2, num_epochs=3, batch_size=64, seed=1, verbose=False),
+        lambda: NGCF(emb_size=8, layer_sizes=[8, 8], num_epochs=3, batch_size=64, seed=1, verbose=False),
+    ],
+    ids=["LightGCN", "NGCF"],
+)
+def test_graph_models(split, make_model):
+    m = make_model().fit(split.train_set)
+    row = np.asarray(m.score(0))
+    assert np.isfinite(row).all()
+    batch = m.score_batch(np.array([0, 1]))
+    np.testing.assert_allclose(batch[0, : len(row)], row, rtol=1e-4, atol=1e-5)
+    avg, _ = ranking_eval(
+        m, [NDCG(k=3), Recall(k=3)], split.train_set, split.test_set,
+        rating_threshold=3.0,
+    )
+    assert all(np.isfinite(v) for v in avg)
+
+
+def test_lightgcn_early_stopping(split):
+    data = _uir_data()
+    rs = RatioSplit(data=data, test_size=0.2, val_size=0.2, seed=1)
+    m = LightGCN(
+        emb_size=8, num_layers=1, num_epochs=10, batch_size=64, seed=1,
+        early_stopping={"min_delta": 10.0, "patience": 0}, verbose=False,
+    )
+    m.fit(rs.train_set, rs.val_set)  # stops early due to huge min_delta
+    assert m.stopped_epoch > 0
+
+
+@pytest.mark.parametrize(
+    "make_model",
+    [
+        lambda: VBPR(k=4, k2=4, n_epochs=3, batch_size=32, seed=1, verbose=False),
+        lambda: AMR(k=4, k2=4, n_epochs=3, batch_size=32, seed=1, verbose=False),
+    ],
+    ids=["VBPR", "AMR"],
+)
+def test_visual_models(image_split, make_model):
+    m = make_model().fit(image_split.train_set)
+    row = np.asarray(m.score(0))
+    assert row.shape[0] == m.total_items
+    assert np.isfinite(row).all()
+    batch = m.score_batch(np.array([0, 1]))
+    np.testing.assert_allclose(batch[0], row, rtol=1e-4, atol=1e-5)
+    # ANN vectors round-trip
+    assert m.get_user_vectors().shape[0] == m.total_users
+    assert m.get_item_vectors().shape[0] == m.total_items
+
+
+def test_vbpr_requires_image_modality(split):
+    from cornac_tpu.exception import CornacException
+
+    with pytest.raises(CornacException):
+        VBPR(k=2, n_epochs=1, verbose=False).fit(split.train_set)
