@@ -6,6 +6,7 @@ from .recommender import (
     is_ann_supported,
 )
 from .ann import AnnoyANN, BaseANN, FaissANN, HNSWLibANN, ScaNNANN, TPUExactANN
+from .bivaecf import BiVAECF
 from .baseline import BaselineOnly, GlobalAvg, MostPop
 from .basket import GPTop, TIFUKNN, UPCF
 from .bpr import BPR, WBPR
@@ -20,6 +21,7 @@ from .mf import MF, SVD
 from .ncf import GMF, MLP, NCFBase, NeuMF
 from .nmf import NMF
 from .pmf import PMF
+from .recvae import RecVAE
 from .sasrec import SASRec
 from .skm import SKMeans
 from .spop import SPop
@@ -34,6 +36,7 @@ __all__ = [
     "BaseANN",
     "BPR",
     "BaselineOnly",
+    "BiVAECF",
     "EASE",
     "FaissANN",
     "FPMC",
@@ -57,6 +60,7 @@ __all__ = [
     "NMF",
     "PMF",
     "Recommender",
+    "RecVAE",
     "SASRec",
     "ScaNNANN",
     "SKMeans",

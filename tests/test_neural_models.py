@@ -86,3 +86,50 @@ def test_vaecf_learns(split):
         hits += len(seen & set(top))
         total += len(seen)
     assert hits / total > 0.3  # >> chance (~len(seen)/num_items)
+
+
+def test_recvae(split):
+    from cornac_tpu.models import RecVAE
+
+    m = RecVAE(
+        hidden_dim=16, latent_dim=8, batch_size=8, n_epochs=2,
+        n_enc_epochs=1, n_dec_epochs=1, seed=123, verbose=False,
+    ).fit(split.train_set)
+    row = np.asarray(m.score(0))
+    assert row.shape == (m.num_items,) and np.isfinite(row).all()
+    batch = m.score_batch(np.array([0, 1]))
+    np.testing.assert_allclose(batch[0, : len(row)], row, rtol=1e-4, atol=1e-5)
+
+
+def test_bivaecf(split):
+    from cornac_tpu.models import BiVAECF
+
+    m = BiVAECF(
+        k=4, encoder_structure=[8], n_epochs=3, batch_size=8, seed=123,
+        verbose=False,
+    ).fit(split.train_set)
+    row = np.asarray(m.score(0))
+    assert row.shape == (m.num_items,) and np.isfinite(row).all()
+    assert 0 <= row.min() and row.max() <= 1  # sigmoid outputs
+    batch = m.score_batch(np.array([0, 1]))
+    np.testing.assert_allclose(batch[0, : len(row)], row, rtol=1e-4, atol=1e-5)
+
+
+def test_bivaecf_cap_priors(split):
+    from cornac_tpu.data import FeatureModality, Reader
+    from cornac_tpu.eval_methods import RatioSplit
+    from cornac_tpu.models import BiVAECF
+
+    rng = np.random.RandomState(1)
+    data = Reader().read(os.path.join(DATA_DIR, "rating.txt"), fmt="UIR")
+    rs = RatioSplit(
+        data=data, test_size=0.2, seed=123,
+        user_feature=FeatureModality(
+            features=rng.rand(15, 6), ids=[f"user{i}" for i in range(15)]
+        ),
+    )
+    m = BiVAECF(
+        k=4, encoder_structure=[8], n_epochs=2, batch_size=8, seed=1,
+        cap_priors={"user": True, "item": False}, verbose=False,
+    ).fit(rs.train_set)
+    assert np.isfinite(m.score(0)).all()
