@@ -13,6 +13,7 @@ from .bpr import BPR, WBPR
 from .ease import EASE
 from .fpmc import FPMC
 from .gru4rec import GRU4Rec
+from .hpf import HPF
 from .knn import ItemKNN, UserKNN
 from .lightgcn import LightGCN, NGCF
 from .mcf import MCF
@@ -23,11 +24,13 @@ from .nmf import NMF
 from .pmf import PMF
 from .recvae import RecVAE
 from .sasrec import SASRec
+from .sbpr import SBPR
 from .skm import SKMeans
 from .spop import SPop
 from .sorec import SoRec
 from .vaecf import VAECF
 from .vbpr import AMR, VBPR
+from .vebpr import VEBPR
 from .wmf import WMF
 
 __all__ = [
@@ -45,6 +48,7 @@ __all__ = [
     "GPTop",
     "GRU4Rec",
     "HNSWLibANN",
+    "HPF",
     "ItemKNN",
     "LightGCN",
     "MCF",
@@ -62,6 +66,7 @@ __all__ = [
     "Recommender",
     "RecVAE",
     "SASRec",
+    "SBPR",
     "ScaNNANN",
     "SKMeans",
     "SoRec",
@@ -73,6 +78,7 @@ __all__ = [
     "UserKNN",
     "VAECF",
     "VBPR",
+    "VEBPR",
     "AMR",
     "WBPR",
     "WMF",
