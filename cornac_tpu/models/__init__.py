@@ -11,6 +11,7 @@ from .baseline import BaselineOnly, GlobalAvg, MostPop
 from .basket import GPTop, TIFUKNN, UPCF
 from .bpr import BPR, WBPR
 from .ease import EASE
+from .efm import EFM
 from .fpmc import FPMC
 from .gru4rec import GRU4Rec
 from .hpf import HPF
@@ -28,6 +29,7 @@ from .sbpr import SBPR
 from .skm import SKMeans
 from .spop import SPop
 from .sorec import SoRec
+from .trirank import TriRank
 from .vaecf import VAECF
 from .vbpr import AMR, VBPR
 from .vebpr import VEBPR
@@ -41,6 +43,7 @@ __all__ = [
     "BaselineOnly",
     "BiVAECF",
     "EASE",
+    "EFM",
     "FaissANN",
     "FPMC",
     "GlobalAvg",
@@ -74,6 +77,7 @@ __all__ = [
     "SVD",
     "TIFUKNN",
     "TPUExactANN",
+    "TriRank",
     "UPCF",
     "UserKNN",
     "VAECF",

@@ -1,0 +1,82 @@
+"""Explainable family: EFM and TriRank with SentimentModality."""
+
+import os
+
+import numpy as np
+import pytest
+
+from cornac_tpu.data import Reader, SentimentModality
+from cornac_tpu.eval_methods import RatioSplit, ranking_eval, rating_eval
+from cornac_tpu.metrics import NDCG, RMSE
+from cornac_tpu.models import EFM, TriRank
+
+DATA_DIR = os.path.join(os.path.dirname(__file__), "data")
+
+ASPECTS = ["battery", "screen", "price", "camera", "speed"]
+OPINIONS = ["good", "bad", "great", "poor"]
+
+
+@pytest.fixture(scope="module")
+def sentiment_split():
+    data = Reader().read(os.path.join(DATA_DIR, "rating.txt"), fmt="UIR")
+    rng = np.random.RandomState(4)
+    lexicon = []
+    for u, i, r in data:
+        tuples = [
+            (
+                ASPECTS[rng.randint(len(ASPECTS))],
+                OPINIONS[rng.randint(len(OPINIONS))],
+                float(rng.choice([-1, 1])),
+            )
+            for _ in range(rng.randint(1, 4))
+        ]
+        lexicon.append((u, i, tuples))
+    return RatioSplit(
+        data=data, test_size=0.2, rating_threshold=3.0, seed=123,
+        sentiment=SentimentModality(data=lexicon),
+    )
+
+
+def test_efm(sentiment_split):
+    split = sentiment_split
+    m = EFM(
+        num_explicit_factors=4, num_latent_factors=4, num_most_cared_aspects=3,
+        max_iter=10, seed=123, verbose=False,
+    ).fit(split.train_set)
+    assert (m.U1 >= 0).all() and (m.V >= 0).all()  # non-negative factors
+    # plain score vs composite ranking score
+    row = np.asarray(m.score(0))
+    assert np.isfinite(row).all()
+    ranked, scores = m.rank(0, k=5)
+    assert len(ranked) == m.num_items
+    # batch path consistent with rank's composite scores
+    batch = m.score_batch(np.array([0]))
+    np.testing.assert_allclose(batch[0, : len(scores)], scores, rtol=1e-6)
+    # both eval paths work
+    avg, _ = rating_eval(m, [RMSE()], split.test_set)
+    assert np.isfinite(avg[0])
+    avg, _ = ranking_eval(
+        m, [NDCG(k=3)], split.train_set, split.test_set, rating_threshold=3.0
+    )
+    assert np.isfinite(avg[0])
+
+
+def test_efm_requires_sentiment():
+    data = Reader().read(os.path.join(DATA_DIR, "rating.txt"), fmt="UIR")
+    rs = RatioSplit(data=data, test_size=0.2, seed=123)
+    with pytest.raises(ValueError):
+        EFM(max_iter=1).fit(rs.train_set)
+
+
+def test_trirank(sentiment_split):
+    split = sentiment_split
+    m = TriRank(max_iter=20, seed=123, verbose=False).fit(split.train_set)
+    row = np.asarray(m.score(0))
+    assert np.isfinite(row).all()
+    assert row.min() >= m.min_rating - 1e-9
+    batch = m.score_batch(np.array([0, 1]))
+    np.testing.assert_allclose(batch[0, : len(row)], row, rtol=1e-5, atol=1e-8)
+    avg, _ = ranking_eval(
+        m, [NDCG(k=3)], split.train_set, split.test_set, rating_threshold=3.0
+    )
+    assert np.isfinite(avg[0])
