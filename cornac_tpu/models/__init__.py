@@ -10,10 +10,13 @@ from .bivaecf import BiVAECF
 from .baseline import BaselineOnly, GlobalAvg, MostPop
 from .basket import GPTop, TIFUKNN, UPCF
 from .bpr import BPR, WBPR
+from .cdl import CDL
+from .ctr import CTR
 from .ease import EASE
 from .efm import EFM
 from .fpmc import FPMC
 from .gru4rec import GRU4Rec
+from .hft import HFT
 from .hpf import HPF
 from .knn import ItemKNN, UserKNN
 from .lightgcn import LightGCN, NGCF
@@ -41,6 +44,8 @@ __all__ = [
     "BaseANN",
     "BPR",
     "BaselineOnly",
+    "CDL",
+    "CTR",
     "BiVAECF",
     "EASE",
     "EFM",
@@ -50,6 +55,7 @@ __all__ = [
     "GMF",
     "GPTop",
     "GRU4Rec",
+    "HFT",
     "HNSWLibANN",
     "HPF",
     "ItemKNN",

@@ -1,0 +1,248 @@
+"""CDL — Collaborative Deep Learning (Wang, Wang & Yeung, KDD 2015).
+
+Capability parity with reference ``cornac/models/cdl/recom_cdl.py:26`` +
+``cdl/cdl.py`` (TF1 graph: stacked denoising autoencoder over item
+bag-of-words coupled with confidence-weighted MF; two optimizers alternate
+on (U, V) and SDAE weights). Pure-JAX pytrees + optax, jitted per-batch
+steps over item columns.
+"""
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..engine.nn import ACTIVATIONS, dense, init_mlp
+from ..exception import ScoreException
+from ..utils import get_rng
+from ..utils.init_utils import xavier_uniform
+from .recommender import ANNMixin, MEASURE_DOT, Recommender
+
+
+class CDL(Recommender, ANNMixin):
+    """SDAE-regularized weighted MF over item text."""
+
+    def __init__(
+        self,
+        name="CDL",
+        k=50,
+        autoencoder_structure=None,
+        act_fn="relu",
+        lambda_u=0.1,
+        lambda_v=10,
+        lambda_w=0.1,
+        lambda_n=1000,
+        a=1,
+        b=0.01,
+        corruption_rate=0.3,
+        learning_rate=0.001,
+        vocab_size=8000,
+        dropout_rate=0.1,
+        batch_size=128,
+        max_iter=100,
+        trainable=True,
+        verbose=True,
+        init_params=None,
+        seed=None,
+    ):
+        super().__init__(name=name, trainable=trainable, verbose=verbose)
+        self.k = k
+        self.autoencoder_structure = (
+            [200] if autoencoder_structure is None else list(autoencoder_structure)
+        )
+        self.act_fn = act_fn
+        self.lambda_u = lambda_u
+        self.lambda_v = lambda_v
+        self.lambda_w = lambda_w
+        self.lambda_n = lambda_n
+        self.a = a
+        self.b = b
+        self.corruption_rate = corruption_rate
+        self.learning_rate = learning_rate
+        self.vocab_size = vocab_size
+        self.dropout_rate = dropout_rate
+        self.batch_size = batch_size
+        self.max_iter = max_iter
+        self.seed = seed
+        self.rng = get_rng(seed)
+
+        self.init_params = {} if init_params is None else init_params
+        self.U = self.init_params.get("U", None)
+        self.V = self.init_params.get("V", None)
+
+    def fit(self, train_set, val_set=None):
+        Recommender.fit(self, train_set, val_set)
+        if train_set.item_text is None:
+            raise ValueError("item_text modality is required but None.")
+        rng = self.rng
+        if self.U is None:
+            self.U = xavier_uniform((self.num_users, self.k), rng).astype(np.float32)
+        if self.V is None:
+            self.V = xavier_uniform((self.num_items, self.k), rng).astype(np.float32)
+        if not self.trainable:
+            return self
+
+        text = train_set.item_text.batch_bow(np.arange(self.num_items)).astype(
+            np.float32
+        )
+        text = (text - text.min()) / max(text.max() - text.min(), 1e-12)
+        vocab = text.shape[1]
+        self.vocab_size = vocab
+
+        enc_sizes = [vocab] + self.autoencoder_structure + [self.k]
+        dec_sizes = [self.k] + self.autoencoder_structure[::-1] + [vocab]
+        sdae = {
+            "enc": init_mlp(rng, enc_sizes),
+            "dec": init_mlp(rng, dec_sizes),
+        }
+        act = ACTIVATIONS[self.act_fn]
+
+        def encode(sdae, x):
+            h = x
+            for layer in sdae["enc"]:
+                h = act(dense(layer, h))
+            return h
+
+        def decode(sdae, z):
+            h = z
+            for i, layer in enumerate(sdae["dec"]):
+                h = dense(layer, h)
+                if i < len(sdae["dec"]) - 1:
+                    h = act(h)
+            return h
+
+        R_csc = train_set.csc_matrix
+        R_dense = np.asarray(R_csc.todense(), dtype=np.float32)  # (n_users, n_items)
+        C_dense = np.where(R_dense != 0, self.a, self.b).astype(np.float32)
+
+        params = {
+            "U": jnp.asarray(self.U),
+            "V": jnp.asarray(self.V),
+            "sdae": sdae,
+        }
+        opt_cf = optax.adam(self.learning_rate)
+        opt_ae = optax.adam(self.learning_rate)
+        state_cf = opt_cf.init({"U": params["U"], "V": params["V"]})
+        state_ae = opt_ae.init(params["sdae"])
+
+        lam_u, lam_v, lam_w, lam_n = (
+            self.lambda_u,
+            self.lambda_v,
+            self.lambda_w,
+            self.lambda_n,
+        )
+
+        def loss_fn(params, item_ids, x_corrupt, x_clean, R_cols, C_cols):
+            U, V = params["U"], params["V"]
+            Vb = V[item_ids]
+            z = encode(params["sdae"], x_corrupt)
+            recon = decode(params["sdae"], z)
+            pred = U @ Vb.T  # (n_users, B)
+            cf = 0.5 * jnp.sum(C_cols * (R_cols - pred) ** 2)
+            loss = (
+                cf
+                + 0.5 * lam_u * jnp.sum(U**2)
+                + 0.5 * lam_v * jnp.sum((Vb - z) ** 2)
+                + 0.5 * lam_n * jnp.sum((recon - x_clean) ** 2)
+                + 0.5
+                * lam_w
+                * sum(
+                    jnp.sum(layer["w"] ** 2)
+                    for part in params["sdae"].values()
+                    for layer in part
+                )
+            )
+            return loss
+
+        @jax.jit
+        def step(params, state_cf, state_ae, item_ids, x_corrupt, x_clean, R_cols, C_cols):
+            # phase 1: update U, V
+            def cf_loss(uv):
+                p = {"U": uv["U"], "V": uv["V"], "sdae": params["sdae"]}
+                return loss_fn(p, item_ids, x_corrupt, x_clean, R_cols, C_cols)
+
+            uv = {"U": params["U"], "V": params["V"]}
+            g = jax.grad(cf_loss)(uv)
+            updates, state_cf = opt_cf.update(g, state_cf, uv)
+            uv = optax.apply_updates(uv, updates)
+            params = {"U": uv["U"], "V": uv["V"], "sdae": params["sdae"]}
+
+            # phase 2: update SDAE
+            def ae_loss(sd):
+                p = {"U": params["U"], "V": params["V"], "sdae": sd}
+                return loss_fn(p, item_ids, x_corrupt, x_clean, R_cols, C_cols)
+
+            loss, g = jax.value_and_grad(ae_loss)(params["sdae"])
+            updates, state_ae = opt_ae.update(g, state_ae, params["sdae"])
+            params = {
+                "U": params["U"],
+                "V": params["V"],
+                "sdae": optax.apply_updates(params["sdae"], updates),
+            }
+            return params, state_cf, state_ae, loss
+
+        bsz = min(self.batch_size, self.num_items)
+        for it in range(self.max_iter):
+            corruption_mask = rng.binomial(
+                1, 1 - self.corruption_rate, size=text.shape
+            ).astype(np.float32)
+            sum_loss, count = 0.0, 0
+            for batch_ids in train_set.item_iter(bsz, shuffle=True):
+                if len(batch_ids) < bsz:  # stable jit shapes
+                    batch_ids = np.concatenate(
+                        [batch_ids, batch_ids[: bsz - len(batch_ids)]]
+                    )
+                params, state_cf, state_ae, loss = step(
+                    params,
+                    state_cf,
+                    state_ae,
+                    jnp.asarray(batch_ids, dtype=jnp.int32),
+                    jnp.asarray(text[batch_ids] * corruption_mask[batch_ids]),
+                    jnp.asarray(text[batch_ids]),
+                    jnp.asarray(R_dense[:, batch_ids]),
+                    jnp.asarray(C_dense[:, batch_ids]),
+                )
+                sum_loss += float(loss)
+                count += len(batch_ids)
+            if self.verbose:
+                print(
+                    "Iter %d/%d, loss: %.2f" % (it + 1, self.max_iter, sum_loss / count)
+                )
+
+        self.U = np.asarray(params["U"], dtype=np.float64)
+        self.V = np.asarray(params["V"], dtype=np.float64)
+        return self
+
+    def score(self, user_idx, item_idx=None):
+        if self.is_unknown_user(user_idx):
+            raise ScoreException("Can't make score prediction for user %d" % user_idx)
+        if item_idx is not None and self.is_unknown_item(item_idx):
+            raise ScoreException("Can't make score prediction for item %d" % item_idx)
+        if item_idx is None:
+            return self.V @ self.U[user_idx]
+        return self.V[item_idx] @ self.U[user_idx]
+
+    def score_batch(self, user_indices):
+        users = np.asarray(user_indices)
+        known = (users >= 0) & (users < self.num_users)
+        scores = self.U[np.where(known, users, 0)] @ self.V.T
+        scores[~known] = self.default_score()
+        total = self.total_items
+        if scores.shape[1] < total:
+            out = np.broadcast_to(
+                scores.min(axis=1, keepdims=True), (scores.shape[0], total)
+            ).copy()
+            out[:, : scores.shape[1]] = scores
+            return out
+        return scores
+
+    def get_vector_measure(self):
+        return MEASURE_DOT
+
+    def get_user_vectors(self):
+        return self.U
+
+    def get_item_vectors(self):
+        return self.V
