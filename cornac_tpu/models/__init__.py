@@ -18,6 +18,7 @@ from .fpmc import FPMC
 from .gru4rec import GRU4Rec
 from .hft import HFT
 from .hpf import HPF
+from .ibpr import COE, IBPR, OnlineIBPR
 from .knn import ItemKNN, UserKNN
 from .lightgcn import LightGCN, NGCF
 from .mcf import MCF
@@ -45,6 +46,7 @@ __all__ = [
     "BPR",
     "BaselineOnly",
     "CDL",
+    "COE",
     "CTR",
     "BiVAECF",
     "EASE",
@@ -58,6 +60,7 @@ __all__ = [
     "HFT",
     "HNSWLibANN",
     "HPF",
+    "IBPR",
     "ItemKNN",
     "LightGCN",
     "MCF",
@@ -68,6 +71,7 @@ __all__ = [
     "NCFBase",
     "NeuMF",
     "NGCF",
+    "OnlineIBPR",
     "NextBasketRecommender",
     "NextItemRecommender",
     "NMF",

@@ -64,3 +64,21 @@ def test_vebpr_requires_view_matrix():
     rs = RatioSplit(data=_uir_data(), test_size=0.2, seed=123)
     with pytest.raises(ValueError):
         VEBPR(k=2, max_iter=1, seed=1).fit(rs.train_set)
+
+
+@pytest.mark.parametrize(
+    "make_model",
+    [
+        lambda: __import__("cornac_tpu.models", fromlist=["IBPR"]).IBPR(k=4, max_iter=3, seed=1, verbose=False),
+        lambda: __import__("cornac_tpu.models", fromlist=["OnlineIBPR"]).OnlineIBPR(k=4, max_iter=3, seed=1, verbose=False),
+        lambda: __import__("cornac_tpu.models", fromlist=["COE"]).COE(k=4, max_iter=3, seed=1, verbose=False),
+    ],
+    ids=["IBPR", "OnlineIBPR", "COE"],
+)
+def test_embedding_triplet_models(make_model):
+    rs = RatioSplit(data=_uir_data(), test_size=0.2, seed=123)
+    m = make_model().fit(rs.train_set)
+    row = np.asarray(m.score(0))
+    assert row.shape[0] == m.num_items and np.isfinite(row).all()
+    batch = m.score_batch(np.array([0, 1]))
+    np.testing.assert_allclose(batch[0, : len(row)], row, rtol=1e-4, atol=1e-5)
