@@ -11,7 +11,9 @@ from .baseline import BaselineOnly, GlobalAvg, MostPop
 from .basket import GPTop, TIFUKNN, UPCF
 from .bpr import BPR, WBPR
 from .cdl import CDL
+from .convmf import ConvMF
 from .ctr import CTR
+from .cvae import CDR, CVAE
 from .ease import EASE
 from .efm import EFM
 from .fpmc import FPMC
@@ -46,7 +48,10 @@ __all__ = [
     "BPR",
     "BaselineOnly",
     "CDL",
+    "CDR",
     "COE",
+    "ConvMF",
+    "CVAE",
     "CTR",
     "BiVAECF",
     "EASE",

@@ -64,3 +64,32 @@ def test_text_models_require_modality():
     for model in [CTR(max_iter=1), HFT(max_iter=1), CDL(max_iter=1)]:
         with pytest.raises(ValueError):
             model.fit(rs.train_set)
+
+
+@pytest.mark.parametrize(
+    "make_model",
+    [
+        lambda: __import__("cornac_tpu.models", fromlist=["ConvMF"]).ConvMF(
+            k=4, n_epochs=2, cnn_epochs=1, emb_dim=8, max_len=10,
+            filter_sizes=(2, 3), num_filters=4, hidden_dim=8, verbose=False, seed=1,
+        ),
+        lambda: __import__("cornac_tpu.models", fromlist=["CVAE"]).CVAE(
+            z_dim=4, n_epochs=2, vae_layers=(8,), batch_size=8, verbose=False, seed=1,
+        ),
+        lambda: __import__("cornac_tpu.models", fromlist=["CVAE"]).CVAE(
+            z_dim=4, n_epochs=1, vae_layers=(8,), loss_type="rmse",
+            batch_size=8, verbose=False, seed=1,
+        ),
+        lambda: __import__("cornac_tpu.models", fromlist=["CDR"]).CDR(
+            k=4, autoencoder_structure=[8], max_iter=2, batch_size=16,
+            verbose=False, seed=1,
+        ),
+    ],
+    ids=["ConvMF", "CVAE-xe", "CVAE-rmse", "CDR"],
+)
+def test_more_text_models(text_split, make_model):
+    m = make_model().fit(text_split.train_set)
+    row = np.asarray(m.score(0))
+    assert row.shape[0] == m.num_items and np.isfinite(row).all()
+    batch = m.score_batch(np.array([0, 1]))
+    np.testing.assert_allclose(batch[0, : len(row)], row, rtol=1e-4, atol=1e-5)
