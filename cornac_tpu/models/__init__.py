@@ -10,6 +10,7 @@ from .bivaecf import BiVAECF
 from .baseline import BaselineOnly, GlobalAvg, MostPop
 from .basket import GPTop, TIFUKNN, UPCF
 from .bpr import BPR, WBPR
+from .causalrec import CausalRec
 from .cdl import CDL
 from .convmf import ConvMF
 from .ctr import CTR
@@ -39,6 +40,7 @@ from .trirank import TriRank
 from .vaecf import VAECF
 from .vbpr import AMR, VBPR
 from .vebpr import VEBPR
+from .vmf import VMF
 from .wmf import WMF
 
 __all__ = [
@@ -98,6 +100,7 @@ __all__ = [
     "VAECF",
     "VBPR",
     "VEBPR",
+    "VMF",
     "AMR",
     "WBPR",
     "WMF",

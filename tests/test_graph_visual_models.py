@@ -95,3 +95,29 @@ def test_vbpr_requires_image_modality(split):
 
     with pytest.raises(CornacException):
         VBPR(k=2, n_epochs=1, verbose=False).fit(split.train_set)
+
+
+@pytest.mark.parametrize(
+    "make_model",
+    [
+        lambda: __import__("cornac_tpu.models", fromlist=["VMF"]).VMF(
+            k=4, d=4, n_epochs=3, batch_size=32, verbose=False, seed=1,
+        ),
+        lambda: __import__("cornac_tpu.models", fromlist=["CausalRec"]).CausalRec(
+            k=4, k2=4, n_epochs=3, batch_size=32, tanh=0, verbose=False, seed=1,
+        ),
+        lambda: __import__("cornac_tpu.models", fromlist=["CausalRec"]).CausalRec(
+            k=4, k2=4, n_epochs=2, batch_size=32, tanh=1, verbose=False, seed=1,
+        ),
+        lambda: __import__("cornac_tpu.models", fromlist=["CausalRec"]).CausalRec(
+            k=4, k2=4, n_epochs=2, batch_size=32, tanh=2, verbose=False, seed=1,
+        ),
+    ],
+    ids=["VMF", "CausalRec-t0", "CausalRec-t1", "CausalRec-t2"],
+)
+def test_more_visual_models(image_split, make_model):
+    m = make_model().fit(image_split.train_set)
+    row = np.asarray(m.score(0))
+    assert np.isfinite(row).all()
+    batch = m.score_batch(np.array([0, 1]))
+    np.testing.assert_allclose(batch[0, : len(row)], row, rtol=1e-4, atol=1e-6)
