@@ -25,6 +25,7 @@ from .ibpr import COE, IBPR, OnlineIBPR
 from .knn import ItemKNN, UserKNN
 from .lightgcn import LightGCN, NGCF
 from .mcf import MCF
+from .mter import MTER
 from .mmmf import MMMF
 from .mf import MF, SVD
 from .ncf import GMF, MLP, NCFBase, NeuMF
@@ -73,6 +74,7 @@ __all__ = [
     "MCF",
     "MF",
     "MMMF",
+    "MTER",
     "MLP",
     "MostPop",
     "NCFBase",

@@ -80,3 +80,25 @@ def test_trirank(sentiment_split):
         m, [NDCG(k=3)], split.train_set, split.test_set, rating_threshold=3.0
     )
     assert np.isfinite(avg[0])
+
+
+def test_mter(sentiment_split):
+    from cornac_tpu.models import MTER
+
+    split = sentiment_split
+    m = MTER(
+        n_user_factors=4, n_item_factors=4, n_aspect_factors=3,
+        n_opinion_factors=3, n_bpr_samples=32, n_element_samples=8,
+        max_iter=200, lr=0.1, seed=123, verbose=False,
+    ).fit(split.train_set)
+    # non-negative factors (projected Adagrad)
+    for tbl in (m.U, m.I, m.A, m.O, m.G1, m.G2, m.G3):
+        assert (tbl >= 0).all()
+    row = np.asarray(m.score(0))
+    assert row.shape[0] == m.num_items and np.isfinite(row).all()
+    batch = m.score_batch(np.array([0, 1]))
+    np.testing.assert_allclose(batch[0, : len(row)], row, rtol=1e-5, atol=1e-8)
+    avg, _ = ranking_eval(
+        m, [NDCG(k=3)], split.train_set, split.test_set, rating_threshold=3.0
+    )
+    assert np.isfinite(avg[0])
