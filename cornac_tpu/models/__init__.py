@@ -24,6 +24,7 @@ from .hpf import HPF
 from .ibpr import COE, IBPR, OnlineIBPR
 from .knn import ItemKNN, UserKNN
 from .lightgcn import LightGCN, NGCF
+from .lrppm import LRPPM
 from .mcf import MCF
 from .mter import MTER
 from .mmmf import MMMF
@@ -71,6 +72,7 @@ __all__ = [
     "IBPR",
     "ItemKNN",
     "LightGCN",
+    "LRPPM",
     "MCF",
     "MF",
     "MMMF",

@@ -58,6 +58,32 @@ class CsrLookup:
         found = (lo < row_end) & (indices[safe] == items)
         return found, jnp.where(found, data[safe], 0.0)
 
+    def query_position(self, users, items):
+        """Like query, but also returns the nnz position of each found pair
+        (0 when absent) — useful as a compact (user, item) pair id for
+        secondary lookups without 64-bit key encodings."""
+        indptr, indices, data = self.arrays
+        users = users.astype(jnp.int32)
+        items = items.astype(jnp.int32)
+        lo = indptr[users]
+        hi = indptr[users + 1]
+        row_end = hi
+
+        def step(_, carry):
+            lo, hi = carry
+            active = lo < hi
+            mid = (lo + hi) // 2
+            v = indices[jnp.maximum(mid, 0)]
+            go_right = v < items
+            new_lo = jnp.where(active & go_right, mid + 1, lo)
+            new_hi = jnp.where(active & ~go_right, mid, hi)
+            return new_lo, new_hi
+
+        lo, hi = jax.lax.fori_loop(0, self.search_steps, step, (lo, hi))
+        safe = jnp.minimum(lo, indices.shape[0] - 1)
+        found = (lo < row_end) & (indices[safe] == items)
+        return found, jnp.where(found, data[safe], 0.0), jnp.where(found, safe, 0)
+
 
 jax.tree_util.register_pytree_node(
     CsrLookup,

@@ -102,3 +102,24 @@ def test_mter(sentiment_split):
         m, [NDCG(k=3)], split.train_set, split.test_set, rating_threshold=3.0
     )
     assert np.isfinite(avg[0])
+
+
+def test_lrppm(sentiment_split):
+    from cornac_tpu.models import LRPPM
+
+    split = sentiment_split
+    m = LRPPM(
+        n_factors=4, n_samples=16, n_ranking_samples=32, max_iter=200,
+        num_top_aspects=3, lr=0.05, seed=123, verbose=False,
+    ).fit(split.train_set)
+    for tbl in (m.U, m.I, m.UA, m.IA):
+        assert (tbl >= 0).all()
+    row = np.asarray(m.score(0))
+    assert np.isfinite(row).all()
+    ranked, scores = m.rank(0, k=5)
+    batch = m.score_batch(np.array([0]))
+    np.testing.assert_allclose(batch[0, : len(scores)], scores, rtol=1e-6)
+    avg, _ = ranking_eval(
+        m, [NDCG(k=3)], split.train_set, split.test_set, rating_threshold=3.0
+    )
+    assert np.isfinite(avg[0])
