@@ -17,6 +17,7 @@ from .ctr import CTR
 from .cvae import CDR, CVAE
 from .ease import EASE
 from .efm import EFM
+from .fm import FM
 from .fpmc import FPMC
 from .gru4rec import GRU4Rec
 from .hft import HFT
@@ -33,6 +34,7 @@ from .ncf import GMF, MLP, NCFBase, NeuMF
 from .nmf import NMF
 from .pmf import PMF
 from .recvae import RecVAE
+from .sansa import SANSA
 from .sasrec import SASRec
 from .sbpr import SBPR
 from .skm import SKMeans
@@ -61,6 +63,7 @@ __all__ = [
     "EASE",
     "EFM",
     "FaissANN",
+    "FM",
     "FPMC",
     "GlobalAvg",
     "GMF",
@@ -89,6 +92,7 @@ __all__ = [
     "PMF",
     "Recommender",
     "RecVAE",
+    "SANSA",
     "SASRec",
     "SBPR",
     "ScaNNANN",

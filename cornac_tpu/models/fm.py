@@ -1,0 +1,274 @@
+"""FM — Factorization Machines (Rendle, 2012).
+
+Capability parity with reference ``cornac/models/fm/recom_fm.py:28``, which
+wraps the vendored libFM C++ library (Linux-only, SGD/SGDA/ALS/MCMC
+learners) over user+item one-hot features. TPU redesign: with the
+user/item one-hot design matrix the FM prediction reduces to
+
+    y(u, i) = k0*w0 + k1*(w_u + w_i) + k2 * <v_u, v_i>
+
+so training runs as fused minibatched device SGD (methods 'sgd'/'sgda') or
+coordinate ALS sweeps (methods 'als'/'mcmc' — MCMC's posterior-mean
+behavior is approximated by ALS with its regularization; documented
+deviation, the Gibbs sampler is not reimplemented).
+"""
+
+import warnings
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..exception import ScoreException
+from ..utils import get_rng
+from ..utils.init_utils import normal, zeros
+from .recommender import Recommender
+
+
+@partial(
+    jax.jit,
+    static_argnames=("batch_size", "use_w0", "use_w", "use_v"),
+    donate_argnums=(0, 1, 2),
+)
+def _fm_sgd(
+    w0, w, V, key, rid, cid_off, val, lr, regs, batch_size, use_w0, use_w, use_v, n_epochs
+):
+    n = rid.shape[0]
+    n_pad = (-n) % batch_size
+    n_total = n + n_pad
+    n_batches = n_total // batch_size
+    pad_mask = (jnp.arange(n_total) < n).astype(jnp.float32)
+    reg0, reg1, reg2 = regs
+
+    def epoch(e, carry):
+        w0, w, V, _ = carry
+        perm = jax.random.permutation(jax.random.fold_in(key, e), n_total) % n
+
+        def body(b, carry):
+            w0, w, V, loss = carry
+            idx = jax.lax.dynamic_slice(perm, (b * batch_size,), (batch_size,))
+            m = jax.lax.dynamic_slice(pad_mask, (b * batch_size,), (batch_size,))
+            u, i, r = rid[idx], cid_off[idx], val[idx]
+            pred = jnp.zeros_like(r)
+            if use_w0:
+                pred = pred + w0
+            if use_w:
+                pred = pred + w[u] + w[i]
+            if use_v:
+                pred = pred + jnp.sum(V[u] * V[i], axis=1)
+            e_ = (pred - r) * m
+            loss = loss + jnp.sum(e_ * e_)
+            if use_w0:
+                w0 = w0 - lr * (jnp.sum(e_) + reg0 * w0)
+            if use_w:
+                w = w.at[u].add(-lr * (e_ + reg1 * w[u] * m))
+                w = w.at[i].add(-lr * (e_ + reg1 * w[i] * m))
+            if use_v:
+                V = V.at[u].add(-lr * (e_[:, None] * V[i] + reg2 * V[u] * m[:, None]))
+                V = V.at[i].add(-lr * (e_[:, None] * V[u] + reg2 * V[i] * m[:, None]))
+            return w0, w, V, loss
+
+        return jax.lax.fori_loop(0, n_batches, body, (w0, w, V, jnp.float32(0.0)))
+
+    return jax.lax.fori_loop(0, n_epochs, epoch, (w0, w, V, jnp.float32(0.0)))
+
+
+class FM(Recommender):
+    """Factorization machine over user+item one-hot features."""
+
+    def __init__(
+        self,
+        name="FM",
+        k0=1,
+        k1=1,
+        k2=8,
+        max_iter=100,
+        learning_rate=0.01,
+        reg0=0.0,
+        reg1=0.0,
+        reg2=0.0,
+        reg_all=0.0,
+        init_stdev=0.1,
+        method="mcmc",
+        batch_size=1024,
+        trainable=True,
+        verbose=True,
+        init_params=None,
+        seed=None,
+    ):
+        super().__init__(name=name, trainable=trainable, verbose=verbose)
+        self.k0 = k0
+        self.k1 = k1
+        self.k2 = k2
+        self.max_iter = max_iter
+        self.learning_rate = learning_rate
+        self.reg0 = reg_all if reg_all != 0.0 else reg0
+        self.reg1 = reg_all if reg_all != 0.0 else reg1
+        self.reg2 = reg_all if reg_all != 0.0 else reg2
+        self.init_stdev = init_stdev
+        self.method = method.lower()
+        self.batch_size = batch_size
+        self.seed = seed
+
+        if self.method not in ("sgd", "sgda", "als", "mcmc"):
+            raise ValueError("Unknown method: {}".format(method))
+
+        self.init_params = {} if init_params is None else init_params
+        self.w0 = self.init_params.get("w0", None)
+        self.w = self.init_params.get("w", None)
+        self.V = self.init_params.get("V", None)
+
+    def fit(self, train_set, val_set=None):
+        Recommender.fit(self, train_set, val_set)
+        rng = get_rng(self.seed)
+        n_feat = self.num_users + self.num_items
+        if self.w0 is None:
+            self.w0 = 0.0
+        if self.w is None:
+            self.w = zeros(n_feat, dtype=np.float32)
+        if self.V is None:
+            self.V = normal(
+                (n_feat, max(self.k2, 1)), std=self.init_stdev, random_state=rng,
+                dtype=np.float32,
+            )
+        if not self.trainable:
+            return self
+
+        rid, cid, val = train_set.uir_tuple
+        cid_off = cid + self.num_users  # item feature block offset
+
+        if self.method in ("als", "mcmc"):
+            if self.method == "mcmc":
+                warnings.warn(
+                    "FM method 'mcmc' is approximated by ALS on this backend "
+                    "(the libFM Gibbs sampler is not reimplemented)."
+                )
+            self._fit_als(rid, cid_off, val)
+        else:
+            n = len(rid)
+            w0, w, V, _ = _fm_sgd(
+                jnp.float32(self.w0),
+                jnp.asarray(self.w),
+                jnp.asarray(self.V),
+                jax.random.PRNGKey(rng.randint(2**31)),
+                jnp.asarray(rid, dtype=jnp.int32),
+                jnp.asarray(cid_off, dtype=jnp.int32),
+                jnp.asarray(val, dtype=jnp.float32),
+                jnp.float32(self.learning_rate),
+                (
+                    jnp.float32(self.reg0),
+                    jnp.float32(self.reg1),
+                    jnp.float32(self.reg2),
+                ),
+                batch_size=min(self.batch_size, n),
+                use_w0=self.k0 > 0,
+                use_w=self.k1 > 0,
+                use_v=self.k2 > 0,
+                n_epochs=jnp.int32(self.max_iter),
+            )
+            self.w0 = float(w0)
+            self.w = np.asarray(w)
+            self.V = np.asarray(V)
+        return self
+
+    def _fit_als(self, rid, cid_off, val):
+        """Coordinate-descent sweeps on the degenerate two-feature design."""
+        w0, w, V = float(self.w0), self.w.astype(np.float64), self.V.astype(np.float64)
+        n = len(val)
+        def residual():
+            p = np.full(n, w0 if self.k0 else 0.0)
+            if self.k1:
+                p += w[rid] + w[cid_off]
+            if self.k2:
+                p += np.sum(V[rid] * V[cid_off], axis=1)
+            return val - p
+
+        for _ in range(self.max_iter):
+            if self.k0:
+                err = residual()
+                w0 = (err + w0).sum() / (n + self.reg0)
+
+            if self.k1:
+                for idx_arr in (rid, cid_off):
+                    err = residual()
+                    num = np.zeros_like(w)
+                    cnt = np.zeros_like(w)
+                    np.add.at(num, idx_arr, err + w[idx_arr])
+                    np.add.at(cnt, idx_arr, 1.0)
+                    upd = cnt > 0
+                    w[upd] = num[upd] / (cnt[upd] + self.reg1)
+            if self.k2:
+                for idx_arr, other_arr in ((rid, cid_off), (cid_off, rid)):
+                    err = residual()
+                    for f in range(self.V.shape[1]):
+                        h = V[other_arr, f]
+                        e_f = err + V[idx_arr, f] * h
+                        num = np.zeros(len(w))
+                        den = np.zeros(len(w))
+                        np.add.at(num, idx_arr, e_f * h)
+                        np.add.at(den, idx_arr, h * h)
+                        upd = den > 0
+                        V[upd, f] = num[upd] / (den[upd] + self.reg2)
+                        err = residual()
+        self.w0, self.w, self.V = w0, w, V
+
+    def _predict(self, users, items):
+        users = np.asarray(users)
+        items_off = np.asarray(items) + self.num_users
+        pred = np.zeros(len(users))
+        if self.k0:
+            pred += self.w0
+        if self.k1:
+            pred += self.w[users] + self.w[items_off]
+        if self.k2:
+            pred += np.sum(self.V[users] * self.V[items_off], axis=1)
+        return pred
+
+    def score(self, user_idx, item_idx=None):
+        if self.is_unknown_user(user_idx):
+            raise ScoreException("Can't make score prediction for user %d" % user_idx)
+        if item_idx is not None and self.is_unknown_item(item_idx):
+            raise ScoreException("Can't make score prediction for item %d" % item_idx)
+        if item_idx is None:
+            return self._predict(
+                np.full(self.num_items, user_idx), np.arange(self.num_items)
+            )
+        return float(self._predict([user_idx], [item_idx])[0])
+
+    def score_batch(self, user_indices):
+        users = np.asarray(user_indices)
+        known = (users >= 0) & (users < self.num_users)
+        safe = np.where(known, users, 0)
+        items = self.V[self.num_users : self.num_users + self.num_items]
+        scores = np.zeros((len(users), self.num_items))
+        if self.k0:
+            scores += self.w0
+        if self.k1:
+            scores += (
+                self.w[safe][:, None]
+                + self.w[self.num_users : self.num_users + self.num_items][None, :]
+            )
+        if self.k2:
+            scores += self.V[safe] @ items.T
+        scores[~known] = self.default_score()
+        total = self.total_items
+        if scores.shape[1] < total:
+            out = np.broadcast_to(
+                scores.min(axis=1, keepdims=True), (scores.shape[0], total)
+            ).copy()
+            out[:, : scores.shape[1]] = scores
+            return out
+        return scores
+
+    def score_pairs(self, user_indices, item_indices):
+        users = np.asarray(user_indices)
+        items = np.asarray(item_indices)
+        known = (
+            (users >= 0)
+            & (users < self.num_users)
+            & (items >= 0)
+            & (items < self.num_items)
+        )
+        preds = self._predict(np.where(known, users, 0), np.where(known, items, 0))
+        return np.where(known, preds, self.default_score())

@@ -215,3 +215,43 @@ class TestModelQuality:
         pos = m.score_pairs(u[ok], i[ok])
         neg = m.score_pairs(u[ok], j[ok])
         assert (pos > neg).mean() > 0.8
+
+
+@pytest.mark.parametrize(
+    "make_model",
+    [
+        lambda: __import__("cornac_tpu.models", fromlist=["FM"]).FM(
+            k2=4, max_iter=10, method="sgd", verbose=False, seed=1,
+        ),
+        lambda: __import__("cornac_tpu.models", fromlist=["FM"]).FM(
+            k2=4, max_iter=3, method="als", verbose=False, seed=1,
+        ),
+        lambda: __import__("cornac_tpu.models", fromlist=["FM"]).FM(
+            k0=0, k1=1, k2=0, max_iter=5, method="sgd", verbose=False, seed=1,
+        ),
+        lambda: __import__("cornac_tpu.models", fromlist=["SANSA"]).SANSA(
+            l2=10.0, weight_matrix_density=0.2, verbose=False,
+        ),
+    ],
+    ids=["FM-sgd", "FM-als", "FM-linear", "SANSA"],
+)
+def test_fm_sansa(split, make_model):
+    m = make_model().fit(split.train_set)
+    row = np.asarray(m.score(0))
+    assert row.shape[0] == m.num_items and np.isfinite(row).all()
+    batch = m.score_batch(np.array([0, 1]))
+    np.testing.assert_allclose(batch[0, : len(row)], row, rtol=1e-4, atol=1e-5)
+
+
+def test_sansa_density(split):
+    from cornac_tpu.models import SANSA
+
+    m = SANSA(l2=10.0, weight_matrix_density=0.1, verbose=False).fit(split.train_set)
+    assert m.W.nnz <= 0.11 * m.W.shape[0] * m.W.shape[1]
+
+
+def test_fm_mcmc_warns(split):
+    from cornac_tpu.models import FM
+
+    with pytest.warns(UserWarning):
+        FM(k2=2, max_iter=1, method="mcmc", verbose=False).fit(split.train_set)
