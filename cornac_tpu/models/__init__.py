@@ -40,6 +40,7 @@ from .sbpr import SBPR
 from .skm import SKMeans
 from .spop import SPop
 from .sorec import SoRec
+from .transformer_rec import BERT4Rec, TransformerRec
 from .trirank import TriRank
 from .vaecf import VAECF
 from .vbpr import AMR, VBPR
@@ -102,6 +103,7 @@ __all__ = [
     "SVD",
     "TIFUKNN",
     "TPUExactANN",
+    "TransformerRec",
     "TriRank",
     "UPCF",
     "UserKNN",

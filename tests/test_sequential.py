@@ -115,3 +115,37 @@ def test_gru4rec_learns_repetitive_pattern():
     gru = GRU4Rec(layers=[16], n_epochs=60, batch_size=16, max_len=6, learning_rate=0.1, seed=7)
     res, _ = nie.evaluate(gru, [HitRatio(k=1)], user_based=False)
     assert res.metric_avg_results["HitRatio@1"] > 0.5  # chance = 1/12
+
+
+@pytest.mark.parametrize(
+    "make_model",
+    [
+        lambda: __import__("cornac_tpu.models", fromlist=["BERT4Rec"]).BERT4Rec(
+            embedding_dim=8, n_layers=1, n_heads=2, max_len=10, n_epochs=2,
+            batch_size=8, seed=1,
+        ),
+        lambda: __import__("cornac_tpu.models", fromlist=["TransformerRec"]).TransformerRec(
+            backbone="gpt2", objective="clm", embedding_dim=8, n_layers=1,
+            n_heads=2, max_len=10, n_epochs=2, batch_size=8, seed=1,
+        ),
+    ],
+    ids=["BERT4Rec", "TransformerRec-gpt2-clm"],
+)
+def test_transformer_rec(nie, make_model):
+    model = make_model()
+    result, _ = nie.evaluate(model, [HitRatio(k=5), NDCG(k=5)], user_based=False)
+    for name, value in result.metric_avg_results.items():
+        assert np.isfinite(value), name
+
+
+def test_transformer_rec_validation():
+    from cornac_tpu.models import TransformerRec
+
+    with pytest.raises(ValueError):
+        TransformerRec(backbone="nope")
+    with pytest.raises(NotImplementedError):
+        TransformerRec(objective="rtd")
+    with pytest.warns(UserWarning):
+        TransformerRec(objective="plm")
+    with pytest.warns(UserWarning):
+        TransformerRec(backbone="xlnet")
