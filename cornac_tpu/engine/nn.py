@@ -17,6 +17,11 @@ ACTIVATIONS = {
     "elu": jax.nn.elu,
     "relu": jax.nn.relu,
     "relu6": jax.nn.relu6,
+    "leaky_relu": jax.nn.leaky_relu,
+    "leaky": jax.nn.leaky_relu,
+    "gelu": jax.nn.gelu,
+    "softplus": jax.nn.softplus,
+    "none": lambda x: x,
 }
 
 

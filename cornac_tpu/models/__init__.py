@@ -15,7 +15,9 @@ from .cdl import CDL
 from .convmf import ConvMF
 from .ctr import CTR
 from .cvae import CDR, CVAE
+from .cvaecf import CVAECF
 from .ease import EASE
+from .gcmc import GCMC
 from .efm import EFM
 from .fm import FM
 from .fpmc import FPMC
@@ -59,7 +61,9 @@ __all__ = [
     "COE",
     "ConvMF",
     "CVAE",
+    "CVAECF",
     "CTR",
+    "GCMC",
     "BiVAECF",
     "EASE",
     "EFM",

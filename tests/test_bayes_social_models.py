@@ -82,3 +82,32 @@ def test_embedding_triplet_models(make_model):
     assert row.shape[0] == m.num_items and np.isfinite(row).all()
     batch = m.score_batch(np.array([0, 1]))
     np.testing.assert_allclose(batch[0, : len(row)], row, rtol=1e-4, atol=1e-5)
+
+
+def test_cvaecf():
+    from cornac_tpu.models import CVAECF
+
+    rng = np.random.RandomState(3)
+    ids = [f"user{i}" for i in range(15)]
+    edges = [(ids[rng.randint(15)], ids[rng.randint(15)], 1.0) for _ in range(40)]
+    rs = RatioSplit(
+        data=_uir_data(), test_size=0.2, seed=123,
+        user_graph=GraphModality(data=edges),
+    )
+    m = CVAECF(
+        z_dim=4, h_dim=4, autoencoder_structure=[8], n_epochs=3,
+        batch_size=8, seed=123,
+    ).fit(rs.train_set)
+    row = np.asarray(m.score(0))
+    assert row.shape[0] == m.num_items and np.isfinite(row).all()
+    batch = m.score_batch(np.array([0, 1]))
+    np.testing.assert_allclose(batch[0, : len(row)], row, rtol=1e-4, atol=1e-6)
+    assert np.isfinite(m.score(0, 1))
+
+
+def test_cvaecf_requires_graph():
+    from cornac_tpu.models import CVAECF
+
+    rs = RatioSplit(data=_uir_data(), test_size=0.2, seed=123)
+    with pytest.raises(ValueError):
+        CVAECF(n_epochs=1).fit(rs.train_set)

@@ -121,3 +121,40 @@ def test_more_visual_models(image_split, make_model):
     assert np.isfinite(row).all()
     batch = m.score_batch(np.array([0, 1]))
     np.testing.assert_allclose(batch[0, : len(row)], row, rtol=1e-4, atol=1e-6)
+
+
+class TestGCMC:
+    def test_fit_score_transform(self, split):
+        from cornac_tpu.models import GCMC
+
+        m = GCMC(
+            max_iter=8, gcn_agg_units=12, gcn_out_units=6, gcn_dropout=0.3,
+            train_valid_interval=2, seed=123, learning_rate=0.05,
+        ).fit(split.train_set, split.val_set if hasattr(split, "val_set") else None)
+        row = np.asarray(m.score(0))
+        assert row.shape[0] == m.num_items and np.isfinite(row).all()
+        # expected ratings live inside the observed rating range
+        vals = m.rating_values
+        assert row.min() >= vals.min() - 1e-4 and row.max() <= vals.max() + 1e-4
+        batch = m.score_batch(np.array([0, 1]))
+        np.testing.assert_allclose(batch[0, : len(row)], row, rtol=1e-4, atol=1e-5)
+        # transform caches test-pair predictions
+        m.transform(split.test_set)
+        tu, ti, _ = split.test_set.uir_tuple
+        key = "%d-%d" % (tu[0], ti[0])
+        assert key in m.u_i_rating_dict
+        assert np.isclose(
+            m.u_i_rating_dict[key], m.score(int(tu[0]), int(ti[0])), atol=1e-4
+        )
+
+    def test_sum_accum_and_valid(self, split):
+        from cornac_tpu.models import GCMC
+
+        rs = split
+        m = GCMC(
+            max_iter=6, gcn_agg_units=8, gcn_out_units=4, gcn_agg_accum="sum",
+            train_valid_interval=2, train_decay_patience=1,
+            train_early_stopping_patience=50, seed=7, learning_rate=0.05,
+        )
+        m.fit(rs.train_set, rs.test_set)  # use test split as valid for the protocol
+        assert np.isfinite(m.score(1)).all()
