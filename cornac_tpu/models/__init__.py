@@ -24,6 +24,7 @@ from .fpmc import FPMC
 from .gru4rec import GRU4Rec
 from .hft import HFT
 from .hpf import HPF
+from .hrdr import HRDR
 from .ibpr import COE, IBPR, OnlineIBPR
 from .knn import ItemKNN, UserKNN
 from .lightgcn import LightGCN, NGCF
@@ -32,8 +33,10 @@ from .mcf import MCF
 from .mter import MTER
 from .mmmf import MMMF
 from .mf import MF, SVD
+from .narre import NARRE
 from .ncf import GMF, MLP, NCFBase, NeuMF
 from .nmf import NMF
+from .pcrl import PCRL
 from .pmf import PMF
 from .recvae import RecVAE
 from .sansa import SANSA
@@ -77,6 +80,9 @@ __all__ = [
     "HFT",
     "HNSWLibANN",
     "HPF",
+    "HRDR",
+    "NARRE",
+    "PCRL",
     "IBPR",
     "ItemKNN",
     "LightGCN",

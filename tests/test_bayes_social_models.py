@@ -111,3 +111,34 @@ def test_cvaecf_requires_graph():
     rs = RatioSplit(data=_uir_data(), test_size=0.2, seed=123)
     with pytest.raises(ValueError):
         CVAECF(n_epochs=1).fit(rs.train_set)
+
+
+def test_pcrl():
+    from cornac_tpu.models import PCRL
+
+    rng = np.random.RandomState(9)
+    ids = [f"item{i}" for i in range(20)]
+    edges = [(ids[rng.randint(20)], ids[rng.randint(20)], 1.0) for _ in range(60)]
+    rs = RatioSplit(
+        data=_uir_data(), test_size=0.2, seed=123,
+        item_graph=GraphModality(data=edges),
+    )
+    m = PCRL(k=4, z_dims=[8], max_iter=3, batch_size=8, seed=123).fit(rs.train_set)
+    assert (m.Theta >= 0).all() and (m.Beta >= 0).all()
+    row = np.asarray(m.score(0))
+    assert row.shape[0] == m.num_items and np.isfinite(row).all()
+    batch = m.score_batch(np.array([0, 1]))
+    np.testing.assert_allclose(batch[0, : len(row)], row, rtol=1e-4, atol=1e-6)
+    # stochastic generator weights path
+    m2 = PCRL(
+        k=4, z_dims=[8], max_iter=2, batch_size=8, w_determinist=False, seed=1
+    ).fit(rs.train_set)
+    assert np.isfinite(np.asarray(m2.score(0))).all()
+
+
+def test_pcrl_requires_item_graph():
+    from cornac_tpu.models import PCRL
+
+    rs = RatioSplit(data=_uir_data(), test_size=0.2, seed=1)
+    with pytest.raises(ValueError):
+        PCRL(k=2, max_iter=1).fit(rs.train_set)
