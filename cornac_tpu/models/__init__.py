@@ -10,12 +10,16 @@ from .bivaecf import BiVAECF
 from .baseline import BaselineOnly, GlobalAvg, MostPop
 from .basket import GPTop, TIFUKNN, UPCF
 from .bpr import BPR, WBPR
+from .c2pf import C2PF
 from .causalrec import CausalRec
 from .cdl import CDL
+from .companion import Companion
+from .comparer import ComparERObj, ComparERSub
 from .convmf import ConvMF
 from .ctr import CTR
 from .cvae import CDR, CVAE
 from .cvaecf import CVAECF
+from .dmrl import DMRL
 from .ease import EASE
 from .gcmc import GCMC
 from .efm import EFM
@@ -58,14 +62,19 @@ __all__ = [
     "AnnoyANN",
     "BaseANN",
     "BPR",
+    "C2PF",
     "BaselineOnly",
     "CDL",
     "CDR",
+    "Companion",
+    "ComparERObj",
+    "ComparERSub",
     "COE",
     "ConvMF",
     "CVAE",
     "CVAECF",
     "CTR",
+    "DMRL",
     "GCMC",
     "BiVAECF",
     "EASE",

@@ -25,7 +25,10 @@ from ..utils.init_utils import uniform
 from .recommender import Recommender
 
 
-@partial(jax.jit, donate_argnums=(0, 1, 2, 3, 4))
+@partial(
+    jax.jit, donate_argnums=(0, 1, 2, 3, 4),
+    static_argnames=("use_pairs", "model_type"),
+)
 def _efm_fit(
     U1, U2, V, H1, H2,
     A_u, A_i, A_v,
@@ -36,11 +39,38 @@ def _efm_fit(
     Y_item_counts, Y_aspect_counts,
     lambda_x, lambda_y, lambda_u, lambda_h, lambda_v,
     n_iters,
+    # optional comparative-constraint stream (ComparERObj); use_pairs=False => off
+    p_early=None, p_late=None, p_asp=None, p_w=None,
+    use_pairs=False, model_type=0,
 ):
     eps = 1e-9
 
     def body(_, carry):
         U1, U2, V, H1, H2 = carry
+
+        # comparative aspect constraints (ComparERObj,
+        # recom_comparer_obj.pyx:325-345): later item j should beat earlier
+        # item i on aspect k.  model_type: 0=Finer (always), 1=Dominant
+        # (only when currently violated), 2=Around (only when satisfied).
+        pair_num_U2 = jnp.zeros_like(U2)
+        pair_den_U2 = jnp.zeros_like(U2)
+        pair_num_V = jnp.zeros_like(V)
+        pair_den_V = jnp.zeros_like(V)
+        if use_pairs:
+            s_i = jnp.sum(U2[p_early] * V[p_asp], axis=1)
+            s_j = jnp.sum(U2[p_late] * V[p_asp], axis=1)
+            if model_type == 1:
+                gate = (s_i < s_j).astype(jnp.float32)
+            elif model_type == 2:
+                gate = (s_i > s_j).astype(jnp.float32)
+            else:
+                gate = 1.0
+            z = 1.0 / (1.0 + jnp.exp(s_j - s_i))
+            grad = p_w * z * gate
+            pair_den_U2 = pair_den_U2.at[p_early].add(grad[:, None] * V[p_asp])
+            pair_num_U2 = pair_num_U2.at[p_late].add(grad[:, None] * V[p_asp])
+            pair_den_V = pair_den_V.at[p_asp].add(grad[:, None] * U2[p_early])
+            pair_num_V = pair_num_V.at[p_asp].add(grad[:, None] * U2[p_late])
 
         # ratings stream: A ~ U1 U2^T + H1 H2^T
         pred_A = jnp.sum(U1[A_u] * U2[A_i], axis=1) + jnp.sum(
@@ -70,16 +100,18 @@ def _efm_fit(
         U2_den = U2_den.at[Y_i].add(lambda_y * pred_Y[:, None] * V[Y_a])
 
         V = V * jnp.sqrt(
-            V_num
-            / (V_den + (X_aspect_counts + Y_aspect_counts)[:, None] * lambda_v * V + eps)
+            (V_num + pair_num_V)
+            / (V_den + pair_den_V
+               + (X_aspect_counts + Y_aspect_counts)[:, None] * lambda_v * V + eps)
         )
         U1 = U1 * jnp.sqrt(
             U1_num
             / (U1_den + (A_user_counts + X_user_counts)[:, None] * lambda_u * U1 + eps)
         )
         U2 = U2 * jnp.sqrt(
-            U2_num
-            / (U2_den + (A_item_counts + Y_item_counts)[:, None] * lambda_u * U2 + eps)
+            (U2_num + pair_num_U2)
+            / (U2_den + pair_den_U2
+               + (A_item_counts + Y_item_counts)[:, None] * lambda_u * U2 + eps)
         )
         H1 = H1 * jnp.sqrt(
             H1_num / (H1_den + A_user_counts[:, None] * lambda_h * H1 + eps)

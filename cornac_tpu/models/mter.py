@@ -30,7 +30,9 @@ def _tucker3(G, u, i, a):
     return jnp.einsum("sp,sq,sr,pqr->s", u, i, a, G)
 
 
-@partial(jax.jit, donate_argnums=(0,), static_argnames=("n_el", "n_bpr"))
+@partial(
+    jax.jit, donate_argnums=(0,), static_argnames=("n_el", "n_bpr", "n_pair")
+)
 def _mter_fit(
     state,
     key,
@@ -43,6 +45,8 @@ def _mter_fit(
     n_iters,
     n_el,
     n_bpr,
+    # optional comparative-constraint stream (ComparERSub); n_pair=0 => off
+    p_u=None, p_early=None, p_late=None, p_asp=None, ld_d=None, n_pair=0,
 ):
     params, sgrads = state
     n_items = params["I"].shape[0]
@@ -117,6 +121,37 @@ def _mter_fit(
         grads["A"] = grads["A"].at[n_aspects].add(
             -jnp.einsum("s,sp,sq,pqr->r", del_bpr, Uu, i_ij, params["G1"])
         )
+
+        if n_pair > 0:
+            # comparative aspect-BPR stream (ComparERSub,
+            # recom_comparer_sub.pyx:667-694): for a sampled chrono pair
+            # (u, earlier i, later j, aspect a), push score(u,j,a) above
+            # score(u,i,a)
+            k6 = jax.random.fold_in(ikey, 6)
+            sp_ = jax.random.randint(k6, (n_pair,), 0, p_u.shape[0])
+            pu = params["U"][p_u[sp_]]
+            pi = params["I"][p_early[sp_]]
+            pj = params["I"][p_late[sp_]]
+            pa = params["A"][p_asp[sp_]]
+            pred_p = _tucker3(params["G1"], pu, pj, pa) - _tucker3(
+                params["G1"], pu, pi, pa
+            )
+            zp = 1.0 / (1.0 + jnp.exp(pred_p))
+            del_p = ld_d * zp
+            a_ji = pj - pi
+            grads["G1"] = grads["G1"] - jnp.einsum(
+                "s,sp,sq,sr->pqr", del_p, pu, a_ji, pa
+            )
+            grads["U"] = grads["U"].at[p_u[sp_]].add(
+                -jnp.einsum("s,sq,sr,pqr->sp", del_p, a_ji, pa, params["G1"])
+            )
+            g_pi = jnp.einsum("s,sp,sr,pqr->sq", del_p, pu, pa, params["G1"])
+            grads["I"] = (
+                grads["I"].at[p_late[sp_]].add(-g_pi).at[p_early[sp_]].add(g_pi)
+            )
+            grads["A"] = grads["A"].at[p_asp[sp_]].add(
+                -jnp.einsum("s,sp,sq,pqr->sr", del_p, pu, a_ji, params["G1"])
+            )
 
         # Adagrad + reg (gated on touched entries) + non-negativity
         new_params, new_sgrads = {}, {}

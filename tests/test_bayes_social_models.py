@@ -142,3 +142,33 @@ def test_pcrl_requires_item_graph():
     rs = RatioSplit(data=_uir_data(), test_size=0.2, seed=1)
     with pytest.raises(ValueError):
         PCRL(k=2, max_iter=1).fit(rs.train_set)
+
+
+@pytest.mark.parametrize("variant", ["c2pf", "tc2pf", "rc2pf"])
+def test_c2pf(variant):
+    from cornac_tpu.models import C2PF
+
+    rng = np.random.RandomState(11)
+    ids = [f"item{i}" for i in range(20)]
+    edges = [(ids[rng.randint(20)], ids[rng.randint(20)], 1.0) for _ in range(50)]
+    rs = RatioSplit(
+        data=_uir_data(), test_size=0.2, seed=123,
+        item_graph=GraphModality(data=edges),
+    )
+    m = C2PF(k=4, max_iter=10, variant=variant, seed=123).fit(rs.train_set)
+    assert m.name == variant.upper()
+    assert (m.Theta >= 0).all()
+    row = np.asarray(m.score(0))
+    assert row.shape[0] == m.num_items and np.isfinite(row).all()
+    batch = m.score_batch(np.array([0, 1]))
+    np.testing.assert_allclose(batch[0, : len(row)], row, rtol=1e-4, atol=1e-6)
+
+
+def test_c2pf_validation():
+    from cornac_tpu.models import C2PF
+
+    with pytest.raises(ValueError):
+        C2PF(variant="bogus")
+    rs = RatioSplit(data=_uir_data(), test_size=0.2, seed=1)
+    with pytest.raises(ValueError):
+        C2PF(k=2, max_iter=1).fit(rs.train_set)

@@ -123,3 +123,85 @@ def test_lrppm(sentiment_split):
         m, [NDCG(k=3)], split.train_set, split.test_set, rating_threshold=3.0
     )
     assert np.isfinite(avg[0])
+
+
+@pytest.fixture(scope="module")
+def sentiment_chrono_split():
+    data = Reader().read(os.path.join(DATA_DIR, "rating.txt"), fmt="UIRT")
+    rng = np.random.RandomState(4)
+    lexicon = []
+    for u, i, r, t in data:
+        tuples = [
+            (
+                ASPECTS[rng.randint(len(ASPECTS))],
+                OPINIONS[rng.randint(len(OPINIONS))],
+                float(rng.choice([-1, 1])),
+            )
+            for _ in range(rng.randint(1, 4))
+        ]
+        lexicon.append((u, i, tuples))
+    return RatioSplit(
+        data=data, fmt="UIRT", test_size=0.2, rating_threshold=3.0, seed=123,
+        sentiment=SentimentModality(data=lexicon),
+    )
+
+
+@pytest.mark.parametrize("model_type", ["Finer", "Dominant", "Around"])
+def test_comparer_obj(sentiment_chrono_split, model_type):
+    sentiment_split = sentiment_chrono_split
+    from cornac_tpu.models import ComparERObj
+
+    m = ComparERObj(
+        model_type=model_type, num_explicit_factors=4, num_latent_factors=4,
+        num_most_cared_aspects=3, max_iter=10, min_user_freq=1, seed=123,
+        verbose=False,
+    ).fit(sentiment_split.train_set)
+    row = np.asarray(m.score(0))
+    assert row.shape[0] == m.num_items and np.isfinite(row).all()
+    ranked, _ = m.rank(0, k=5)
+    assert len(ranked) == m.total_items
+    batch = m.score_batch(np.array([0, 1]))
+    assert np.isfinite(batch).all()
+
+
+def test_comparer_obj_validation(sentiment_split):
+    from cornac_tpu.models import ComparERObj
+
+    with pytest.raises(ValueError):
+        ComparERObj(model_type="bogus")
+
+
+def test_comparer_sub(sentiment_chrono_split):
+    sentiment_split = sentiment_chrono_split
+    from cornac_tpu.models import ComparERSub
+
+    m = ComparERSub(
+        n_user_factors=4, n_item_factors=4, n_aspect_factors=4,
+        n_opinion_factors=4, n_pair_samples=20, n_bpr_samples=20,
+        n_element_samples=20, min_user_freq=1, max_iter=30, lr=0.1,
+        seed=123, verbose=False,
+    ).fit(sentiment_split.train_set)
+    assert (m.U >= 0).all() and (m.I >= 0).all()  # non-negativity projection
+    row = np.asarray(m.score(0))
+    assert row.shape[0] == m.num_items and np.isfinite(row).all()
+    batch = m.score_batch(np.array([0, 1]))
+    np.testing.assert_allclose(batch[0, : len(row)], row, rtol=1e-4, atol=1e-5)
+
+
+def test_companion(sentiment_split):
+    from cornac_tpu.models import Companion
+
+    m = Companion(
+        n_user_factors=4, n_item_factors=4, n_aspect_factors=4,
+        n_opinion_factors=4, n_element_samples=10, n_bpr_samples=10,
+        n_aspect_ranking_samples=10, n_opinion_ranking_samples=10,
+        max_iter=30, lr=0.5, seed=123, verbose=False,
+    ).fit(sentiment_split.train_set)
+    assert (m.U >= 0).all() and (m.O >= 0).all()
+    assert m.G2.shape[0] == m.n_user_factors + m.n_item_factors
+    row = np.asarray(m.score(0))
+    assert row.shape[0] == m.num_items and np.isfinite(row).all()
+    ranked, scores = m.rank(0, k=5)
+    assert len(ranked) == m.total_items
+    batch = m.score_batch(np.array([0, 1]))
+    np.testing.assert_allclose(batch[0, : len(row)], row, rtol=1e-4, atol=1e-5)

@@ -158,3 +158,48 @@ class TestGCMC:
         )
         m.fit(rs.train_set, rs.test_set)  # use test split as valid for the protocol
         assert np.isfinite(m.score(1)).all()
+
+
+class TestDMRL:
+    def _split(self, with_text=True, with_image=True):
+        from cornac_tpu.data import ImageModality, Reader, TextModality
+
+        data = Reader().read(os.path.join(DATA_DIR, "rating.txt"), fmt="UIR")
+        rng = np.random.RandomState(2)
+        iids = sorted({i for _, i, _ in data})
+        kwargs = {}
+        if with_text:
+            docs = ["alpha beta gamma delta " * (1 + k % 3) for k in range(len(iids))]
+            kwargs["item_text"] = TextModality(corpus=docs, ids=iids, max_vocab=30)
+        if with_image:
+            kwargs["item_image"] = ImageModality(
+                features=rng.rand(len(iids), 6).astype(np.float32), ids=iids
+            )
+        return RatioSplit(data=data, test_size=0.2, seed=123, **kwargs)
+
+    @pytest.mark.parametrize(
+        "with_text,with_image",
+        [(True, False), (False, True), (True, True)],
+        ids=["text", "image", "both"],
+    )
+    def test_fit_score(self, with_text, with_image):
+        from cornac_tpu.models import DMRL
+
+        rs = self._split(with_text, with_image)
+        m = DMRL(
+            embedding_dim=8, num_factors=2, num_neg=2, epochs=2,
+            batch_size=16, seed=123,
+        ).fit(rs.train_set)
+        row = np.asarray(m.score(0))
+        assert row.shape[0] == m.num_items and np.isfinite(row).all()
+        batch = m.score_batch(np.array([0, 1]))
+        np.testing.assert_allclose(batch[0, : len(row)], row, rtol=1e-4, atol=1e-5)
+
+    def test_validation(self):
+        from cornac_tpu.models import DMRL
+
+        with pytest.raises(ValueError):
+            DMRL(embedding_dim=10, num_factors=3)
+        rs = self._split(False, False)
+        with pytest.raises(ValueError):
+            DMRL(embedding_dim=8, num_factors=2, epochs=1).fit(rs.train_set)
