@@ -9,6 +9,7 @@ from .ann import AnnoyANN, BaseANN, FaissANN, HNSWLibANN, ScaNNANN, TPUExactANN
 from .bivaecf import BiVAECF
 from .baseline import BaselineOnly, GlobalAvg, MostPop
 from .basket import GPTop, TIFUKNN, UPCF
+from .beacon import Beacon
 from .bpr import BPR, WBPR
 from .c2pf import C2PF
 from .causalrec import CausalRec
@@ -20,6 +21,7 @@ from .ctr import CTR
 from .cvae import CDR, CVAE
 from .cvaecf import CVAECF
 from .dmrl import DMRL
+from .dnntsp import DNNTSP
 from .ease import EASE
 from .gcmc import GCMC
 from .efm import EFM
@@ -64,6 +66,7 @@ __all__ = [
     "BPR",
     "C2PF",
     "BaselineOnly",
+    "Beacon",
     "CDL",
     "CDR",
     "Companion",
@@ -75,6 +78,7 @@ __all__ = [
     "CVAECF",
     "CTR",
     "DMRL",
+    "DNNTSP",
     "GCMC",
     "BiVAECF",
     "EASE",

@@ -71,3 +71,50 @@ def test_gptop_personal_beats_global_on_repetitive_data():
         >= global_only.metric_avg_results["HitRatio@4"]
     )
     assert personal.metric_avg_results["HitRatio@4"] == 1.0  # perfect rebuy data
+
+
+@pytest.mark.parametrize("cell", ["LSTM", "GRU", "RNN"])
+def test_beacon(nbe, cell):
+    from cornac_tpu.models import Beacon
+
+    m = Beacon(
+        emb_dim=4, rnn_unit=4, rnn_cell_type=cell, n_epochs=2, batch_size=8,
+        nb_hop=2, seed=123, verbose=False,
+    )
+    result, _ = nbe.evaluate(m, [HitRatio(k=5), Recall(k=5)], user_based=False)
+    for name, value in result.metric_avg_results.items():
+        assert np.isfinite(value), name
+    # direct scoring with an explicit history
+    row = m.score(0, [[0, 1], [2]])
+    assert row.shape[0] >= m.num_items and np.isfinite(row).all()
+
+
+def test_beacon_validation():
+    from cornac_tpu.models import Beacon
+
+    with pytest.raises(ValueError):
+        Beacon(rnn_cell_type="nope")
+
+
+@pytest.mark.parametrize("loss_type", ["bpr", "mse", "weight_mse"])
+def test_dnntsp(nbe, loss_type):
+    from cornac_tpu.models import DNNTSP
+
+    m = DNNTSP(
+        emb_dim=8, loss_type=loss_type, n_epochs=2, batch_size=8, seed=123,
+        verbose=False,
+    )
+    result, _ = nbe.evaluate(m, [HitRatio(k=5), Recall(k=5)], user_based=False)
+    for name, value in result.metric_avg_results.items():
+        assert np.isfinite(value), name
+    row = m.score(0, [[0, 1], [2, 0]])
+    assert row.shape[0] >= m.num_items and np.isfinite(row).all()
+
+
+def test_dnntsp_validation():
+    from cornac_tpu.models import DNNTSP
+
+    with pytest.raises(ValueError):
+        DNNTSP(loss_type="nope")
+    with pytest.raises(ValueError):
+        DNNTSP(emb_dim=10)
