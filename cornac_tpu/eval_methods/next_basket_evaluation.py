@@ -64,7 +64,16 @@ def ranking_eval(
 
             scores = np.asarray(
                 model.score_baskets_batch(users, histories), dtype=np.float64
-            )[:, :n_items]
+            )
+            if scores.shape[1] < n_items:
+                fill = scores.min(axis=1, keepdims=True)
+                expanded = np.broadcast_to(
+                    fill, (scores.shape[0], n_items)
+                ).copy()
+                expanded[:, : scores.shape[1]] = scores
+                scores = expanded
+            else:
+                scores = scores[:, :n_items]
 
             pos_mask = np.zeros((len(chunk), n_items), dtype=bool)
             for b, t in enumerate(chunk):

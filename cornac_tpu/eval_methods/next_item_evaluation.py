@@ -28,6 +28,18 @@ from .base_method import BaseMethod
 EVALUATION_MODES = frozenset(["last", "next"])
 
 
+
+def _fit_width(scores, n_items):
+    """Slice or min-fill-expand a score matrix to exactly n_items columns
+    (models trained before eval-time unknowns may return narrower rows)."""
+    if scores.shape[1] >= n_items:
+        return scores[:, :n_items]
+    fill = scores.min(axis=1, keepdims=True)
+    out = np.broadcast_to(fill, (scores.shape[0], n_items)).copy()
+    out[:, : scores.shape[1]] = scores
+    return out
+
+
 def ranking_eval(
     model,
     metrics,
@@ -75,9 +87,12 @@ def ranking_eval(
         histories = [t[2] for t in chunk]
         targets = np.asarray([t[3] for t in chunk])
 
-        scores = np.asarray(
-            model.score_history_batch(users, histories), dtype=np.float64
-        )[:, :n_items]
+        scores = _fit_width(
+            np.asarray(
+                model.score_history_batch(users, histories), dtype=np.float64
+            ),
+            n_items,
+        )
 
         pos_mask = np.zeros((len(chunk), n_items), dtype=bool)
         in_range = targets < n_items
@@ -185,8 +200,17 @@ class NextItemEvaluation(BaseMethod):
         self.total_sessions += self.test_set.num_sessions + self.train_set.num_sessions
 
     def _build_modalities(self):
-        # sequential protocols carry no auxiliary modalities
-        pass
+        # sequential protocols carry item-side auxiliary modalities (e.g.
+        # TIGER's precomputed content embeddings via item_feature)
+        for item_modality in [self.item_feature, self.item_text, self.item_image]:
+            if item_modality is None:
+                continue
+            item_modality.build(id_map=self.global_iid_map)
+        self.add_modalities(
+            item_feature=self.item_feature,
+            item_text=self.item_text,
+            item_image=self.item_image,
+        )
 
     @staticmethod
     def eval(

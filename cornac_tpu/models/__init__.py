@@ -31,6 +31,7 @@ from .gru4rec import GRU4Rec
 from .hft import HFT
 from .hpf import HPF
 from .hrdr import HRDR
+from .hypar import HypAR
 from .ibpr import COE, IBPR, OnlineIBPR
 from .knn import ItemKNN, UserKNN
 from .lightgcn import LightGCN, NGCF
@@ -51,6 +52,13 @@ from .sbpr import SBPR
 from .skm import SKMeans
 from .spop import SPop
 from .sorec import SoRec
+from .tiger import TIGER
+from .tiger_configs import (
+    GRID_CONFIG,
+    PAISCHER_CONFIG,
+    PAISCHER_SPORTS_CONFIG,
+    PAISCHER_TOYS_CONFIG,
+)
 from .transformer_rec import BERT4Rec, TransformerRec
 from .trirank import TriRank
 from .vaecf import VAECF
@@ -94,6 +102,7 @@ __all__ = [
     "HNSWLibANN",
     "HPF",
     "HRDR",
+    "HypAR",
     "NARRE",
     "PCRL",
     "IBPR",
@@ -125,6 +134,11 @@ __all__ = [
     "SPop",
     "SVD",
     "TIFUKNN",
+    "TIGER",
+    "GRID_CONFIG",
+    "PAISCHER_CONFIG",
+    "PAISCHER_SPORTS_CONFIG",
+    "PAISCHER_TOYS_CONFIG",
     "TPUExactANN",
     "TransformerRec",
     "TriRank",

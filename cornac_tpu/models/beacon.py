@@ -370,6 +370,4 @@ class Beacon(NextBasketRecommender):
         logits = self._forward(
             self.params, jnp.asarray(ids), jnp.asarray(lengths), None
         )
-        return np.asarray(jax.nn.sigmoid(logits), np.float64)[
-            :, : self.num_items
-        ]
+        return np.asarray(jax.nn.sigmoid(logits), np.float64)

@@ -310,4 +310,4 @@ class DNNTSP(NextBasketRecommender):
         scores = _forward(
             self.params, node_ids, node_mask, W, lengths, self.total_items
         )
-        return np.asarray(scores, np.float64)[:, : self.num_items]
+        return np.asarray(scores, np.float64)

@@ -430,16 +430,21 @@ class NextBasketRecommender(Recommender):
         raise NotImplementedError("The algorithm is not able to make score prediction!")
 
     def score_baskets_batch(self, user_indices, histories):
-        """(B, num_items) scores for a batch of (user, history-baskets)
+        """(B, total_items) scores for a batch of (user, history-baskets)
         pairs — the hook the batched next-basket eval harness calls. The
-        default loops ``score``."""
-        out = np.empty((len(user_indices), self.num_items), dtype=np.float64)
+        default loops ``score``; width covers eval-time unknown items
+        (min-filled)."""
+        total = max(self.total_items, self.num_items)
+        out = np.empty((len(user_indices), total), dtype=np.float64)
         for b, (u, h) in enumerate(zip(user_indices, histories)):
             try:
                 row = np.asarray(self.score(u, h), dtype=np.float64)
             except ScoreException:
-                row = np.full(self.num_items, self.default_score())
-            out[b] = row[: self.num_items]
+                row = np.full(total, self.default_score())
+            if len(row) < total:
+                fill = row.min() if len(row) else self.default_score()
+                row = np.concatenate([row, np.full(total - len(row), fill)])
+            out[b] = row[:total]
         return out
 
 
@@ -453,15 +458,20 @@ class NextItemRecommender(Recommender):
         raise NotImplementedError("The algorithm is not able to make score prediction!")
 
     def score_history_batch(self, user_indices, histories):
-        """(B, num_items) scores for a batch of (user, history) pairs — the
+        """(B, total_items) scores for a batch of (user, history) pairs — the
         hook the batched next-item eval harness calls. Sequence models
         override this with a padded device forward; the default loops
-        ``score``."""
-        out = np.empty((len(user_indices), self.num_items), dtype=np.float64)
+        ``score``. Width covers eval-time unknown items (min-filled) so the
+        harness can slice to its candidate set."""
+        total = max(self.total_items, self.num_items)
+        out = np.empty((len(user_indices), total), dtype=np.float64)
         for b, (u, h) in enumerate(zip(user_indices, histories)):
             try:
                 row = np.asarray(self.score(u, h), dtype=np.float64)
             except ScoreException:
-                row = np.full(self.num_items, self.default_score())
-            out[b] = row[: self.num_items]
+                row = np.full(total, self.default_score())
+            if len(row) < total:
+                fill = row.min() if len(row) else self.default_score()
+                row = np.concatenate([row, np.full(total - len(row), fill)])
+            out[b] = row[:total]
         return out

@@ -205,3 +205,60 @@ def test_companion(sentiment_split):
     assert len(ranked) == m.total_items
     batch = m.score_batch(np.array([0, 1]))
     np.testing.assert_allclose(batch[0, : len(row)], row, rtol=1e-4, atol=1e-5)
+
+
+@pytest.mark.parametrize(
+    "kwargs",
+    [
+        dict(),
+        dict(objective="rating", predictor="dot", combiner="concat",
+             preference_module="mf", embedding_type="learned"),
+        dict(learn_explainability=True, learn_method="transr"),
+        dict(learn_explainability=True, learn_method="non-linear",
+             combiner="bi-interaction", review_aggregator="gatv2",
+             graph_type="as"),
+    ],
+    ids=["default", "rating-dot-concat-mf", "explain-transr", "explain-nl-gatv2"],
+)
+def test_hypar(sentiment_split, kwargs):
+    from cornac_tpu.models import HypAR
+
+    m = HypAR(
+        node_dim=8, num_heads=2, num_epochs=2, batch_size=16,
+        num_neg_samples=4, learning_rate=0.01, model_selection="last",
+        seed=123, verbose=False, **kwargs,
+    ).fit(sentiment_split.train_set)
+    row = np.asarray(m.score(0))
+    assert row.shape[0] == m.num_items and np.isfinite(row).all()
+    batch = m.score_batch(np.array([0, 1]))
+    np.testing.assert_allclose(batch[0, : len(row)], row, rtol=1e-4, atol=1e-4)
+
+
+def test_hypar_validation(sentiment_split):
+    from cornac_tpu.models import HypAR
+
+    for bad in (
+        dict(objective="nope"), dict(combiner="nope"),
+        dict(review_aggregator="nope"), dict(predictor="nope"),
+        dict(preference_module="nope"), dict(embedding_type="nope"),
+        dict(early_stopping=7, eval_interval=2),
+    ):
+        with pytest.raises(ValueError):
+            HypAR(**bad)
+    rs = RatioSplit(
+        data=Reader().read(os.path.join(DATA_DIR, "rating.txt"), fmt="UIR"),
+        test_size=0.2, seed=1,
+    )
+    with pytest.raises(ValueError):
+        HypAR(num_epochs=1).fit(rs.train_set)
+
+
+def test_hypar_best_selection(sentiment_split):
+    from cornac_tpu.models import HypAR
+
+    m = HypAR(
+        node_dim=8, num_heads=2, num_epochs=4, batch_size=16,
+        num_neg_samples=4, model_selection="best", eval_interval=1,
+        early_stopping=2, seed=1, verbose=False,
+    ).fit(sentiment_split.train_set, sentiment_split.test_set)
+    assert np.isfinite(m.score_batch(np.array([0]))).all()

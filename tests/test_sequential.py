@@ -149,3 +149,88 @@ def test_transformer_rec_validation():
         TransformerRec(objective="plm")
     with pytest.warns(UserWarning):
         TransformerRec(backbone="xlnet")
+
+
+class TestTIGER:
+    def _nie(self):
+        from cornac_tpu.data import FeatureModality
+
+        data = _seq_data()
+        rng = np.random.RandomState(5)
+        iids = sorted({t[2] for t in data})
+        feats = rng.rand(len(iids), 12).astype(np.float32)
+        sids = sorted({t[1] for t in data})
+        cut = sids[int(len(sids) * 0.7)]
+        train = [t for t in data if t[1] <= cut]
+        test = [t for t in data if t[1] > cut]
+        return NextItemEvaluation.from_splits(
+            train_data=train, test_data=test, fmt="USIT", exclude_unknowns=True,
+            seed=123, mode="last",
+            item_feature=__import__("cornac_tpu.data", fromlist=["FeatureModality"]).FeatureModality(
+                features=feats, ids=iids
+            ),
+        )
+
+    @pytest.mark.parametrize(
+        "kwargs",
+        [
+            dict(tokenizer="rkmeans", scoring="exact"),
+            dict(tokenizer="rqvae", scoring="beam", rqvae_n_epochs=3),
+        ],
+        ids=["rkmeans-exact", "rqvae-beam"],
+    )
+    def test_tiger(self, kwargs):
+        from cornac_tpu.models import TIGER
+
+        nie = self._nie()
+        m = TIGER(
+            rqvae_latent_dim=8, rqvae_hidden_dims=(16,), rqvae_num_levels=2,
+            rqvae_codebook_size=8, d_model=16, d_ff=32, num_heads=2, d_kv=8,
+            num_enc_layers=1, num_dec_layers=1, max_len=6, n_epochs=2,
+            batch_size=8, n_beams=8, seed=123, verbose=False, **kwargs,
+        )
+        result, _ = nie.evaluate(m, [HitRatio(k=5), NDCG(k=5)], user_based=False)
+        for name, value in result.metric_avg_results.items():
+            assert np.isfinite(value), name
+        row = m.score(None, [0, 1, 2])
+        assert row.shape[0] == m.total_items
+        # semantic ids: every item has a unique (codes + dedup) tuple
+        assert len(m.sid_to_item) == m.total_items
+
+    def test_tiger_validation(self):
+        from cornac_tpu.models import TIGER
+
+        with pytest.raises(ValueError):
+            TIGER(scoring="nope")
+        with pytest.raises(ValueError):
+            TIGER(tokenizer="nope")
+        with pytest.raises(ValueError):
+            TIGER(lr_schedule="nope")
+
+    def test_tiger_requires_features(self):
+        from cornac_tpu.models import TIGER
+
+        data = _seq_data()
+        sids = sorted({t[1] for t in data})
+        cut = sids[int(len(sids) * 0.7)]
+        nie = NextItemEvaluation.from_splits(
+            train_data=[t for t in data if t[1] <= cut],
+            test_data=[t for t in data if t[1] > cut],
+            fmt="USIT", seed=1,
+        )
+        with pytest.raises(ValueError):
+            nie.evaluate(
+                TIGER(rqvae_num_levels=2, rqvae_codebook_size=8, n_epochs=1),
+                [HitRatio(k=5)], user_based=False,
+            )
+
+    def test_tiger_configs(self):
+        from cornac_tpu.models import (
+            GRID_CONFIG, PAISCHER_CONFIG, PAISCHER_SPORTS_CONFIG,
+            PAISCHER_TOYS_CONFIG, TIGER,
+        )
+
+        for cfg in (GRID_CONFIG, PAISCHER_CONFIG, PAISCHER_SPORTS_CONFIG,
+                    PAISCHER_TOYS_CONFIG):
+            m = TIGER(**{**cfg, "seed": 1})
+            assert m.tokenizer in ("rqvae", "rkmeans")
