@@ -1,0 +1,107 @@
+"""Checkpoint / resume for training state (SURVEY §5).
+
+The reference's persistence story is whole-model pickle with **no
+mid-training resume** (``Recommender.save``, reference
+``models/recommender.py:223-304``; ``fit()`` always restarts).  This module
+adds the TPU-native equivalent the survey calls for: Orbax checkpointing of
+(sharded) array pytrees with a step counter, so long fits can stop and
+resume.
+
+Usage::
+
+    mgr = CheckpointManager(dir, max_to_keep=3)
+    mgr.save(step, {"params": params, "opt_state": opt_state})
+    ...
+    step, state = mgr.restore_latest()    # None if no checkpoint yet
+
+Falls back transparently between Orbax API generations; state must be a
+pytree of arrays (jax or numpy) — exactly what the jitted training loops
+in this package carry.
+"""
+
+import os
+
+import numpy as np
+
+
+class CheckpointManager:
+    """Thin Orbax wrapper with a stable API across orbax versions."""
+
+    def __init__(self, directory, max_to_keep=3):
+        import orbax.checkpoint as ocp
+
+        self.directory = os.path.abspath(directory)
+        os.makedirs(self.directory, exist_ok=True)
+        options = ocp.CheckpointManagerOptions(
+            max_to_keep=max_to_keep, create=True
+        )
+        self._mgr = ocp.CheckpointManager(self.directory, options=options)
+        self._ocp = ocp
+
+    def save(self, step, state, force=False):
+        """Save a pytree of arrays at ``step``. Returns True if written."""
+        ok = self._mgr.save(
+            int(step),
+            args=self._ocp.args.StandardSave(state),
+            force=force,
+        )
+        self._mgr.wait_until_finished()
+        return bool(ok)
+
+    def latest_step(self):
+        return self._mgr.latest_step()
+
+    def restore(self, step, template=None):
+        """Restore the pytree saved at ``step``.
+
+        ``template`` (a pytree of arrays with the right shapes/dtypes or
+        jax.ShapeDtypeStruct leaves) restores with matching sharding; None
+        restores as host numpy arrays.
+        """
+        if template is not None:
+            args = self._ocp.args.StandardRestore(template)
+            return self._mgr.restore(int(step), args=args)
+        return self._mgr.restore(int(step))
+
+    def restore_latest(self, template=None):
+        """(step, state) of the newest checkpoint, or (None, None)."""
+        step = self.latest_step()
+        if step is None:
+            return None, None
+        return step, self.restore(step, template)
+
+    def all_steps(self):
+        return sorted(self._mgr.all_steps())
+
+    def close(self):
+        self._mgr.close()
+
+
+def save_pytree(path, state):
+    """One-shot pytree save without a manager (single checkpoint)."""
+    import orbax.checkpoint as ocp
+
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(os.path.abspath(path), state, force=True)
+    ckptr.wait_until_finished()
+    ckptr.close()
+
+
+def load_pytree(path, template=None):
+    """One-shot pytree restore; numpy leaves when no template given."""
+    import orbax.checkpoint as ocp
+
+    ckptr = ocp.StandardCheckpointer()
+    try:
+        if template is not None:
+            return ckptr.restore(os.path.abspath(path), template)
+        return ckptr.restore(os.path.abspath(path))
+    finally:
+        ckptr.close()
+
+
+def tree_to_numpy(state):
+    """Device pytree -> host numpy pytree (for pickling alongside models)."""
+    import jax
+
+    return jax.tree_util.tree_map(lambda x: np.asarray(x), state)

@@ -1,0 +1,196 @@
+"""Mesh/shard_map primitives + checkpointing + profiling on an 8-device
+virtual CPU mesh."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from cornac_tpu.parallel import make_mesh, shard_batch, shard_replicated, shard_rows
+from cornac_tpu.parallel.sharded import (
+    pad_rows_for_mesh,
+    row_shard_lookup,
+    row_shard_scatter_add,
+    sharded_topk,
+)
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    assert len(jax.devices()) == 8, "conftest must provide 8 virtual devices"
+    return make_mesh(data_parallel=2)  # (2 data, 4 model)
+
+
+def test_make_mesh_validation():
+    with pytest.raises(ValueError):
+        make_mesh(data_parallel=3)  # does not divide 8
+
+
+def test_row_shard_lookup(mesh):
+    rng = np.random.RandomState(0)
+    table = rng.rand(16, 5).astype(np.float32)
+    t_sharded = shard_rows(mesh, jnp.asarray(table))
+    ids = jnp.asarray([0, 3, 7, 15, 8, 4], jnp.int32)
+    out = row_shard_lookup(mesh, t_sharded, ids)
+    np.testing.assert_allclose(np.asarray(out), table[np.asarray(ids)], rtol=1e-6)
+
+
+def test_row_shard_scatter_add(mesh):
+    table = jnp.zeros((16, 3))
+    t_sharded = shard_rows(mesh, table)
+    ids = jnp.asarray([1, 1, 9, 15], jnp.int32)
+    upd = jnp.ones((4, 3))
+    out = row_shard_scatter_add(mesh, t_sharded, ids, upd)
+    dense = np.zeros((16, 3))
+    np.add.at(dense, np.asarray(ids), np.ones((4, 3)))
+    np.testing.assert_allclose(np.asarray(out), dense, rtol=1e-6)
+
+
+@pytest.mark.parametrize("with_bias", [False, True])
+def test_sharded_topk_matches_dense(mesh, with_bias):
+    rng = np.random.RandomState(1)
+    users = rng.rand(6, 4).astype(np.float32)
+    items = rng.rand(32, 4).astype(np.float32)
+    bias = rng.rand(32).astype(np.float32) if with_bias else None
+    k = 5
+    s, ids = sharded_topk(
+        mesh,
+        shard_replicated(mesh, jnp.asarray(users)),
+        shard_rows(mesh, jnp.asarray(items)),
+        k,
+        item_bias=None if bias is None else shard_rows(mesh, jnp.asarray(bias)),
+    )
+    dense = users @ items.T + (bias[None, :] if bias is not None else 0.0)
+    ref_ids = np.argsort(-dense, axis=1)[:, :k]
+    ref_scores = np.take_along_axis(dense, ref_ids, axis=1)
+    np.testing.assert_allclose(np.asarray(s), ref_scores, rtol=1e-5)
+    np.testing.assert_array_equal(np.asarray(ids), ref_ids)
+
+
+def test_pad_rows_for_mesh(mesh):
+    x = np.ones((10, 2), np.float32)
+    padded, n = pad_rows_for_mesh(x, mesh)
+    assert padded.shape[0] % 4 == 0 and n == 10
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    from cornac_tpu.utils.checkpoint import CheckpointManager
+
+    state = {
+        "params": {"U": jnp.arange(12.0).reshape(3, 4)},
+        "step_scale": jnp.float32(0.5),
+    }
+    mgr = CheckpointManager(str(tmp_path / "ckpt"), max_to_keep=2)
+    assert mgr.restore_latest() == (None, None)
+    mgr.save(1, state)
+    mgr.save(5, {"params": {"U": jnp.ones((3, 4)) * 7}, "step_scale": jnp.float32(2.0)})
+    assert mgr.latest_step() == 5
+    step, restored = mgr.restore_latest()
+    assert step == 5
+    np.testing.assert_allclose(np.asarray(restored["params"]["U"]), 7.0)
+    old = mgr.restore(1)
+    np.testing.assert_allclose(
+        np.asarray(old["params"]["U"]), np.arange(12.0).reshape(3, 4)
+    )
+    mgr.close()
+
+
+def test_checkpoint_resume_equivalence(tmp_path):
+    """Training N epochs straight == training k, checkpoint, resume N-k."""
+    from cornac_tpu.utils.checkpoint import CheckpointManager
+
+    import optax
+
+    def make(n_epochs, resume_from=None, mgr=None, save_at=None):
+        params = {"w": jnp.zeros((4,))}
+        opt = optax.adam(0.1)
+        opt_state = opt.init(params)
+        target = jnp.asarray([1.0, -2.0, 3.0, 0.5])
+        start = 0
+        if resume_from is not None:
+            # template restore preserves the optimizer-state pytree structure
+            step, state = mgr.restore_latest(
+                template={"params": params, "opt_state": opt_state}
+            )
+            params, opt_state = state["params"], state["opt_state"]
+            start = step
+
+        @jax.jit
+        def step_fn(params, opt_state):
+            loss, g = jax.value_and_grad(
+                lambda p: jnp.sum((p["w"] - target) ** 2)
+            )(params)
+            upd, opt_state = opt.update(g, opt_state, params)
+            return optax.apply_updates(params, upd), opt_state
+
+        for e in range(start, n_epochs):
+            params, opt_state = step_fn(params, opt_state)
+            if save_at is not None and e + 1 == save_at:
+                mgr.save(e + 1, {"params": params, "opt_state": opt_state})
+        return params
+
+    straight = make(10)
+    mgr = CheckpointManager(str(tmp_path / "resume"))
+    make(4, save_at=4, mgr=mgr)
+    resumed = make(10, resume_from=True, mgr=mgr)
+    np.testing.assert_allclose(
+        np.asarray(straight["w"]), np.asarray(resumed["w"]), rtol=1e-6
+    )
+    mgr.close()
+
+
+def test_step_timer_and_trace(tmp_path):
+    from cornac_tpu.utils.profiling import StepTimer, block_until_ready, trace
+
+    timer = StepTimer("toy")
+    for _ in range(3):
+        with timer:
+            block_until_ready(jnp.ones((8, 8)) @ jnp.ones((8, 8)))
+    s = timer.summary()
+    assert s["steps"] == 3 and s["total_s"] > 0
+    timer.dump(str(tmp_path / "t.json"))
+    assert (tmp_path / "t.json").exists()
+    # no-op trace (logdir None) and real trace both succeed
+    with trace(None):
+        pass
+    with trace(str(tmp_path / "trace")):
+        block_until_ready(jnp.ones((4, 4)) @ jnp.ones((4, 4)))
+    assert any((tmp_path / "trace").rglob("*")), "trace wrote no files"
+
+
+class TestPallasRanking:
+    def _data(self, B=13, N=1000, d=16, k=20, bias=False):
+        rng = np.random.RandomState(3)
+        U = rng.randn(B, d).astype(np.float32)
+        V = rng.randn(N, d).astype(np.float32)
+        b = rng.randn(N).astype(np.float32) if bias else None
+        return U, V, b, k
+
+    @pytest.mark.parametrize("bias", [False, True])
+    def test_interpret_matches_xla(self, bias):
+        from cornac_tpu.ops.pallas_ranking import fused_topk
+
+        U, V, b, k = self._data(bias=bias)
+        s_ref, i_ref = fused_topk(U, V, k, bias=b, force="xla")
+        s_pl, i_pl = fused_topk(U, V, k, bias=b, force="pallas_interpret")
+        np.testing.assert_allclose(np.asarray(s_pl), np.asarray(s_ref), rtol=1e-5)
+        np.testing.assert_array_equal(np.asarray(i_pl), np.asarray(i_ref))
+
+    def test_matches_dense_argsort(self):
+        from cornac_tpu.ops.pallas_ranking import fused_topk
+
+        U, V, b, k = self._data(B=5, N=300)
+        s, i = fused_topk(U, V, k, force="pallas_interpret")
+        dense = U @ V.T
+        ref_i = np.argsort(-dense, axis=1)[:, :k]
+        np.testing.assert_array_equal(np.asarray(i), ref_i)
+
+    def test_k_exceeds_catalog(self):
+        from cornac_tpu.ops.pallas_ranking import fused_topk
+
+        U, V, _, _ = self._data(B=3, N=50)
+        s, i = fused_topk(U, V, 200, force="pallas_interpret")
+        assert i.shape == (3, 50)
+        assert len(set(np.asarray(i)[0].tolist())) == 50  # all items, no dupes
