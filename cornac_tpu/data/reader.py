@@ -8,6 +8,8 @@ binarize-by-threshold.
 
 import ast
 import itertools
+
+import numpy as np
 from collections import Counter
 
 
@@ -206,6 +208,7 @@ class Reader:
     ):
         """Parse a file line-by-line into tuples according to ``fmt`` or a
         custom ``parser`` callable, then apply the configured filters."""
+        custom_parser = parser is not None
         parser = PARSERS.get(fmt, None) if parser is None else parser
         if parser is None:
             raise ValueError(
@@ -214,14 +217,25 @@ class Reader:
                 )
             )
 
-        with open(fpath, encoding=self.encoding, errors=self.errors) as f:
-            tuples = [
-                tup
-                for idx, line in enumerate(itertools.islice(f, skip_lines, None))
-                for tup in parser(
-                    line.strip().split(sep), line_idx=idx, id_inline=id_inline, **kwargs
-                )
-            ]
+        tuples = None
+        if (
+            not custom_parser
+            and fmt in ("UIR", "UIRT")
+            and skip_lines == 0
+            and not id_inline
+            and len(sep) == 1
+            and self.errors is None
+        ):
+            tuples = self._read_native(fpath, fmt, sep)
+        if tuples is None:
+            with open(fpath, encoding=self.encoding, errors=self.errors) as f:
+                tuples = [
+                    tup
+                    for idx, line in enumerate(itertools.islice(f, skip_lines, None))
+                    for tup in parser(
+                        line.strip().split(sep), line_idx=idx, id_inline=id_inline, **kwargs
+                    )
+                ]
 
         tuples = self._filter(tuples, fmt=fmt)
         if fmt in BASKET_FMTS:
@@ -229,6 +243,27 @@ class Reader:
         elif fmt in SEQUENCE_FMTS:
             tuples = self._filter_sequence(tuples, fmt=fmt)
         return tuples
+
+    def _read_native(self, fpath, fmt, sep):
+        """Whole-file native tokenize+parse for the hot UIR/UIRT formats
+        (C++ fast_io, SURVEY §2.2 host-side utility). Returns None to fall
+        back to the per-line Python parser (library unavailable, malformed
+        rows, or non-numeric rating/timestamp columns)."""
+        try:
+            from ..native.build import load_extension
+
+            ext = load_extension()
+        except Exception:
+            return None
+        if ext is None:
+            return None
+        with open(fpath, "rb") as f:
+            raw = f.read()
+        if not raw.isascii() and self.encoding.lower() not in (
+            "utf-8", "utf8", "ascii"
+        ):
+            return None  # the C parser assumes UTF-8-compatible bytes
+        return ext.parse_ratings(raw, sep, fmt == "UIRT")
 
 
 def read_text(fpath, sep=None, encoding="utf-8", errors=None):

@@ -187,3 +187,87 @@ class TestServing:
             assert len(body["recommendations"]) == 3
         finally:
             server.shutdown()
+
+
+class TestNativeFastReader:
+    def test_library_builds_and_loads(self):
+        from cornac_tpu.native import load_library
+
+        lib = load_library()
+        assert lib is not None, "g++ is in the image; build should succeed"
+
+    def test_parse_table_matches_python_split(self, tmp_path):
+        from cornac_tpu.data.fast_reader import parse_table
+
+        p = tmp_path / "r.txt"
+        p.write_text("u1\ti7\t4.0\nu2\ti9\t2.5\nuX\ti1\t5\n")
+        t = parse_table(p.read_bytes(), "\t", 3)
+        assert t.n_rows == 3
+        assert t.string_column(0) == ["u1", "u2", "uX"]
+        assert t.string_column(1) == ["i7", "i9", "i1"]
+        np.testing.assert_allclose(t.float_column(2), [4.0, 2.5, 5.0])
+
+    def test_malformed_rows_fall_back(self, tmp_path):
+        from cornac_tpu.data.fast_reader import parse_table
+
+        bad = b"u1\ti7\t4.0\nu2\ti9\n"  # second row has 2 fields
+        assert parse_table(bad, "\t", 3) is None
+        nonnum = parse_table(b"u1\ti7\thello\n", "\t", 3)
+        assert nonnum is not None and nonnum.float_column(2) is None
+
+    def test_reader_native_path_identical(self, tmp_path):
+        from cornac_tpu.data import Reader
+        from cornac_tpu.data.reader import PARSERS
+
+        rng = np.random.RandomState(0)
+        lines = [
+            f"user{rng.randint(50)}\titem{rng.randint(99)}\t{rng.randint(1, 6)}.0\t{1000 + k}"
+            for k in range(500)
+        ]
+        p = tmp_path / "big.txt"
+        p.write_text("\n".join(lines) + "\n")
+
+        fast = Reader().read(str(p), fmt="UIRT")
+        # force the pure-python path via a custom parser (same function)
+        slow = Reader().read(str(p), fmt="UIRT", parser=PARSERS["UIRT"])
+        assert fast == slow
+
+        fast3 = Reader().read(str(p), fmt="UIR")
+        slow3 = Reader().read(str(p), fmt="UIR", parser=PARSERS["UIR"])
+        assert fast3 == slow3
+
+    def test_reader_native_with_crlf_and_blank_lines(self, tmp_path):
+        from cornac_tpu.data import Reader
+
+        p = tmp_path / "crlf.txt"
+        p.write_bytes(b"u1\ti1\t3.0\r\n\r\nu2\ti2\t4.0\r\n")
+        out = Reader().read(str(p), fmt="UIR")
+        assert out == [("u1", "i1", 3.0), ("u2", "i2", 4.0)]
+
+    def test_reader_native_leading_space_fallback(self, tmp_path):
+        """Lines the Python parser would strip() must not diverge — the
+        native path bails and the fallback handles them."""
+        from cornac_tpu.data import Reader
+
+        p = tmp_path / "sp.txt"
+        p.write_text(" u1\ti1\t3.0\nu2\ti2\t4.0\n")
+        out = Reader().read(str(p), fmt="UIR")
+        assert out == [("u1", "i1", 3.0), ("u2", "i2", 4.0)]
+
+    def test_cpython_extension_parse(self):
+        from cornac_tpu.native.build import load_extension
+
+        ext = load_extension()
+        assert ext is not None
+        out = ext.parse_ratings(b"u1\ti2\t3.5\nu1\ti3\t4.0\n", "\t", False)
+        assert out == [("u1", "i2", 3.5), ("u1", "i3", 4.0)]
+        # interning: the repeated user id is one shared object
+        assert out[0][0] is out[1][0]
+        out4 = ext.parse_ratings(b"a\tb\t1.0\t42\n", "\t", True)
+        assert out4 == [("a", "b", 1.0, 42)]
+        # malformed rows return None so the Reader falls back
+        assert ext.parse_ratings(b"only\ttwo\n", "\t", False) is None
+        assert ext.parse_ratings(b"u\ti\tnot_a_number\n", "\t", False) is None
+        # utf-8 ids survive
+        s = "uté\titems\t2.0\n".encode("utf-8")
+        assert ext.parse_ratings(s, "\t", False) == [("uté", "items", 2.0)]
