@@ -271,3 +271,22 @@ class TestNativeFastReader:
         # utf-8 ids survive
         s = "uté\titems\t2.0\n".encode("utf-8")
         assert ext.parse_ratings(s, "\t", False) == [("uté", "items", 2.0)]
+
+
+def test_full_reference_model_inventory_importable():
+    """Every public model class of the reference has a counterpart here
+    (PARITY.md is the human-readable map; this locks it in CI)."""
+    import cornac_tpu.models as M
+
+    ref = (
+        "AMR AnnoyANN BaseANN FaissANN HNSWLibANN ScaNNANN BaselineOnly "
+        "Beacon BERT4Rec BiVAECF BPR VEBPR WBPR C2PF CausalRec CDL CDR COE "
+        "Companion ComparERObj ComparERSub ConvMF CTR CVAE CVAECF DMRL "
+        "DNNTSP EASE EFM FM FPMC GCMC GlobalAvg GPTop GRU4Rec HFT HPF HRDR "
+        "HypAR IBPR ItemKNN UserKNN LightGCN LRPPM MCF MF MMMF MostPop MTER "
+        "NARRE GMF MLP NCFBase NeuMF NGCF NMF OnlineIBPR PCRL PMF RecVAE "
+        "SANSA SASRec SBPR SKMeans SoRec SPop SVD TIFUKNN TIGER "
+        "TransformerRec TriRank UPCF VAECF VBPR VMF WMF"
+    ).split()
+    missing = [c for c in ref if not hasattr(M, c)]
+    assert not missing, missing
