@@ -8,6 +8,7 @@ parallelism coexist by construction (seeded ``jax.random``, no hogwild).
 """
 
 from . import data, datasets, eval_methods, experiment, hyperopt, metrics, models
+from .config import RuntimeConfig
 from .experiment import Experiment
 
 __version__ = "0.1.0"

@@ -45,11 +45,20 @@ class RankingContext:
         self._tie_counts = None
 
     @property
+    def _desc_order(self):
+        """(B, N) stable descending-score column order (single shared sort:
+        tie counts reuse its reverse, since c_lt/p_lt only depend on tie-
+        group boundaries, which are intra-group-order invariant)."""
+        if getattr(self, "_order", None) is None:
+            self._order = np.argsort(-self.scores, axis=1, kind="stable")
+        return self._order
+
+    @property
     def rank_of(self):
         """(B, N) int: 0-based descending-score rank of each column
         (excluded columns sink to the bottom; ties broken by column index)."""
         if self._rank_of is None:
-            order = np.argsort(-self.scores, axis=1, kind="stable")
+            order = self._desc_order
             self._rank_of = np.empty_like(order)
             rows = np.arange(self.B)[:, None]
             self._rank_of[rows, order] = np.arange(self.N)[None, :]
@@ -66,7 +75,10 @@ class RankingContext:
         number of positives with score strictly below (``p_lt``). Exact under
         ties — one ascending sort + prefix sums per row."""
         s = np.where(self.cand_mask, self.scores, -np.inf)
-        order = np.argsort(s, axis=1, kind="stable")  # ascending; excluded first
+        # ascending order; excluded (-inf) first. Reuses the shared
+        # descending sort — valid because scores obey the -inf contract and
+        # every derived quantity is invariant to order within tie groups.
+        order = self._desc_order[:, ::-1]
         rows = np.arange(self.B)[:, None]
         s_sorted = np.take_along_axis(s, order, axis=1)
         cand_sorted = np.take_along_axis(self.cand_mask, order, axis=1)

@@ -75,6 +75,8 @@ __all__ = [
     "C2PF",
     "BaselineOnly",
     "Beacon",
+    "BERT4Rec",
+    "CausalRec",
     "CDL",
     "CDR",
     "Companion",

@@ -290,3 +290,22 @@ def test_full_reference_model_inventory_importable():
     ).split()
     missing = [c for c in ref if not hasattr(M, c)]
     assert not missing, missing
+
+
+def test_runtime_config(tmp_path):
+    from cornac_tpu.config import RuntimeConfig
+
+    cfg = RuntimeConfig(
+        data_parallel=2, matmul_precision="float32",
+        compilation_cache_dir=str(tmp_path / "cache"),
+    ).apply()
+    mesh = cfg.make_mesh()
+    assert mesh.shape["data"] == 2
+    import jax.numpy as jnp
+
+    (jnp.ones((8, 8)) @ jnp.ones((8, 8))).block_until_ready()
+    assert (tmp_path / "cache").exists()
+    import pytest
+
+    with pytest.raises(ValueError):
+        RuntimeConfig(matmul_precision="fp4").apply()
