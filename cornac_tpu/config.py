@@ -37,6 +37,11 @@ class RuntimeConfig:
     platform: Optional[str] = None
     #: host-device count override for CPU simulation of multi-chip runs
     host_device_count: Optional[int] = None
+    #: multi-host: coordinator address "host:port" triggers
+    #: ``jax.distributed.initialize`` (SURVEY §7.4); None = single host
+    coordinator_address: Optional[str] = None
+    num_processes: Optional[int] = None
+    process_id: Optional[int] = None
 
     def apply(self):
         """Apply to the current process. Call before the first jax use for
@@ -50,6 +55,12 @@ class RuntimeConfig:
                 os.environ["XLA_FLAGS"] = (flags + " " + token).strip()
         if self.platform:
             jax.config.update("jax_platforms", self.platform)
+        if self.coordinator_address:
+            jax.distributed.initialize(
+                coordinator_address=self.coordinator_address,
+                num_processes=self.num_processes,
+                process_id=self.process_id,
+            )
         if self.matmul_precision in ("highest", "float32", "bfloat16"):
             jax.config.update(
                 "jax_default_matmul_precision",

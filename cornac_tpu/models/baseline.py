@@ -78,8 +78,11 @@ def _bias_sgd_epoch(Bu, Bi, perm, mask, rid, cid, val, lr, reg, mu, batch_size):
         u, i, r = rid[idx], cid[idx], val[idx]
         err = (r - (mu + Bu[u] + Bi[i])) * m
         loss = loss + jnp.sum(err * err)
-        Bu = Bu.at[u].add(lr * (err - reg * Bu[u] * m))
-        Bi = Bi.at[i].add(lr * (err - reg * Bi[i] * m))
+        # width-1 scatter-adds are pathological on TPU; one-hot matmuls
+        ou = jax.nn.one_hot(u, Bu.shape[0], dtype=Bu.dtype)
+        oi = jax.nn.one_hot(i, Bi.shape[0], dtype=Bi.dtype)
+        Bu = Bu + lr * (ou.T @ (err - reg * Bu[u] * m)[:, None])[:, 0]
+        Bi = Bi + lr * (oi.T @ (err - reg * Bi[i] * m)[:, None])[:, 0]
         return Bu, Bi, loss
 
     Bu, Bi, loss = jax.lax.fori_loop(0, n_batches, body, (Bu, Bi, jnp.float32(0.0)))

@@ -61,12 +61,23 @@ def _fm_sgd(
             loss = loss + jnp.sum(e_ * e_)
             if use_w0:
                 w0 = w0 - lr * (jnp.sum(e_) + reg0 * w0)
+            # one-hot matmul accumulation (TPU scatter-add at these narrow
+            # widths lowers to a serialized update loop; see bpr.py)
+            ui = jnp.concatenate([u, i])
+            oh = jax.nn.one_hot(ui, w.shape[0], dtype=V.dtype)
             if use_w:
-                w = w.at[u].add(-lr * (e_ + reg1 * w[u] * m))
-                w = w.at[i].add(-lr * (e_ + reg1 * w[i] * m))
+                dw = jnp.concatenate(
+                    [e_ + reg1 * w[u] * m, e_ + reg1 * w[i] * m]
+                )
+                w = w - lr * (oh.T @ dw[:, None])[:, 0]
             if use_v:
-                V = V.at[u].add(-lr * (e_[:, None] * V[i] + reg2 * V[u] * m[:, None]))
-                V = V.at[i].add(-lr * (e_[:, None] * V[u] + reg2 * V[i] * m[:, None]))
+                dV = jnp.concatenate(
+                    [
+                        e_[:, None] * V[i] + reg2 * V[u] * m[:, None],
+                        e_[:, None] * V[u] + reg2 * V[i] * m[:, None],
+                    ]
+                )
+                V = V - lr * (oh.T @ dV)
             return w0, w, V, loss
 
         return jax.lax.fori_loop(0, n_batches, body, (w0, w, V, jnp.float32(0.0)))
