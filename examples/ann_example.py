@@ -1,0 +1,31 @@
+"""Approximate/exact nearest-neighbor retrieval on top of a fitted factor
+model. ``TPUExactANN`` does exhaustive MXU scoring + device top-k (exact,
+and at Cornac-scale catalogs faster than CPU ANN); Annoy/FAISS/HNSWLib/
+ScaNN wrappers engage when those libraries are installed.
+
+Capability parity with reference ``examples/ann_example.py``.
+"""
+
+import cornac_tpu as ct
+from cornac_tpu.datasets import movielens
+from cornac_tpu.eval_methods import RatioSplit
+from cornac_tpu.metrics import AUC, Recall
+from cornac_tpu.models import MF, TPUExactANN
+
+ml_100k = movielens.load_feedback(variant="100K")
+rs = RatioSplit(data=ml_100k, test_size=0.2, rating_threshold=4.0, seed=123, verbose=True)
+
+mf = MF(k=32, max_iter=25, learning_rate=0.01, lambda_reg=0.02, use_bias=True, seed=123)
+
+# Fit the base model through the usual evaluation flow...
+ct.Experiment(eval_method=rs, models=[mf], metrics=[AUC(), Recall(k=20)]).run()
+
+# ...then build an index over its vectors and serve top-k queries.
+ann = TPUExactANN(model=mf, verbose=True)
+ann.build_index()
+
+test_users = rs.test_set.uir_tuple[0][:5]
+print("Batch top-10:", ann.recommend_batch([rs.train_set.user_ids[u] for u in test_users], k=10))
+
+# Same API against external ANN backends when available:
+# from cornac_tpu.models import AnnoyANN, FaissANN, HNSWLibANN, ScaNNANN

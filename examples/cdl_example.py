@@ -1,0 +1,36 @@
+"""CDL — collaborative deep learning (stacked denoising autoencoder + MF)
+with CiteULike article texts.
+
+Capability parity with reference ``examples/cdl_example.py``.
+"""
+
+import cornac_tpu as ct
+from cornac_tpu.data import TextModality
+from cornac_tpu.data.text import BaseTokenizer
+from cornac_tpu.datasets import citeulike
+from cornac_tpu.eval_methods import RatioSplit
+from cornac_tpu.metrics import NDCG, Recall
+from cornac_tpu.models import CDL
+
+docs, item_ids = citeulike.load_text()
+feedback = citeulike.load_feedback()
+
+item_text = TextModality(
+    corpus=docs, ids=item_ids,
+    tokenizer=BaseTokenizer(stop_words="english"),
+    max_vocab=8000, max_doc_freq=0.5,
+)
+
+rs = RatioSplit(
+    data=feedback, test_size=0.2, rating_threshold=0.5,
+    exclude_unknowns=True, verbose=True, seed=123,
+    item_text=item_text,
+)
+
+cdl = CDL(
+    k=50, autoencoder_structure=[200], max_iter=30, batch_size=128,
+    lambda_u=0.1, lambda_v=1, lambda_w=1e-4, lambda_n=1000,
+    seed=123, verbose=True,
+)
+
+ct.Experiment(eval_method=rs, models=[cdl], metrics=[NDCG(k=100), Recall(k=300)]).run()

@@ -1,0 +1,32 @@
+"""CVAE — collaborative variational autoencoder over item content, on
+CiteULike.
+
+Capability parity with reference ``examples/cvae_example.py``.
+"""
+
+import cornac_tpu as ct
+from cornac_tpu.data import TextModality
+from cornac_tpu.data.text import BaseTokenizer
+from cornac_tpu.datasets import citeulike
+from cornac_tpu.eval_methods import RatioSplit
+from cornac_tpu.metrics import NDCG, Recall
+from cornac_tpu.models import CVAE
+
+docs, item_ids = citeulike.load_text()
+feedback = citeulike.load_feedback()
+
+item_text = TextModality(
+    corpus=docs, ids=item_ids,
+    tokenizer=BaseTokenizer(stop_words="english"),
+    max_vocab=8000, max_doc_freq=0.5,
+)
+
+rs = RatioSplit(
+    data=feedback, test_size=0.2, rating_threshold=0.5,
+    exclude_unknowns=True, verbose=True, seed=123,
+    item_text=item_text,
+)
+
+cvae = CVAE(z_dim=50, vae_layers=(200, 100), n_epochs=30, seed=123, verbose=True)
+
+ct.Experiment(eval_method=rs, models=[cvae], metrics=[NDCG(k=100), Recall(k=300)]).run()
