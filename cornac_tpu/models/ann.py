@@ -172,6 +172,10 @@ def _external_ann(name, import_name):
     warning (keeps scripts written against the reference API running)."""
 
     class _ExternalANN(TPUExactANN):
+        """Reference-API wrapper for an external ANN library; falls back to
+        exact TPU retrieval (recall 1.0, same API) when the library is not
+        installed."""
+
         def __init__(self, model, name=name, verbose=False, **kwargs):
             super().__init__(model=model, name=name, verbose=verbose)
             self.backend_params = kwargs
