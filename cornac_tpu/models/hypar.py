@@ -459,11 +459,8 @@ class HypAR(Recommender):
 
     def _preference(self, params):
         if self.preference_module == "lightgcn":
-            from ..ops.graph import lightgcn_embeddings
-
-            eu, ei, en = self._lgcn_edges
-            u, i = lightgcn_embeddings(
-                params["pref_user"], params["pref_item"], eu, ei, en, 3
+            u, i = self._lgcn_adj.lightgcn(
+                params["pref_user"], params["pref_item"], 3
             )
         else:
             u, i = params["pref_user"], params["pref_item"]
@@ -573,9 +570,9 @@ class HypAR(Recommender):
                 jnp.asarray(1.0 / np.maximum(de, 1.0)),
             )
         self._rev_d = jnp.asarray(self.rev_edges)
-        from ..ops.graph import build_norm_edges
+        from ..ops.graph import NormAdjacency
 
-        self._lgcn_edges = build_norm_edges(train_set)
+        self._lgcn_adj = NormAdjacency(train_set)
 
         if not self.trainable:
             self.params = params

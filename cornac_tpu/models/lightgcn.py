@@ -2,10 +2,12 @@
 
 Capability parity with reference ``cornac/models/lightgcn/recom_lightgcn.py:23``
 and ``cornac/models/ngcf/recom_ngcf.py:23`` (both DGL/torch). TPU redesign:
-the bipartite propagation runs as gather/scatter-add passes over flat edge
-arrays (:mod:`cornac_tpu.ops.graph`) inside the jitted training step — no
-graph library, no sparse-format conversion; the full multi-epoch fit is one
-compiled program. BPR loss over sampled triplets, Adam, early stopping on
+the bipartite propagation runs inside the jitted training step through
+:class:`cornac_tpu.ops.graph.NormAdjacency` — dense normalized-adjacency
+matmuls on the MXU for small graphs (~7x faster than the scatter form,
+fwd+bwd measured), flat-edge scatter-adds beyond the dense memory budget;
+no graph library, no sparse-format conversion; the full multi-epoch fit is
+one compiled program. BPR loss over sampled triplets, Adam, early stopping on
 validation Recall@20 (reference ``recom_lightgcn.py:188-227``).
 """
 
@@ -17,7 +19,7 @@ import numpy as np
 import optax
 
 from ..exception import ScoreException
-from ..ops.graph import build_norm_edges, lightgcn_embeddings
+from ..ops.graph import NormAdjacency
 from ..utils import get_rng
 from ..utils.init_utils import xavier_uniform
 from .recommender import Recommender
@@ -61,13 +63,8 @@ class LightGCN(Recommender):
         }
 
     def _propagated(self, params):
-        return lightgcn_embeddings(
-            params["user_emb"],
-            params["item_emb"],
-            self._edge_u,
-            self._edge_i,
-            self._edge_norm,
-            self.num_layers,
+        return self._adj.lightgcn(
+            params["user_emb"], params["item_emb"], self.num_layers
         )
 
     def fit(self, train_set, val_set=None):
@@ -79,7 +76,8 @@ class LightGCN(Recommender):
         if not hasattr(self, "params"):
             self.params = self._init_params(rng)
 
-        self._edge_u, self._edge_i, self._edge_norm = build_norm_edges(train_set)
+        self._adj = NormAdjacency(train_set)
+        adj = self._adj
 
         rid, cid, _ = train_set.uir_tuple
         rid_d = jnp.asarray(rid, dtype=jnp.int32)
@@ -90,19 +88,13 @@ class LightGCN(Recommender):
         num_items = train_set.num_items
         num_layers = self.num_layers
         lambda_reg = self.lambda_reg
-        edge_u, edge_i, edge_norm = self._edge_u, self._edge_i, self._edge_norm
 
         optimizer = optax.adam(self.learning_rate)
         opt_state = optimizer.init(self.params)
 
         def loss_fn(params, u, i, j):
-            ue, ie = lightgcn_embeddings(
-                params["user_emb"],
-                params["item_emb"],
-                edge_u,
-                edge_i,
-                edge_norm,
-                num_layers,
+            ue, ie = adj.lightgcn(
+                params["user_emb"], params["item_emb"], num_layers
             )
             pu, vi, vj = ue[u], ie[i], ie[j]
             bpr = jnp.mean(jax.nn.softplus(jnp.sum(pu * (vj - vi), axis=1)))
@@ -277,13 +269,10 @@ class NGCF(LightGCN):
         return params
 
     def _ngcf_embeddings(self, params):
-        from ..ops.graph import propagate
-
-        edge_u, edge_i, edge_norm = self._edge_u, self._edge_i, self._edge_norm
         ue, ie = params["user_emb"], params["item_emb"]
         ue_out, ie_out = [ue], [ie]
         for W1, W2 in zip(params["W1"], params["W2"]):
-            agg_u, agg_i = propagate(ue, ie, edge_u, edge_i, edge_norm)
+            agg_u, agg_i = self._adj.propagate(ue, ie)
             # NGCF message: W1 (e + agg) + W2 (e * agg)
             new_u = jax.nn.leaky_relu(
                 (ue + agg_u) @ W1 + (ue * agg_u) @ W2, negative_slope=0.2
@@ -315,7 +304,7 @@ class NGCF(LightGCN):
         if not hasattr(self, "params"):
             self.params = self._init_params(rng)
 
-        self._edge_u, self._edge_i, self._edge_norm = build_norm_edges(train_set)
+        self._adj = NormAdjacency(train_set)
 
         rid, cid, _ = train_set.uir_tuple
         rid_d = jnp.asarray(rid, dtype=jnp.int32)
