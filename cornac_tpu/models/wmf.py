@@ -8,6 +8,9 @@ sweep is (batched outer-product accumulation over observed entries) + a
 batch of k x k Cholesky solves, all dense MXU work. ALS converges in far
 fewer sweeps than SGD epochs, so ``max_iter`` here counts ALS sweeps
 (default 30; documented deviation from the reference's 100 SGD epochs).
+The padded-CSR tensors are built once (vectorized O(nnz)); every sweep
+runs inside one compiled program, chunked with ``lax.map`` so the gather
+workspace stays bounded at any catalog size.
 
 Objective (identical to the reference, ``wmf.py`` loss): for preferences
 p = r (observed ratings) and confidences c = a (observed) / b (unobserved),
@@ -26,15 +29,13 @@ from ..utils.init_utils import xavier_uniform
 from .recommender import ANNMixin, MEASURE_DOT, Recommender
 
 
-@partial(jax.jit, static_argnames=("k",))
-def _als_solve_side(F_other, pad_idx, pad_val, pad_mask, a, b, lamb, k):
-    """Solve one side of ALS for a batch of entities.
+def _solve_chunk(F_other, G, pad_idx, pad_val, pad_mask, a, b, lamb, k):
+    """ALS solve for one chunk of entities.
 
     For each entity with (padded) observed rows of the other-side factor
     table: A = b*G + (a-b)*sum vv^T + lamb*I, rhs = a*sum p*v, solve A x = rhs.
     """
-    G = F_other.T @ F_other  # (k, k), shared
-    Vs = F_other[pad_idx] * pad_mask[:, :, None]  # (B, L, k)
+    Vs = F_other[pad_idx] * pad_mask[:, :, None]  # (C, L, k)
     # sum of outer products over observed entries
     A = b * G[None, :, :] + (a - b) * jnp.einsum("blk,blm->bkm", Vs, Vs)
     A = A + lamb * jnp.eye(k, dtype=F_other.dtype)[None, :, :]
@@ -42,24 +43,60 @@ def _als_solve_side(F_other, pad_idx, pad_val, pad_mask, a, b, lamb, k):
     return jnp.linalg.solve(A, rhs[..., None]).squeeze(-1)
 
 
+def _solve_side_all(F_other, pad_idx, pad_val, pad_mask, a, b, lamb, k):
+    """Re-solve every entity of one side; entities pre-chunked on the
+    leading axis ((n_chunks, C, L) inputs), mapped sequentially to bound
+    the (C, L, k) gather workspace."""
+    G = F_other.T @ F_other  # (k, k), shared across the sweep
+
+    def one(args):
+        idx, val, mask = args
+        return _solve_chunk(F_other, G, idx, val, mask, a, b, lamb, k)
+
+    sols = jax.lax.map(one, (pad_idx, pad_val, pad_mask))
+    return sols.reshape(-1, k)
+
+
+@partial(jax.jit, static_argnames=("k",), donate_argnums=(0, 1))
+def _als_fit(U, V, u_idx, u_val, u_mask, i_idx, i_val, i_mask, a, b, lu, li, k, n_sweeps):
+    """Run all ALS sweeps in one compiled program (zero host round-trips;
+    the padded CSR tensors are built once and stay on device)."""
+
+    def sweep(s, carry):
+        U, V = carry
+        U = _solve_side_all(V, u_idx, u_val, u_mask, a, b, lu, k)[: U.shape[0]]
+        V = _solve_side_all(U, i_idx, i_val, i_mask, a, b, li, k)[: V.shape[0]]
+        return U, V
+
+    return jax.lax.fori_loop(0, n_sweeps, sweep, (U, V))
+
+
 @jax.jit
 def _wmf_scores(U, V, users, known_mask):
     return (U[users] * known_mask[:, None]) @ V.T
 
 
-def _padded_lists(csr, batch_ids, pad_len):
-    """Gather (idx, val, mask) padded rows of a CSR for a batch of rows."""
-    B = len(batch_ids)
-    idx = np.zeros((B, pad_len), dtype=np.int32)
-    val = np.zeros((B, pad_len), dtype=np.float32)
-    mask = np.zeros((B, pad_len), dtype=np.float32)
-    for b, r in enumerate(batch_ids):
-        s, e = csr.indptr[r], csr.indptr[r + 1]
-        L = e - s
-        idx[b, :L] = csr.indices[s:e]
-        val[b, :L] = csr.data[s:e]
-        mask[b, :L] = 1.0
-    return idx, val, mask
+def _padded_csr(csr, chunk):
+    """All CSR rows as chunked padded tensors: (n_chunks, chunk, L) idx/val/
+    mask device arrays, rows padded to the max degree, entity count padded
+    to a chunk multiple (vectorized O(nnz) construction, built once)."""
+    n = csr.shape[0]
+    deg = np.diff(csr.indptr).astype(np.int64)
+    L = max(int(deg.max(initial=1)), 1)
+    n_pad = -(-n // chunk) * chunk
+    idx = np.zeros((n_pad, L), dtype=np.int32)
+    val = np.zeros((n_pad, L), dtype=np.float32)
+    mask = np.zeros((n_pad, L), dtype=np.float32)
+    within = np.arange(L)[None, :] < deg[:, None]  # (n, L)
+    idx[:n][within] = csr.indices
+    val[:n][within] = csr.data
+    mask[:n][within] = 1.0
+    shape = (n_pad // chunk, chunk, L)
+    return (
+        jnp.asarray(idx.reshape(shape)),
+        jnp.asarray(val.reshape(shape)),
+        jnp.asarray(mask.reshape(shape)),
+    )
 
 
 class WMF(Recommender, ANNMixin):
@@ -96,32 +133,6 @@ class WMF(Recommender, ANNMixin):
         self.U = self.init_params.get("U", None)
         self.V = self.init_params.get("V", None)
 
-    def _solve_side(self, F_other, csr, n_entities, lamb):
-        """One ALS half-sweep: re-solve every entity's factor."""
-        pad_len = max(int(np.diff(csr.indptr).max(initial=1)), 1)
-        new_F = np.empty((n_entities, self.k), dtype=np.float32)
-        a, b, lamb = jnp.float32(self.a), jnp.float32(self.b), jnp.float32(lamb)
-        F_other_d = jnp.asarray(F_other)
-        for start in range(0, n_entities, self.batch_size):
-            ids = np.arange(start, min(start + self.batch_size, n_entities))
-            if len(ids) < self.batch_size:  # pad batch for stable jit shapes
-                ids = np.concatenate([ids, np.full(self.batch_size - len(ids), ids[-1])])
-            idx, val, mask = _padded_lists(csr, ids, pad_len)
-            sol = _als_solve_side(
-                F_other_d,
-                jnp.asarray(idx),
-                jnp.asarray(val),
-                jnp.asarray(mask),
-                a,
-                b,
-                lamb,
-                k=self.k,
-            )
-            sol = np.asarray(sol)
-            take = min(self.batch_size, n_entities - start)
-            new_F[start : start + take] = sol[:take]
-        return new_F
-
     def fit(self, train_set, val_set=None):
         Recommender.fit(self, train_set, val_set)
 
@@ -137,11 +148,26 @@ class WMF(Recommender, ANNMixin):
         csr = train_set.csr_matrix
         csc = csr.T.tocsr()
 
-        for sweep in range(self.max_iter):
-            self.U = self._solve_side(self.V, csr, self.num_users, self.lambda_u)
-            self.V = self._solve_side(self.U, csc, self.num_items, self.lambda_v)
-            if self.verbose:
-                print("ALS sweep %d/%d" % (sweep + 1, self.max_iter))
+        chunk = min(self.batch_size, max(self.num_users, self.num_items))
+        u_idx, u_val, u_mask = _padded_csr(csr, chunk)
+        i_idx, i_val, i_mask = _padded_csr(csc, chunk)
+
+        U, V = _als_fit(
+            jnp.asarray(self.U),
+            jnp.asarray(self.V),
+            u_idx, u_val, u_mask,
+            i_idx, i_val, i_mask,
+            jnp.float32(self.a),
+            jnp.float32(self.b),
+            jnp.float32(self.lambda_u),
+            jnp.float32(self.lambda_v),
+            k=self.k,
+            n_sweeps=self.max_iter,
+        )
+        self.U = np.asarray(U)
+        self.V = np.asarray(V)
+        if self.verbose:
+            print("ALS finished (%d sweeps)" % self.max_iter)
 
         return self
 
