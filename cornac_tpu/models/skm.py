@@ -11,6 +11,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..exception import ScoreException
+from functools import partial
+
 from ..utils import get_rng
 from .recommender import Recommender
 
@@ -24,6 +26,29 @@ def _skmeans_iter(X, Z):
     par = jnp.argmax(sim, axis=1)
     likelihood = jnp.sum(jnp.max(sim, axis=1))
     return MU, par, likelihood
+
+
+@partial(jax.jit, static_argnames=("k",))
+def _skmeans_fit(X, par0, k, max_iter, tol):
+    """Whole k-means loop on device: iterate until the likelihood moves
+    by <= tol or max_iter is hit (single compiled while_loop — the
+    per-iteration host round-trip is what dominated wall-clock before)."""
+    n = X.shape[0]
+    MU0 = jnp.zeros((k, X.shape[1]), X.dtype)
+
+    def cond(state):
+        it, _, _, l_cur, l_prev = state
+        return (it < max_iter) & (jnp.abs(l_cur - l_prev) > tol)
+
+    def body(state):
+        it, par, _, l_cur, _ = state
+        Z = jnp.zeros((n, k), X.dtype).at[jnp.arange(n), par].set(1.0)
+        MU, par_new, likelihood = _skmeans_iter(X, Z)
+        return it + 1, par_new, MU, likelihood, l_cur
+
+    state = (jnp.int32(0), par0, MU0, jnp.float32(jnp.inf), jnp.float32(-jnp.inf))
+    it, par, MU, l_cur, _ = jax.lax.while_loop(cond, body, state)
+    return MU, par, l_cur, it
 
 
 class SKMeans(Recommender):
@@ -63,21 +88,30 @@ class SKMeans(Recommender):
                 else get_rng(self.seed).randint(self.k, size=n)
             )
             X_d = jnp.asarray(X)
-            l_prev = -np.inf
-            for it in range(self.max_iter):
-                Z = jnp.zeros((n, self.k), dtype=jnp.float32).at[
-                    jnp.arange(n), jnp.asarray(par)
-                ].set(1.0)
-                MU, par_new, likelihood = _skmeans_iter(X_d, Z)
-                par = np.asarray(par_new)
-                likelihood = float(likelihood)
-                if self.verbose:
+            if self.verbose:
+                # per-iteration printing keeps the host in the loop
+                par = jnp.asarray(par)
+                l_prev = -np.inf
+                for it in range(self.max_iter):
+                    Z = jnp.zeros((n, self.k), dtype=jnp.float32).at[
+                        jnp.arange(n), par
+                    ].set(1.0)
+                    MU, par, likelihood = _skmeans_iter(X_d, Z)
+                    likelihood = float(likelihood)
                     print("Iter %i, likelihood: %f" % (it + 1, likelihood))
-                if abs(likelihood - l_prev) <= self.tol:
-                    break
-                l_prev = likelihood
+                    if abs(likelihood - l_prev) <= self.tol:
+                        break
+                    l_prev = likelihood
+            else:
+                MU, par, _, _ = _skmeans_fit(
+                    X_d,
+                    jnp.asarray(par, dtype=jnp.int32),
+                    k=self.k,
+                    max_iter=jnp.int32(self.max_iter),
+                    tol=jnp.float32(self.tol),
+                )
             self.centroids = np.asarray(MU, dtype=np.float64)
-            self.final_par = par
+            self.final_par = np.asarray(par)
         elif self.verbose:
             print("%s is trained already (trainable = False)" % self.name)
 
