@@ -64,10 +64,16 @@ class RankingContext:
             self._rank_of[rows, order] = np.arange(self.N)[None, :]
         return self._rank_of
 
+    # sentinel rank for non-positive columns: must compare greater than any
+    # truncation cutoff, including k > N (a sentinel of N breaks there: the
+    # non-positive columns would pass ``rank < k`` and inflate every @k
+    # metric on catalogs smaller than k)
+    OUT_OF_RANGE = np.int64(2**31)
+
     @property
     def pos_ranks(self):
-        """(B, N) int: rank of each positive column, N (=out of range) elsewhere."""
-        return np.where(self.pos_mask, self.rank_of, self.N)
+        """(B, N) int: rank of each positive column, OUT_OF_RANGE elsewhere."""
+        return np.where(self.pos_mask, self.rank_of, self.OUT_OF_RANGE)
 
     def _compute_tie_counts(self):
         """For every column j (restricted to candidates): the number of

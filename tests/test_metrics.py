@@ -170,3 +170,51 @@ class TestBatchVsPerUser:
                     gt_neg=np.flatnonzero(~pos_mask[b]),
                 )
                 assert batch_vals[b] == pytest.approx(expected, abs=1e-10)
+
+
+class TestTinyCatalogTruncation:
+    """k larger than the catalog must not inflate @k metrics (regression:
+    the non-positive sentinel rank used to be N, which passes ``rank < k``
+    whenever k > N)."""
+
+    def _ctx(self):
+        from cornac_tpu.metrics import RankingContext
+
+        scores = np.array([[0.2, 0.8], [0.9, 0.1]])
+        pos = np.array([[True, False], [True, False]])
+        cand = np.ones((2, 2), bool)
+        return RankingContext(scores, pos, cand)
+
+    def test_ndcg_k_gt_catalog(self):
+        from cornac_tpu.metrics import NDCG
+
+        vals = NDCG(k=10).batch_compute(self._ctx())
+        # row0 target ranked 2nd -> 1/log2(3); row1 target ranked 1st -> 1
+        np.testing.assert_allclose(vals, [1.0 / np.log2(3.0), 1.0], rtol=1e-12)
+
+    def test_measures_k_gt_catalog(self):
+        from cornac_tpu.metrics import NCRR, HitRatio, Precision, Recall
+
+        ctx = self._ctx()
+        np.testing.assert_allclose(Recall(k=10).batch_compute(ctx), [1.0, 1.0])
+        # reference Precision@k divides by k even when k > catalog
+        np.testing.assert_allclose(Precision(k=10).batch_compute(ctx), [0.1, 0.1])
+        np.testing.assert_allclose(HitRatio(k=10).batch_compute(ctx), [1.0, 1.0])
+        np.testing.assert_allclose(NCRR(k=10).batch_compute(ctx), [0.5, 1.0])
+
+    def test_batch_matches_per_user_reference_form(self):
+        from cornac_tpu.metrics import NDCG
+
+        rng = np.random.RandomState(3)
+        scores = rng.randn(8, 5)
+        pos = np.zeros((8, 5), bool)
+        pos[np.arange(8), rng.randint(0, 5, 8)] = True
+        from cornac_tpu.metrics import RankingContext
+
+        ctx = RankingContext(scores, pos, np.ones_like(pos))
+        m = NDCG(k=10)
+        batch = m.batch_compute(ctx)
+        for b in range(8):
+            pd_rank = np.argsort(-scores[b], kind="stable")
+            oracle = m.compute(gt_pos=np.flatnonzero(pos[b]), pd_rank=pd_rank)
+            np.testing.assert_allclose(batch[b], oracle, rtol=1e-12)
