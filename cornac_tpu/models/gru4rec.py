@@ -21,7 +21,7 @@ import optax
 from ..utils import get_rng
 from ..utils.init_utils import xavier_uniform
 from .recommender import NextItemRecommender
-from .seq_utils import bpr_max_loss, build_session_examples, pad_histories, top1_loss
+from .seq_utils import bpr_max_loss, build_session_examples, pad_batch_rows, pad_histories, top1_loss
 
 LOSSES = ("cross-entropy", "bpr-max", "top1")
 
@@ -48,6 +48,13 @@ def _init_gru(rng, vocab, emb_dim, hidden):
         ),
         "out_b": jnp.zeros(vocab, jnp.float32),
     }
+
+
+@jax.jit
+def _gru_last_state(params, seq, step_mask):
+    """Jitted inference: final GRU state per left-padded history (the
+    eager forward costs one dispatch per scan step through the runtime)."""
+    return _gru_states(params, seq, step_mask)[:, -1, :]
 
 
 def _gru_states(params, seq, step_mask=None):
@@ -216,10 +223,11 @@ class GRU4Rec(NextItemRecommender):
         step_mask = (
             np.arange(self.max_len)[None, :] >= (self.max_len - lengths)[:, None]
         ).astype(np.float32)
-        states = _gru_states(
+        (padded, step_mask), B = pad_batch_rows([padded, step_mask])
+        states = _gru_last_state(
             self.params, jnp.asarray(padded), jnp.asarray(step_mask)
         )
-        return states[:, -1, :]  # last state (histories are left-padded)
+        return states[:B]  # last state (histories are left-padded)
 
     def score(self, user_idx, history_items, **kwargs):
         return self.score_history_batch([user_idx], [list(history_items)])[0]

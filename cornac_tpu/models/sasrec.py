@@ -19,7 +19,7 @@ import optax
 from ..utils import get_rng
 from ..utils.init_utils import xavier_uniform
 from .recommender import NextItemRecommender
-from .seq_utils import build_session_examples, pad_histories
+from .seq_utils import build_session_examples, pad_histories, pad_batch_rows
 
 
 def _init_sasrec(rng, vocab, d, n_layers, max_len):
@@ -60,6 +60,16 @@ def _layernorm(x, g, b):
     mu = jnp.mean(x, axis=-1, keepdims=True)
     var = jnp.var(x, axis=-1, keepdims=True)
     return (x - mu) * jax.lax.rsqrt(var + 1e-8) * g + b
+
+
+@partial(jax.jit, static_argnames=("pad_id", "n_heads", "n_items"))
+def _sasrec_scores(params, seq, pad_id, n_heads, n_items):
+    """Jitted inference: next-item logits for left-padded histories. The
+    eager (unjitted) forward costs one dispatch per op through the runtime;
+    fusing the whole scorer is a >20x eval-latency win (PERF.md)."""
+    states = _sasrec_states(params, seq, pad_id, n_heads)
+    last = states[:, -1, :]  # left-padded: last column is most recent
+    return last @ params["emb"][:n_items].T
 
 
 def _sasrec_states(params, seq, pad_id, n_heads):
@@ -243,9 +253,8 @@ class SASRec(NextItemRecommender):
     def score_history_batch(self, user_indices, histories):
         pad_id = self.num_items
         padded, lengths = pad_histories(histories, self.max_len, pad_value=pad_id)
-        states = _sasrec_states(
-            self.params, jnp.asarray(padded), pad_id, self.n_heads
+        (padded,), B = pad_batch_rows([padded])
+        logits = _sasrec_scores(
+            self.params, jnp.asarray(padded), pad_id, self.n_heads, self.num_items
         )
-        last = states[:, -1, :]  # left-padded: last column is most recent
-        logits = last @ self.params["emb"][: self.num_items].T
-        return np.asarray(logits, dtype=np.float64)
+        return np.asarray(logits, dtype=np.float64)[:B]

@@ -104,3 +104,17 @@ def sampled_xe_logq(pos_scores, neg_scores, neg_counts, total_count, neg_mask):
     corrected = jnp.where(neg_mask > 0, neg_scores - logq, -jnp.inf)
     all_scores = jnp.concatenate([pos_scores[..., None], corrected], axis=-1)
     return -jax.nn.log_softmax(all_scores, axis=-1)[..., 0]
+
+
+def pad_batch_rows(arrs, multiple=64):
+    """Pad the leading (batch) dim of each array up to a multiple by
+    repeating the last row; returns (padded arrays, original B). Bounds the
+    number of distinct batch shapes jitted inference scorers compile for."""
+    B = arrs[0].shape[0]
+    pad = (-B) % multiple
+    if pad == 0:
+        return arrs, B
+    out = []
+    for a in arrs:
+        out.append(np.concatenate([a, np.repeat(a[-1:], pad, axis=0)]))
+    return out, B

@@ -28,7 +28,7 @@ from ..utils import get_rng
 from ..utils.init_utils import xavier_uniform
 from .recommender import NextItemRecommender
 from .sasrec import _layernorm
-from .seq_utils import build_session_examples, pad_histories
+from .seq_utils import build_session_examples, pad_batch_rows, pad_histories
 
 BACKBONES = ("bert", "gpt2")
 OBJECTIVES = ("mlm", "clm", "plm", "rtd")
@@ -66,6 +66,14 @@ def _init_transformer(rng, vocab_with_special, d, n_layers, max_len, ffn_mult=4)
         "ln_f_b": jnp.zeros(d, jnp.float32),
         "out_b": jnp.zeros(vocab_with_special, jnp.float32),
     }
+
+
+@partial(jax.jit, static_argnames=("pad_id", "n_heads", "causal", "n_items"))
+def _encode_scores(params, seq, pad_id, n_heads, causal, n_items):
+    """Jitted inference: next-item logits from the last contextual state."""
+    states = _encode(params, seq, pad_id, n_heads, causal)
+    last = states[:, -1, :]
+    return last @ params["emb"][:n_items].T + params["out_b"][:n_items]
 
 
 def _encode(params, seq, pad_id, n_heads, causal):
@@ -293,15 +301,12 @@ class TransformerRec(NextItemRecommender):
             padded, lengths = pad_histories(
                 histories, self.max_len, pad_value=self.pad_id
             )
-        states = _encode(
+        (padded,), B = pad_batch_rows([padded])
+        logits = _encode_scores(
             self.params, jnp.asarray(padded), self.pad_id, self.n_heads,
-            self.backbone == "gpt2",
+            self.backbone == "gpt2", self.num_items,
         )
-        last = states[:, -1, :]
-        logits = last @ self.params["emb"][: self.num_items].T + self.params[
-            "out_b"
-        ][: self.num_items]
-        return np.asarray(logits, dtype=np.float64)
+        return np.asarray(logits, dtype=np.float64)[:B]
 
 
 class BERT4Rec(TransformerRec):
