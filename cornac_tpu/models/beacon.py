@@ -365,9 +365,25 @@ class Beacon(NextBasketRecommender):
         return self.score_baskets_batch([user_idx], [history_baskets])[0]
 
     def score_baskets_batch(self, user_indices, histories):
+        from .seq_utils import pad_batch_rows
+
         histories = [h if len(h) else [[]] for h in histories]
         ids, lengths = self._pack(histories)
-        logits = self._forward(
-            self.params, jnp.asarray(ids), jnp.asarray(lengths), None
+        # pad the per-batch basket width up to a multiple of 8 and the batch
+        # rows to a multiple of 64 so the jitted scorer compiles O(1) shapes
+        width_pad = (-ids.shape[2]) % 8
+        if width_pad:
+            ids = np.concatenate(
+                [ids, np.full(ids.shape[:2] + (width_pad,), self.total_items,
+                              np.int32)], axis=2,
+            )
+        (ids, lengths), B = pad_batch_rows([ids, lengths])
+        if not hasattr(self, "_jit_score"):
+            self._jit_score = jax.jit(
+                lambda p, i, l: jax.nn.sigmoid(self._forward(p, i, l, None))
+            )
+            self.ignored_attrs.append("_jit_score")  # not picklable
+        logits = self._jit_score(
+            self.params, jnp.asarray(ids), jnp.asarray(lengths)
         )
-        return np.asarray(jax.nn.sigmoid(logits), np.float64)
+        return np.asarray(logits, np.float64)[:B]

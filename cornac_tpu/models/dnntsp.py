@@ -115,6 +115,10 @@ def _forward(params, node_ids, node_mask, W, lengths, n_items):
     return (embed @ params["fc_w"] + params["fc_b"])[..., 0]  # (B, n_items)
 
 
+_forward_jit = partial(jax.jit, static_argnames=("n_items",))(_forward)
+"""Jitted inference entry (training wraps _forward in its own jit)."""
+
+
 class DNNTSP(NextBasketRecommender):
     """Temporal-sets prediction over per-user dynamic item graphs."""
 
@@ -307,7 +311,14 @@ class DNNTSP(NextBasketRecommender):
             max(len(set(i for bk in h for i in bk)) for h in histories),
         )
         node_ids, node_mask, W, lengths = self._pack(histories, N, T)
-        scores = _forward(
-            self.params, node_ids, node_mask, W, lengths, self.total_items
+        from .seq_utils import pad_batch_rows
+
+        (node_ids, node_mask, W, lengths), B = pad_batch_rows(
+            [np.asarray(node_ids), np.asarray(node_mask), np.asarray(W),
+             np.asarray(lengths)]
         )
-        return np.asarray(scores, np.float64)
+        scores = _forward_jit(
+            self.params, jnp.asarray(node_ids), jnp.asarray(node_mask),
+            jnp.asarray(W), jnp.asarray(lengths), self.total_items,
+        )
+        return np.asarray(scores, np.float64)[:B]
