@@ -191,6 +191,52 @@ def _decoder(params, dec_emb, enc_out, enc_mask, n_heads):
     return _ln(h, params["dec_lnf_g"], params["dec_lnf_b"])
 
 
+_encoder_jit = partial(jax.jit, static_argnames=("n_heads",))(_encoder)
+"""Jitted inference encoder (training wraps _encoder in its own jit)."""
+
+
+@partial(jax.jit, static_argnames=("n_heads", "n_levels"))
+def _exact_cross_scores(params, offsets, targets, enc_out, enc_mask, n_heads, n_levels):
+    """(B, nb) sequence log-probs of nb target sids for B encoded histories:
+    the (user, target) cross product flattens into one decoder batch — the
+    previous eager per-chunk loop paid one dispatch per op."""
+    B = enc_out.shape[0]
+    nb, L = targets.shape
+    d = params["dec_pos"].shape[-1]
+    emb = params["tok_emb"][targets[:, :-1] + offsets[None, : L - 1]]
+    dec = jnp.concatenate(
+        [jnp.broadcast_to(params["bos"], (nb, 1, d)), emb], axis=1
+    )
+    dec_t = jnp.broadcast_to(dec[None], (B, nb, L, d)).reshape(B * nb, L, d)
+    eo = jnp.repeat(enc_out, nb, axis=0)
+    em = jnp.repeat(enc_mask, nb, axis=0)
+    h = _decoder(params, dec_t, eo, em, n_heads)
+    tgt = jnp.broadcast_to(targets[None], (B, nb, L)).reshape(B * nb, L)
+    scores = jnp.zeros((B * nb,), h.dtype)
+    for level in range(n_levels):
+        logp = jax.nn.log_softmax(h[:, level] @ params["heads"][level], axis=-1)
+        scores = scores + jnp.take_along_axis(
+            logp, tgt[:, level : level + 1], axis=1
+        )[:, 0]
+    return scores.reshape(B, nb)
+
+
+@partial(jax.jit, static_argnames=("n_heads", "level"))
+def _beam_level_logp(params, offsets, prefix, enc_out, enc_mask, n_heads, level):
+    """(R, level_size) next-token log-probs for R (history, beam-prefix)
+    rows; one jitted decoder call per beam level."""
+    R = prefix.shape[0]
+    d = params["dec_pos"].shape[-1]
+    bos = jnp.broadcast_to(params["bos"], (R, 1, d))
+    if level == 0:
+        dec = bos
+    else:
+        emb = params["tok_emb"][prefix + offsets[None, :level]]
+        dec = jnp.concatenate([bos, emb], axis=1)
+    h = _decoder(params, dec, enc_out, enc_mask, n_heads)
+    return jax.nn.log_softmax(h[:, -1] @ params["heads"][level], axis=-1)
+
+
 class TIGER(NextItemRecommender):
     """Generative retrieval with hierarchical semantic IDs."""
 
@@ -612,98 +658,138 @@ class TIGER(NextItemRecommender):
         item_indices = np.arange(num_items)
         orig_beams, self.n_beams = self.n_beams, max(self.n_beams, self.val_k)
         results = []
-        for items in sessions:
-            target = items[-1]
-            if target >= num_items:
-                continue
-            scores = np.asarray(self.score(None, items[:-1]))[:num_items]
-            rank = np.argsort(-scores)
-            results.append(
-                metric.compute(
-                    gt_pos=np.array([target]),
-                    gt_neg=np.delete(item_indices, target),
-                    pd_rank=rank,
-                    pd_scores=scores,
-                    item_indices=item_indices,
+        sessions = [it for it in sessions if it[-1] < num_items]
+        chunk = 128
+        for start in range(0, len(sessions), chunk):
+            batch = sessions[start : start + chunk]
+            rows = self.score_history_batch(
+                [None] * len(batch), [it[:-1] for it in batch]
+            )[:, :num_items]
+            for scores, items in zip(rows, batch):
+                target = items[-1]
+                rank = np.argsort(-scores)
+                results.append(
+                    metric.compute(
+                        gt_pos=np.array([target]),
+                        gt_neg=np.delete(item_indices, target),
+                        pd_rank=rank,
+                        pd_scores=scores,
+                        item_indices=item_indices,
+                    )
                 )
-            )
         self.n_beams = orig_beams
         return float(np.mean(results)) if results else 0.0
 
     # --------------------------------------------------------- scoring
-    def _encode_history(self, history_items):
-        hist = list(history_items)[-self.max_len :]
-        hist = [self.pad_idx] * (self.max_len - len(hist)) + hist
-        enc_tokens = self.enc_token_table[np.asarray(hist, np.int64)].reshape(1, -1)
-        return _encoder(self.params, jnp.asarray(enc_tokens), self.num_heads)
+    def _encode_history_batch(self, histories):
+        hists = []
+        for h in histories:
+            h = list(h)[-self.max_len :]
+            hists.append([self.pad_idx] * (self.max_len - len(h)) + h)
+        enc_tokens = self.enc_token_table[np.asarray(hists, np.int64)].reshape(
+            len(hists), -1
+        )
+        return _encoder_jit(
+            self.params, jnp.asarray(enc_tokens), n_heads=self.num_heads
+        )
 
     def score(self, user_idx, history_items, **kwargs):
         if len(history_items) == 0:
             return np.ones(self.total_items, dtype="float")
-        enc_out, enc_mask = self._encode_history(history_items)
+        return self.score_history_batch([user_idx], [list(history_items)])[0]
+
+    def score_history_batch(self, user_indices, histories):
+        empty = [b for b, h in enumerate(histories) if len(h) == 0]
+        safe = [list(h) if len(h) else [0] for h in histories]
+        enc_out, enc_mask = self._encode_history_batch(safe)
         if self.scoring == "beam":
-            return self._score_beam(enc_out, enc_mask)
-        return self._score_exact(enc_out, enc_mask)
+            out = self._score_beam_batch(enc_out, enc_mask)
+        else:
+            out = self._score_exact_batch(enc_out, enc_mask)
+        for b in empty:
+            out[b] = 1.0
+        return out
 
-    def _score_beam(self, enc_out, enc_mask):
-        params = self.params
-        beams = [()]
-        beam_lp = np.zeros(1)
+    def _score_beam_batch(self, enc_out, enc_mask):
+        """Per-user beam search over the semantic-id trie; each level is one
+        jitted decoder call over all (user, beam) rows, trie masking and
+        beam pruning stay on host."""
+        B = int(enc_out.shape[0])
+        offsets_d = jnp.asarray(self.offsets)
+        beams = [[()] for _ in range(B)]
+        beam_lp = [np.zeros(1) for _ in range(B)]
         for level, size in enumerate(self.level_sizes):
-            n_b = len(beams)
-            prefix = (
-                jnp.asarray(np.asarray(beams, np.int64))
-                if level > 0
-                else jnp.zeros((n_b, 0), jnp.int64)
-            )
-            h = _decoder(
-                params,
-                self._dec_emb(params, prefix),
-                jnp.broadcast_to(enc_out, (n_b, *enc_out.shape[1:])),
-                jnp.broadcast_to(enc_mask, (n_b, enc_mask.shape[1])),
-                self.num_heads,
-            )
+            counts = [len(bs) for bs in beams]
+            R = max(counts)
+            prefix = np.zeros((B, R, level), np.int64)
+            for b, bs in enumerate(beams):
+                for r in range(R):
+                    prefix[b, r, :] = bs[min(r, counts[b] - 1)]
+            eo = jnp.repeat(enc_out, R, axis=0)
+            em = jnp.repeat(enc_mask, R, axis=0)
             logp = np.asarray(
-                jax.nn.log_softmax(h[:, -1] @ params["heads"][level], axis=-1)
-            )
-            allowed = np.full_like(logp, -np.inf)
-            for i, beam in enumerate(beams):
-                allowed[i, self.prefix_children[level][beam]] = 0.0
-            total = (beam_lp[:, None] + logp + allowed).ravel()
-            k = min(self.n_beams, int(np.isfinite(total).sum()))
-            top = np.argpartition(-total, k - 1)[:k]
-            top = top[np.argsort(-total[top])]
-            beams = [beams[j // size] + (int(j % size),) for j in top]
-            beam_lp = total[top]
-        scores = np.full(self.total_items, -1e10, dtype="float")
-        for sid, lp in zip(beams, beam_lp):
-            scores[self.sid_to_item[sid]] = lp
-        return scores
-
-    def _score_exact(self, enc_out, enc_mask):
-        params = self.params
-        N = len(self.sid_table)
-        sid_d = jnp.asarray(self.sid_table)
-        scores = np.empty(N, dtype="float")
-        for start in range(0, N, self.scoring_batch_size):
-            target = sid_d[start : start + self.scoring_batch_size]
-            nb = target.shape[0]
-            h = _decoder(
-                params,
-                self._dec_emb(params, target[:, :-1]),
-                jnp.broadcast_to(enc_out, (nb, *enc_out.shape[1:])),
-                jnp.broadcast_to(enc_mask, (nb, enc_mask.shape[1])),
-                self.num_heads,
-            )
-            s = jnp.zeros(nb)
-            for level in range(len(self.level_sizes)):
-                logp = jax.nn.log_softmax(
-                    h[:, level] @ params["heads"][level], axis=-1
+                _beam_level_logp(
+                    self.params, offsets_d,
+                    jnp.asarray(prefix.reshape(B * R, level)),
+                    eo, em, self.num_heads, level,
                 )
-                s = s + jnp.take_along_axis(
-                    logp, target[:, level : level + 1], axis=1
-                )[:, 0]
-            scores[start : start + nb] = np.asarray(s)
-        out = np.full(self.total_items, -1e10, dtype="float")
-        out[:N] = scores
+            ).reshape(B, R, size)
+            new_beams, new_lp = [], []
+            for b in range(B):
+                allowed = np.full((counts[b], size), -np.inf)
+                for i, beam in enumerate(beams[b]):
+                    allowed[i, self.prefix_children[level][beam]] = 0.0
+                total = (
+                    beam_lp[b][:, None] + logp[b, : counts[b]] + allowed
+                ).ravel()
+                k = min(self.n_beams, int(np.isfinite(total).sum()))
+                top = np.argpartition(-total, k - 1)[:k]
+                top = top[np.argsort(-total[top])]
+                new_beams.append(
+                    [beams[b][j // size] + (int(j % size),) for j in top]
+                )
+                new_lp.append(total[top])
+            beams, beam_lp = new_beams, new_lp
+        out = np.full((B, self.total_items), -1e10, dtype="float")
+        for b in range(B):
+            for sid, lp in zip(beams[b], beam_lp[b]):
+                out[b, self.sid_to_item[sid]] = lp
+        return out
+
+    def _score_exact_batch(self, enc_out, enc_mask):
+        """(B, total_items) exact sequence log-probs, chunked over users and
+        targets so the flattened decoder batch stays bounded."""
+        N = len(self.sid_table)
+        B = int(enc_out.shape[0])
+        n_levels = len(self.level_sizes)
+        offsets_d = jnp.asarray(self.offsets)
+
+        tc = min(512, N)
+        uc = min(32, B)
+        sid = self.sid_table
+        pad_n = (-N) % tc
+        if pad_n:
+            sid = np.concatenate([sid, np.repeat(sid[-1:], pad_n, axis=0)])
+        pad_b = (-B) % uc
+        if pad_b:
+            enc_out = jnp.concatenate(
+                [enc_out, jnp.repeat(enc_out[-1:], pad_b, axis=0)]
+            )
+            enc_mask = jnp.concatenate(
+                [enc_mask, jnp.repeat(enc_mask[-1:], pad_b, axis=0)]
+            )
+
+        scores = np.empty((B + pad_b, N + pad_n), dtype="float")
+        for us in range(0, B + pad_b, uc):
+            eo, em = enc_out[us : us + uc], enc_mask[us : us + uc]
+            for ts in range(0, N + pad_n, tc):
+                scores[us : us + uc, ts : ts + tc] = np.asarray(
+                    _exact_cross_scores(
+                        self.params, offsets_d,
+                        jnp.asarray(sid[ts : ts + tc]),
+                        eo, em, self.num_heads, n_levels,
+                    )
+                )
+        out = np.full((B, self.total_items), -1e10, dtype="float")
+        out[:, :N] = scores[:B, :N]
         return out
