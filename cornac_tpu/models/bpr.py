@@ -158,6 +158,12 @@ class BPR(Recommender, ANNMixin):
     Parameters mirror the reference: ``k``, ``max_iter``, ``learning_rate``,
     ``lambda_reg``, ``use_bias``, ``init_params`` ({'U','V','Bi'}), ``seed``.
     ``batch_size`` controls the on-device minibatch width.
+
+    ``mesh`` (framework extension, no reference analogue): a
+    ``jax.sharding.Mesh`` with a ``model`` axis. The factor tables are
+    row-sharded over it and the whole multi-epoch program runs under GSPMD —
+    XLA partitions the one-hot update matmuls across chips and inserts the
+    collectives. Semantics are identical to single-chip training.
     """
 
     def __init__(
@@ -173,8 +179,10 @@ class BPR(Recommender, ANNMixin):
         verbose=False,
         init_params=None,
         seed=None,
+        mesh=None,
     ):
         super().__init__(name=name, trainable=trainable, verbose=verbose)
+        self.mesh = mesh
         self.k = int(k)
         self.max_iter = max_iter
         self.learning_rate = learning_rate
@@ -225,6 +233,20 @@ class BPR(Recommender, ANNMixin):
         U = jnp.asarray(self.u_factors)
         V = jnp.asarray(self.i_factors)
         Bi = jnp.asarray(self.i_biases)
+
+        if self.mesh is not None:
+            from ..parallel import shard_replicated, shard_rows
+
+            U = shard_rows(self.mesh, U)
+            V = shard_rows(self.mesh, V)
+            Bi = shard_rows(self.mesh, Bi)
+            rid_d = shard_replicated(self.mesh, rid_d)
+            cid_d = shard_replicated(self.mesh, cid_d)
+            membership = jax.tree_util.tree_map(
+                lambda a: shard_replicated(self.mesh, a), membership
+            )
+            if neg_pop is not None:
+                neg_pop = shard_replicated(self.mesh, neg_pop)
 
         base_key = jax.random.PRNGKey(self.rng.randint(2**31))
         n = len(rid)
@@ -333,6 +355,7 @@ class WBPR(BPR):
         verbose=False,
         init_params=None,
         seed=None,
+        mesh=None,
     ):
         super().__init__(
             name=name,
@@ -346,6 +369,7 @@ class WBPR(BPR):
             verbose=verbose,
             init_params=init_params,
             seed=seed,
+            mesh=mesh,
         )
 
     def _neg_population(self, train_set):

@@ -29,7 +29,8 @@ data = [
 ]
 rs = RatioSplit(data=data, test_size=0.2, rating_threshold=3.0, seed=123)
 
-bpr = BPR(k=32, max_iter=50, seed=123, verbose=True)
+# mesh-aware training: factor tables row-sharded under GSPMD
+bpr = BPR(k=32, max_iter=50, seed=123, verbose=True, mesh=mesh)
 bpr.fit(rs.train_set)
 
 # Row-shard the item factor table over the model axis and rank on-device.

@@ -194,3 +194,30 @@ class TestPallasRanking:
         s, i = fused_topk(U, V, 200, force="pallas_interpret")
         assert i.shape == (3, 50)
         assert len(set(np.asarray(i)[0].tolist())) == 50  # all items, no dupes
+
+
+def test_bpr_mesh_training_matches_single_device():
+    """BPR(mesh=...) row-shards the tables under GSPMD; the math is the
+    same program, so factors must match the unsharded run."""
+    import numpy as np
+
+    from cornac_tpu.eval_methods import RatioSplit
+    from cornac_tpu.models import BPR
+    from cornac_tpu.parallel import make_mesh
+
+    rng = np.random.RandomState(0)
+    data = [
+        (f"u{rng.randint(40)}", f"i{rng.randint(64)}", 1.0) for _ in range(600)
+    ]
+    rs = RatioSplit(data=data, test_size=0.2, rating_threshold=0.5, seed=123)
+
+    plain = BPR(k=4, max_iter=10, seed=123).fit(rs.train_set)
+    mesh = make_mesh(data_parallel=1)
+    sharded = BPR(k=4, max_iter=10, seed=123, mesh=mesh).fit(rs.train_set)
+
+    np.testing.assert_allclose(
+        plain.u_factors, sharded.u_factors, rtol=1e-5, atol=1e-6
+    )
+    np.testing.assert_allclose(
+        plain.i_factors, sharded.i_factors, rtol=1e-5, atol=1e-6
+    )
