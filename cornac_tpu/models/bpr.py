@@ -234,12 +234,18 @@ class BPR(Recommender, ANNMixin):
         V = jnp.asarray(self.i_factors)
         Bi = jnp.asarray(self.i_biases)
 
+        n_u, n_i = U.shape[0], V.shape[0]
         if self.mesh is not None:
             from ..parallel import shard_replicated, shard_rows
+            from ..parallel.mesh import MODEL_AXIS, pad_rows_to_multiple
 
-            U = shard_rows(self.mesh, U)
-            V = shard_rows(self.mesh, V)
-            Bi = shard_rows(self.mesh, Bi)
+            # row counts must divide the shard count; padded rows are never
+            # sampled (ids stay < num_users/num_items) and are sliced off
+            # after training
+            shards = self.mesh.shape[MODEL_AXIS]
+            U = shard_rows(self.mesh, pad_rows_to_multiple(np.asarray(U), shards))
+            V = shard_rows(self.mesh, pad_rows_to_multiple(np.asarray(V), shards))
+            Bi = shard_rows(self.mesh, pad_rows_to_multiple(np.asarray(Bi), shards))
             rid_d = shard_replicated(self.mesh, rid_d)
             cid_d = shard_replicated(self.mesh, cid_d)
             membership = jax.tree_util.tree_map(
@@ -286,9 +292,9 @@ class BPR(Recommender, ANNMixin):
                     )
                 )
 
-        self.u_factors = np.asarray(U)
-        self.i_factors = np.asarray(V)
-        self.i_biases = np.asarray(Bi)
+        self.u_factors = np.asarray(U)[:n_u]
+        self.i_factors = np.asarray(V)[:n_i]
+        self.i_biases = np.asarray(Bi)[:n_i]
 
         if self.verbose:
             print("Optimization finished!")
