@@ -121,8 +121,10 @@ class MF(Recommender, ANNMixin):
         verbose=False,
         init_params=None,
         seed=None,
+        mesh=None,
     ):
         super().__init__(name=name, trainable=trainable, verbose=verbose)
+        self.mesh = mesh
         self.k = k
         self.max_iter = max_iter
         self.learning_rate = learning_rate
@@ -180,6 +182,23 @@ class MF(Recommender, ANNMixin):
         Bu = jnp.asarray(self.u_biases)
         Bi = jnp.asarray(self.i_biases)
 
+        n_u, n_i = U.shape[0], V.shape[0]
+        if self.mesh is not None:
+            # GSPMD: row-shard the tables over the mesh model axis (rows
+            # padded to the shard multiple; padded rows are never sampled
+            # and are sliced off below), replicate the rating arrays
+            from ..parallel import shard_replicated, shard_rows
+            from ..parallel.mesh import MODEL_AXIS, pad_rows_to_multiple
+
+            shards = self.mesh.shape[MODEL_AXIS]
+            U = shard_rows(self.mesh, pad_rows_to_multiple(np.asarray(U), shards))
+            V = shard_rows(self.mesh, pad_rows_to_multiple(np.asarray(V), shards))
+            Bu = shard_rows(self.mesh, pad_rows_to_multiple(np.asarray(Bu), shards))
+            Bi = shard_rows(self.mesh, pad_rows_to_multiple(np.asarray(Bi), shards))
+            rid_d = shard_replicated(self.mesh, rid_d)
+            cid_d = shard_replicated(self.mesh, cid_d)
+            val_d = shard_replicated(self.mesh, val_d)
+
         last_loss = 0.0
         for epoch in range(self.max_iter):
             perm = np.concatenate([rng.permutation(n), np.zeros(n_pad, np.int64)])
@@ -208,10 +227,10 @@ class MF(Recommender, ANNMixin):
                 break
             last_loss = loss
 
-        self.u_factors = np.asarray(U)
-        self.i_factors = np.asarray(V)
-        self.u_biases = np.asarray(Bu)
-        self.i_biases = np.asarray(Bi)
+        self.u_factors = np.asarray(U)[:n_u]
+        self.i_factors = np.asarray(V)[:n_i]
+        self.u_biases = np.asarray(Bu)[:n_u]
+        self.i_biases = np.asarray(Bi)[:n_i]
 
     # ------------------------------------------------------------------ #
     # scoring

@@ -221,3 +221,29 @@ def test_bpr_mesh_training_matches_single_device():
     np.testing.assert_allclose(
         plain.i_factors, sharded.i_factors, rtol=1e-5, atol=1e-6
     )
+
+
+def test_mf_mesh_training_matches_single_device():
+    import numpy as np
+
+    from cornac_tpu.eval_methods import RatioSplit
+    from cornac_tpu.models import MF
+    from cornac_tpu.parallel import make_mesh
+
+    rng = np.random.RandomState(1)
+    data = [
+        (f"u{rng.randint(30)}", f"i{rng.randint(50)}", float(rng.randint(1, 6)))
+        for _ in range(500)
+    ]
+    rs = RatioSplit(data=data, test_size=0.2, seed=123)
+
+    plain = MF(k=4, max_iter=5, seed=123).fit(rs.train_set)
+    sharded = MF(k=4, max_iter=5, seed=123, mesh=make_mesh(data_parallel=1)).fit(
+        rs.train_set
+    )
+    np.testing.assert_allclose(
+        plain.u_factors, sharded.u_factors, rtol=1e-5, atol=1e-6
+    )
+    np.testing.assert_allclose(
+        plain.i_factors, sharded.i_factors, rtol=1e-5, atol=1e-6
+    )
