@@ -218,3 +218,32 @@ class TestTinyCatalogTruncation:
             pd_rank = np.argsort(-scores[b], kind="stable")
             oracle = m.compute(gt_pos=np.flatnonzero(pos[b]), pd_rank=pd_rank)
             np.testing.assert_allclose(batch[b], oracle, rtol=1e-12)
+
+
+def test_device_rank_path_matches_host(monkeypatch):
+    """The device rank/tie computation must agree with the numpy path,
+    including under ties."""
+    import cornac_tpu.metrics.ranking as R
+
+    rng = np.random.RandomState(9)
+    scores = np.round(rng.randn(64, 200), 1)  # coarse grid -> many ties
+    pos = rng.rand(64, 200) < 0.05
+    pos[:, 0] = True  # every row has a positive
+    cand = rng.rand(64, 200) < 0.9
+    cand |= pos
+    scores = np.where(cand, scores, -np.inf)
+
+    from cornac_tpu.metrics import AUC, MAP, NDCG, RankingContext, Recall
+
+    host = RankingContext(scores, pos, cand)
+    monkeypatch.setattr(R, "_DEVICE_MIN_CELLS", 1)
+    dev = RankingContext(scores, pos, cand)
+    assert dev._try_device_path()  # device path must actually engage
+
+    for m in (AUC(), MAP(), NDCG(k=10), Recall(k=10)):
+        np.testing.assert_allclose(
+            m.batch_compute(dev), m.batch_compute(host), rtol=1e-6, atol=1e-9
+        )
+    np.testing.assert_array_equal(dev.rank_of, host.rank_of)
+    np.testing.assert_array_equal(dev.c_lt, host.c_lt)
+    np.testing.assert_array_equal(dev.p_lt, host.p_lt)
