@@ -1,0 +1,188 @@
+"""Assemble an importable ``refcornac`` package from the reference checkout
+for behavioral parity tests.
+
+Loads only the pure-Python layers (utils.common, data, metrics,
+experiment.result, eval_methods.base_method/ratio_split) with the two
+Cython touchpoints stubbed by numpy equivalents. The reference package
+``__init__`` files are NOT executed (they pull compiled model extensions);
+synthetic parent packages expose just what the leaf modules import.
+Test-only helper.
+"""
+
+import importlib.util
+import os
+import sys
+import types
+
+import numpy as np
+
+REF = "/root/reference/cornac"
+
+
+def available():
+    return os.path.isdir(REF)
+
+
+def _synthetic_pkg(name):
+    mod = types.ModuleType(name)
+    mod.__package__ = name
+    mod.__path__ = []  # mark as package
+    sys.modules[name] = mod
+    return mod
+
+
+def _load(name, path):
+    spec = importlib.util.spec_from_file_location(name, path)
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules[name] = mod
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def _stub_fast_sparse_funcs():
+    """numpy stand-ins for the reference's Cython CSR normalizers."""
+    mod = types.ModuleType("refcornac.utils.fast_sparse_funcs")
+
+    def inplace_csr_row_normalize_l1(X):
+        sums = np.abs(X).sum(axis=1).A1
+        sums[sums == 0] = 1.0
+        X.data /= np.repeat(sums, np.diff(X.indptr))
+
+    def inplace_csr_row_normalize_l2(X):
+        sq = X.multiply(X).sum(axis=1).A1
+        norms = np.sqrt(sq)
+        norms[norms == 0] = 1.0
+        X.data /= np.repeat(norms, np.diff(X.indptr))
+
+    mod.inplace_csr_row_normalize_l1 = inplace_csr_row_normalize_l1
+    mod.inplace_csr_row_normalize_l2 = inplace_csr_row_normalize_l2
+    sys.modules[mod.__name__] = mod
+    return mod
+
+
+def load_refcornac():
+    """Returns the assembled ``refcornac`` namespace (cached)."""
+    if "refcornac" in sys.modules:
+        return sys.modules["refcornac"]
+
+    root = _synthetic_pkg("refcornac")
+
+    # utils
+    utils = _synthetic_pkg("refcornac.utils")
+    _stub_fast_sparse_funcs()
+    common = _load("refcornac.utils.common", os.path.join(REF, "utils/common.py"))
+    for fn in (
+        "get_rng",
+        "estimate_batches",
+        "validate_format",
+        "normalize",
+        "safe_indexing",
+        "intersects",
+        "excepts",
+    ):
+        setattr(utils, fn, getattr(common, fn))
+    utils.common = common
+    root.utils = utils
+
+    # data (order matters: text imports `from . import FeatureModality`)
+    data = _synthetic_pkg("refcornac.data")
+    modality = _load("refcornac.data.modality", os.path.join(REF, "data/modality.py"))
+    data.Modality = modality.Modality
+    data.FeatureModality = modality.FeatureModality
+    text = _load("refcornac.data.text", os.path.join(REF, "data/text.py"))
+    data.TextModality = text.TextModality
+    data.ReviewModality = text.ReviewModality
+    image = _load("refcornac.data.image", os.path.join(REF, "data/image.py"))
+    data.ImageModality = image.ImageModality
+    graph = _load("refcornac.data.graph", os.path.join(REF, "data/graph.py"))
+    data.GraphModality = graph.GraphModality
+    sentiment = _load(
+        "refcornac.data.sentiment", os.path.join(REF, "data/sentiment.py")
+    )
+    data.SentimentModality = sentiment.SentimentModality
+    reader = _load("refcornac.data.reader", os.path.join(REF, "data/reader.py"))
+    data.Reader = reader.Reader
+    dataset = _load("refcornac.data.dataset", os.path.join(REF, "data/dataset.py"))
+    for cls in (
+        "Dataset",
+        "BasketDataset",
+        "SequentialDataset",
+        "PurchaseViewDataset",
+    ):
+        setattr(data, cls, getattr(dataset, cls))
+    root.data = data
+
+    # metrics
+    metrics = _synthetic_pkg("refcornac.metrics")
+    rating = _load("refcornac.metrics.rating", os.path.join(REF, "metrics/rating.py"))
+    ranking = _load(
+        "refcornac.metrics.ranking", os.path.join(REF, "metrics/ranking.py")
+    )
+    for mod in (rating, ranking):
+        for n in dir(mod):
+            if n[0].isupper():
+                setattr(metrics, n, getattr(mod, n))
+    root.metrics = metrics
+
+    # experiment.result
+    experiment = _synthetic_pkg("refcornac.experiment")
+    result = _load(
+        "refcornac.experiment.result", os.path.join(REF, "experiment/result.py")
+    )
+    experiment.result = result
+    root.experiment = experiment
+
+    # eval methods
+    eval_methods = _synthetic_pkg("refcornac.eval_methods")
+    base_method = _load(
+        "refcornac.eval_methods.base_method",
+        os.path.join(REF, "eval_methods/base_method.py"),
+    )
+    eval_methods.base_method = base_method
+    eval_methods.BaseMethod = base_method.BaseMethod
+    ratio_split = _load(
+        "refcornac.eval_methods.ratio_split",
+        os.path.join(REF, "eval_methods/ratio_split.py"),
+    )
+    eval_methods.RatioSplit = ratio_split.RatioSplit
+    root.eval_methods = eval_methods
+
+    return root
+
+
+class RefDuckModel:
+    """Deterministic stand-in implementing the reference Recommender
+    surface the eval loops call (rank/rate/score), with the exact rank()
+    semantics of reference ``models/recommender.py:476-530``."""
+
+    def __init__(self, score_fn, num_users, num_items, total_items=None, rating_range=(1.0, 5.0)):
+        self.score_fn = score_fn
+        self.num_users = num_users
+        self.num_items = num_items
+        self.total_items = num_items if total_items is None else total_items
+        self.lo, self.hi = rating_range
+
+    def score(self, user_idx, item_idx=None):
+        row = self.score_fn(user_idx, self.total_items)
+        return row if item_idx is None else row[item_idx]
+
+    def rate(self, user_idx, item_idx):
+        return np.clip(self.score(user_idx, item_idx), self.lo, self.hi)
+
+    def rank(self, user_idx, item_indices=None, k=-1, **kwargs):
+        all_item_scores = self.score(user_idx)
+        item_indices = (
+            np.arange(self.num_items)
+            if item_indices is None
+            else np.asarray(item_indices)
+        )
+        item_scores = all_item_scores[item_indices]
+        if k != -1:
+            partitioned_idx = np.argpartition(item_scores, -k)
+            top_k_idx = partitioned_idx[-k:]
+            sorted_top_k_idx = top_k_idx[np.argsort(item_scores[top_k_idx])]
+            partitioned_idx[-k:] = sorted_top_k_idx
+            ranked_items = item_indices[partitioned_idx[::-1]]
+        else:
+            ranked_items = item_indices[item_scores.argsort()[::-1]]
+        return ranked_items, item_scores

@@ -1,0 +1,193 @@
+"""End-to-end behavioral parity against the reference's own data layer and
+evaluation protocol, executed from the reference checkout (see
+``ref_loader``). A deterministic duck-typed model produces identical scores
+on both sides, so any numeric disagreement is a protocol/semantics
+divergence in Reader, Dataset ID mapping, splitting, masking, or metrics.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+import ref_loader
+
+pytestmark = pytest.mark.skipif(
+    not ref_loader.available(), reason="reference checkout not available"
+)
+
+DATA_DIR = os.path.join(os.path.dirname(__file__), "data")
+RATING_TXT = os.path.join(DATA_DIR, "rating.txt")
+
+
+def _score_fn(user_idx, n_items):
+    """Deterministic pseudo-random dense scores (tie-free)."""
+    rng = np.random.RandomState(1000 + int(user_idx))
+    return rng.rand(n_items) * 4 + 1
+
+
+class OurDuckModel:
+    """Implements just what this framework's batched eval calls."""
+
+    def __init__(self, num_users, num_items, total_items):
+        self.num_users = num_users
+        self.num_items = num_items
+        self.total_items = total_items
+
+    def score_batch(self, user_indices):
+        return np.stack([_score_fn(u, self.total_items) for u in user_indices])
+
+    def rate_batch(self, user_indices, item_indices):
+        rows = self.score_batch(user_indices)
+        return np.clip(rows[np.arange(len(user_indices)), item_indices], 1.0, 5.0)
+
+
+@pytest.fixture(scope="module")
+def ref():
+    return ref_loader.load_refcornac()
+
+
+class TestReaderParity:
+    def test_uir_read_identical(self, ref):
+        from cornac_tpu.data import Reader
+
+        ours = Reader().read(RATING_TXT, fmt="UIR")
+        theirs = ref.data.Reader().read(RATING_TXT, fmt="UIR")
+        assert ours == theirs
+
+    def test_filters_identical(self, ref):
+        from cornac_tpu.data import Reader
+
+        kwargs = dict(min_user_freq=2, min_item_freq=2, bin_threshold=3.0)
+        ours = Reader(**kwargs).read(RATING_TXT, fmt="UIR")
+        theirs = ref.data.Reader(**kwargs).read(RATING_TXT, fmt="UIR")
+        assert ours == theirs
+
+
+class TestDatasetParity:
+    def test_build_id_maps_and_matrix(self, ref):
+        from cornac_tpu.data import Dataset, Reader
+
+        data = Reader().read(RATING_TXT, fmt="UIR")
+        ours = Dataset.from_uir(data, seed=123)
+        theirs = ref.data.Dataset.from_uir(data, seed=123)
+
+        assert list(ours.uid_map.items()) == list(theirs.uid_map.items())
+        assert list(ours.iid_map.items()) == list(theirs.iid_map.items())
+        for a, b in zip(ours.uir_tuple, theirs.uir_tuple):
+            np.testing.assert_array_equal(a, b)
+        assert (ours.csr_matrix != theirs.csr_matrix).nnz == 0
+
+
+class TestSplitParity:
+    def test_ratio_split_contents_identical(self, ref):
+        from cornac_tpu.data import Reader
+        from cornac_tpu.eval_methods import RatioSplit
+
+        data = Reader().read(RATING_TXT, fmt="UIR")
+        ours = RatioSplit(
+            data=data, test_size=0.25, val_size=0.1, rating_threshold=3.0, seed=42
+        )
+        theirs = ref.eval_methods.RatioSplit(
+            data=data, test_size=0.25, val_size=0.1, rating_threshold=3.0, seed=42
+        )
+        for split in ("train_set", "test_set", "val_set"):
+            a, b = getattr(ours, split), getattr(theirs, split)
+            for x, y in zip(a.uir_tuple, b.uir_tuple):
+                np.testing.assert_array_equal(x, y)
+            assert list(a.uid_map.items()) == list(b.uid_map.items())
+            assert list(a.iid_map.items()) == list(b.iid_map.items())
+
+
+class TestEvalProtocolParity:
+    @pytest.fixture(scope="class")
+    def splits(self, ref):
+        from cornac_tpu.data import Reader
+        from cornac_tpu.eval_methods import RatioSplit
+
+        data = Reader().read(RATING_TXT, fmt="UIR")
+        ours = RatioSplit(
+            data=data, test_size=0.3, rating_threshold=3.0, seed=7,
+            exclude_unknowns=True,
+        )
+        theirs = ref.eval_methods.RatioSplit(
+            data=data, test_size=0.3, rating_threshold=3.0, seed=7,
+            exclude_unknowns=True,
+        )
+        return ours, theirs
+
+    def test_ranking_eval_identical(self, ref, splits):
+        from cornac_tpu.eval_methods.base_method import ranking_eval
+        from cornac_tpu import metrics as M
+
+        ours_rs, ref_rs = splits
+        our_model = OurDuckModel(
+            num_users=ours_rs.train_set.num_users,
+            num_items=ours_rs.train_set.num_items,
+            total_items=len(ours_rs.train_set.iid_map),
+        )
+        ref_model = ref_loader.RefDuckModel(
+            _score_fn,
+            num_users=ref_rs.train_set.num_users,
+            num_items=ref_rs.train_set.num_items,
+            total_items=len(ref_rs.train_set.iid_map),
+        )
+
+        our_metrics = [
+            M.AUC(), M.MAP(), M.MRR(), M.NDCG(k=5), M.NCRR(k=5),
+            M.HitRatio(k=5), M.Precision(k=5), M.Recall(k=5), M.FMeasure(k=5),
+        ]
+        ref_metrics = [
+            ref.metrics.AUC(), ref.metrics.MAP(), ref.metrics.MRR(),
+            ref.metrics.NDCG(k=5), ref.metrics.NCRR(k=5),
+            ref.metrics.HitRatio(k=5), ref.metrics.Precision(k=5),
+            ref.metrics.Recall(k=5), ref.metrics.FMeasure(k=5),
+        ]
+
+        ours_avg, ours_per_user = ranking_eval(
+            our_model, our_metrics, ours_rs.train_set, ours_rs.test_set,
+            rating_threshold=3.0, exclude_unknowns=True,
+        )
+        ref_avg, ref_per_user = ref.eval_methods.base_method.ranking_eval(
+            ref_model, ref_metrics, ref_rs.train_set, ref_rs.test_set,
+            rating_threshold=3.0, exclude_unknowns=True,
+        )
+        for om, oa, ra in zip(our_metrics, ours_avg, ref_avg):
+            np.testing.assert_allclose(oa, ra, rtol=1e-10, err_msg=om.name)
+        # per-user agreement, not just averages
+        for i, om in enumerate(our_metrics):
+            assert ours_per_user[i].keys() == ref_per_user[i].keys()
+            for u in ours_per_user[i]:
+                np.testing.assert_allclose(
+                    ours_per_user[i][u], ref_per_user[i][u], rtol=1e-10,
+                    err_msg=f"{om.name} user {u}",
+                )
+
+    @pytest.mark.parametrize("user_based", [False, True])
+    def test_rating_eval_identical(self, ref, splits, user_based):
+        from cornac_tpu.eval_methods.base_method import rating_eval
+        from cornac_tpu import metrics as M
+
+        ours_rs, ref_rs = splits
+        our_model = OurDuckModel(
+            num_users=ours_rs.train_set.num_users,
+            num_items=ours_rs.train_set.num_items,
+            total_items=len(ours_rs.train_set.iid_map),
+        )
+        ref_model = ref_loader.RefDuckModel(
+            _score_fn,
+            num_users=ref_rs.train_set.num_users,
+            num_items=ref_rs.train_set.num_items,
+            total_items=len(ref_rs.train_set.iid_map),
+        )
+        ours_avg, _ = rating_eval(
+            our_model, [M.MAE(), M.MSE(), M.RMSE()], ours_rs.test_set,
+            user_based=user_based,
+        )
+        ref_avg, _ = ref.eval_methods.base_method.rating_eval(
+            ref_model,
+            [ref.metrics.MAE(), ref.metrics.MSE(), ref.metrics.RMSE()],
+            ref_rs.test_set,
+            user_based=user_based,
+        )
+        np.testing.assert_allclose(ours_avg, ref_avg, rtol=1e-10)
