@@ -132,6 +132,41 @@ def load_refcornac():
     experiment.result = result
     root.experiment = experiment
 
+    # exception + init utils (model deps)
+    exception = _load("refcornac.exception", os.path.join(REF, "exception.py"))
+    root.exception = exception
+    init_utils = _load(
+        "refcornac.utils.init_utils", os.path.join(REF, "utils/init_utils.py")
+    )
+    utils.init_utils = init_utils
+
+    # numpy-pure model zoo members (for behavioral parity tests)
+    models = _synthetic_pkg("refcornac.models")
+    recommender = _load(
+        "refcornac.models.recommender", os.path.join(REF, "models/recommender.py")
+    )
+    models.recommender = recommender
+    for attr in ("Recommender", "NextBasketRecommender", "NextItemRecommender"):
+        setattr(models, attr, getattr(recommender, attr))
+    for mod_name, file_rel, classes in [
+        ("ease", "models/ease/recom_ease.py", ["EASE"]),
+        ("most_pop", "models/most_pop/recom_most_pop.py", ["MostPop"]),
+        ("global_avg", "models/global_avg/recom_global_avg.py", ["GlobalAvg"]),
+        ("spop", "models/spop/recom_spop.py", ["SPop"]),
+        ("gp_top", "models/gp_top/recom_gp_top.py", ["GPTop"]),
+        ("tifuknn", "models/tifuknn/recom_tifuknn.py", ["TIFUKNN"]),
+        ("upcf", "models/upcf/recom_upcf.py", ["UPCF"]),
+    ]:
+        # loaded as refcornac.models.<sub>.impl so `from ..recommender`
+        # and `from ...exception` resolve at the real package depth
+        _synthetic_pkg("refcornac.models." + mod_name)
+        mod = _load(
+            "refcornac.models." + mod_name + ".impl", os.path.join(REF, file_rel)
+        )
+        for cls in classes:
+            setattr(models, cls, getattr(mod, cls))
+    root.models = models
+
     # eval methods
     eval_methods = _synthetic_pkg("refcornac.eval_methods")
     base_method = _load(
