@@ -12,6 +12,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ..ops.accumulate import accumulate_rows
 from ..utils import get_rng
 from ..utils.init_utils import zeros
 from .recommender import Recommender
@@ -78,11 +79,10 @@ def _bias_sgd_epoch(Bu, Bi, perm, mask, rid, cid, val, lr, reg, mu, batch_size):
         u, i, r = rid[idx], cid[idx], val[idx]
         err = (r - (mu + Bu[u] + Bi[i])) * m
         loss = loss + jnp.sum(err * err)
-        # width-1 scatter-adds are pathological on TPU; one-hot matmuls
-        ou = jax.nn.one_hot(u, Bu.shape[0], dtype=Bu.dtype)
-        oi = jax.nn.one_hot(i, Bi.shape[0], dtype=Bi.dtype)
-        Bu = Bu + lr * (ou.T @ (err - reg * Bu[u] * m)[:, None])[:, 0]
-        Bi = Bi + lr * (oi.T @ (err - reg * Bi[i] * m)[:, None])[:, 0]
+        # width-1 scatter-adds are pathological on TPU at small tables;
+        # accumulate_rows picks one-hot matmul vs scatter by shape
+        Bu = accumulate_rows(Bu, u, lr * (err - reg * Bu[u] * m))
+        Bi = accumulate_rows(Bi, i, lr * (err - reg * Bi[i] * m))
         return Bu, Bi, loss
 
     Bu, Bi, loss = jax.lax.fori_loop(0, n_batches, body, (Bu, Bi, jnp.float32(0.0)))

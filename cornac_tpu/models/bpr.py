@@ -24,6 +24,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ..ops.accumulate import accumulate_rows
 from ..ops.membership import build_membership
 from ..utils import get_rng
 from ..utils.init_utils import uniform, zeros
@@ -125,13 +126,12 @@ def _bpr_epochs(
             dVi = z[:, None] * wu - reg * vi * upd[:, None]
             dVj = -z[:, None] * wu - reg * vj * upd[:, None]
 
-            # one-hot matmul accumulation (deterministic scatter-add on MXU)
-            ou = jax.nn.one_hot(u, n_users, dtype=U.dtype)
-            U = U + lr * (ou.T @ dU)
+            # deterministic grouped accumulation; strategy picked by
+            # table-vs-batch shape (ops/accumulate.py)
+            U = accumulate_rows(U, u, lr * dU)
             ij = jnp.concatenate([i, j])
             dV = jnp.concatenate([dVi, dVj])
-            ov = jax.nn.one_hot(ij, V.shape[0], dtype=V.dtype)
-            V = V + lr * (ov.T @ dV)
+            V = accumulate_rows(V, ij, lr * dV)
             return U, V, correct, skipped
 
         return jax.lax.fori_loop(

@@ -21,6 +21,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..exception import ScoreException
+from ..ops.accumulate import accumulate_rows
 from ..utils import get_rng
 from ..utils.init_utils import normal, zeros
 from .recommender import Recommender
@@ -61,15 +62,14 @@ def _fm_sgd(
             loss = loss + jnp.sum(e_ * e_)
             if use_w0:
                 w0 = w0 - lr * (jnp.sum(e_) + reg0 * w0)
-            # one-hot matmul accumulation (TPU scatter-add at these narrow
-            # widths lowers to a serialized update loop; see bpr.py)
+            # deterministic grouped accumulation; strategy picked by
+            # table-vs-batch shape (ops/accumulate.py)
             ui = jnp.concatenate([u, i])
-            oh = jax.nn.one_hot(ui, w.shape[0], dtype=V.dtype)
             if use_w:
                 dw = jnp.concatenate(
                     [e_ + reg1 * w[u] * m, e_ + reg1 * w[i] * m]
                 )
-                w = w - lr * (oh.T @ dw[:, None])[:, 0]
+                w = accumulate_rows(w, ui, -lr * dw)
             if use_v:
                 dV = jnp.concatenate(
                     [
@@ -77,7 +77,7 @@ def _fm_sgd(
                         e_[:, None] * V[u] + reg2 * V[i] * m[:, None],
                     ]
                 )
-                V = V - lr * (oh.T @ dV)
+                V = accumulate_rows(V, ui, -lr * dV)
             return w0, w, V, loss
 
         return jax.lax.fori_loop(0, n_batches, body, (w0, w, V, jnp.float32(0.0)))

@@ -25,6 +25,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..exception import ScoreException
+from ..ops.accumulate import accumulate_rows
 from ..utils import get_rng
 from ..utils.init_utils import normal, zeros
 from .recommender import ANNMixin, MEASURE_DOT, Recommender
@@ -74,10 +75,8 @@ def _mf_sgd_epoch(
         loss = loss + jnp.sum(err * err)
         dU = (err[:, None] * qi - reg * pu * m[:, None]) * u_gate
         dV = (err[:, None] * pu - reg * qi * m[:, None]) * v_gate
-        ou = jax.nn.one_hot(u, n_users, dtype=U.dtype)
-        ov = jax.nn.one_hot(i, n_items, dtype=V.dtype)
-        U = U + lr * (ou.T @ dU)
-        V = V + lr * (ov.T @ dV)
+        U = accumulate_rows(U, u, lr * dU)
+        V = accumulate_rows(V, i, lr * dV)
         return U, V, loss
 
     U, V, loss = jax.lax.fori_loop(
