@@ -11,12 +11,14 @@ from .common import (
     validate_format,
 )
 from .download import cache
+from .fast_dot import fast_dot
 
 __all__ = [
     "cache",
     "clip",
     "estimate_batches",
     "excepts",
+    "fast_dot",
     "get_rng",
     "intersects",
     "normalize",
