@@ -34,6 +34,11 @@ from ..data import (
 )
 from ..experiment.result import Result
 from ..metrics import RankingContext, RankingMetric, RatingMetric
+from ..metrics.ranking import (
+    _FUSED_MAX_ITEMS,
+    batch_eval_device,
+    metric_device_specs,
+)
 from ..utils import get_rng
 
 
@@ -135,6 +140,16 @@ def ranking_eval(
 
     test_users = np.unique(test_set.uir_tuple[0])
 
+    # fused device path: when the model exposes a device batch scorer and
+    # every metric has a fused implementation, ranks + tie counts + metric
+    # values are computed in one device program per batch — only the
+    # (B, n_metrics) result is transferred back. AUC pair counts ride in
+    # int32, so the path is gated to catalogs where N^2 fits (beyond that
+    # the host/rank-transfer path takes over).
+    fused_specs = (
+        metric_device_specs(metrics) if n_items <= _FUSED_MAX_ITEMS else None
+    )
+
     for start in range(0, len(test_users), user_batch_size):
         batch_users = test_users[start : start + user_batch_size]
 
@@ -159,16 +174,35 @@ def ranking_eval(
         neg_mask = ~(pos_mask | train_pos | val_pos)
         cand_mask = pos_mask | neg_mask
 
-        scores = np.asarray(model.score_batch(batch_users), dtype=np.float64)
-        scores = scores[:, :n_items]
-        scores = np.where(cand_mask, scores, -np.inf)
+        values_mat = None
+        if fused_specs is not None:
+            # getattr: eval accepts duck-typed models (as the reference's
+            # does) that may not expose the device-scorer hook
+            score_dev_fn = getattr(model, "score_batch_device", None)
+            scores_dev = None if score_dev_fn is None else score_dev_fn(batch_users)
+            if scores_dev is not None and scores_dev.shape[1] >= n_items:
+                values_mat = batch_eval_device(
+                    scores_dev[:, :n_items], pos_mask, cand_mask, fused_specs
+                )
+        if values_mat is not None:
+            for i, _ in enumerate(metrics):
+                user_results[i].update(
+                    {
+                        int(u): float(v)
+                        for u, v in zip(batch_users, values_mat[:, i])
+                    }
+                )
+        else:
+            scores = np.asarray(model.score_batch(batch_users), dtype=np.float64)
+            scores = scores[:, :n_items]
+            scores = np.where(cand_mask, scores, -np.inf)
 
-        ctx = RankingContext(scores, pos_mask, cand_mask)
-        for i, mt in enumerate(metrics):
-            values = mt.batch_compute(ctx)
-            user_results[i].update(
-                {int(u): float(v) for u, v in zip(batch_users, values)}
-            )
+            ctx = RankingContext(scores, pos_mask, cand_mask)
+            for i, mt in enumerate(metrics):
+                values = mt.batch_compute(ctx)
+                user_results[i].update(
+                    {int(u): float(v) for u, v in zip(batch_users, values)}
+                )
 
     for i, mt in enumerate(metrics):
         if len(user_results[i]) == 0:

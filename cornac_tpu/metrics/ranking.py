@@ -93,6 +93,187 @@ def _device_rank_and_ties(scores, pos_mask, cand_mask):
     return tuple(np.asarray(a) for a in out)
 
 
+# --------------------------------------------------------------------- #
+# fully-fused device evaluation
+# --------------------------------------------------------------------- #
+# Row-wise pair counts (AUC numerators) are accumulated in int32 on
+# device; they are bounded by N^2 per user, so the fused path is only
+# used when N^2 fits int32. Larger catalogs fall back to the
+# rank/tie-transfer path (int64 finishing on host).
+_FUSED_MAX_ITEMS = 40_000
+
+_RANK_SENTINEL = 2**31 - 1
+
+
+def _fused_metrics_kernel(specs):
+    """Build the jitted (scores, pos_mask, cand_mask) -> (B, M) kernel for a
+    static tuple of metric specs. Computes every supported ranking metric
+    from shared primitives (stable descending ranks + tie counts) in ONE
+    device program, so a whole eval batch costs a single small transfer
+    back — through a remote-dispatch tunnel this is the difference between
+    one round-trip and shipping (B, N) rank matrices."""
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def kernel(scores, pos_mask, cand_mask):
+        B, N = scores.shape
+        s = jnp.where(cand_mask, scores.astype(jnp.float32), -jnp.inf)
+
+        order = jnp.argsort(-s, axis=1, stable=True)
+        rank_of = jnp.argsort(order, axis=1).astype(jnp.int32)
+        pos_ranks = jnp.where(pos_mask, rank_of, jnp.int32(_RANK_SENTINEL))
+
+        n_pos = jnp.sum(pos_mask, axis=1, dtype=jnp.int32)
+        n_cand = jnp.sum(cand_mask, axis=1, dtype=jnp.int32)
+        n_neg = n_cand - n_pos
+
+        # tie counts: candidates/positives with strictly lower score per
+        # column (same construction as _device_rank_and_ties)
+        rev = order[:, ::-1]
+        s_sorted = jnp.take_along_axis(s, rev, axis=1)
+        cand_sorted = jnp.take_along_axis(cand_mask, rev, axis=1)
+        pos_sorted = jnp.take_along_axis(pos_mask, rev, axis=1)
+        idx = jnp.arange(N, dtype=jnp.int32)[None, :]
+        new_group = jnp.concatenate(
+            [jnp.ones((B, 1), bool), s_sorted[:, 1:] != s_sorted[:, :-1]], axis=1
+        )
+        group_start = jax.lax.cummax(jnp.where(new_group, idx, 0), axis=1)
+        cand_cum = jnp.concatenate(
+            [jnp.zeros((B, 1), jnp.int32),
+             jnp.cumsum(cand_sorted, axis=1, dtype=jnp.int32)], axis=1
+        )
+        pos_cum = jnp.concatenate(
+            [jnp.zeros((B, 1), jnp.int32),
+             jnp.cumsum(pos_sorted, axis=1, dtype=jnp.int32)], axis=1
+        )
+        c_lt_sorted = jnp.take_along_axis(cand_cum, group_start, axis=1)
+        p_lt_sorted = jnp.take_along_axis(pos_cum, group_start, axis=1)
+        inv_rev = jnp.argsort(rev, axis=1)
+        c_lt = jnp.take_along_axis(c_lt_sorted, inv_rev, axis=1)
+        p_lt = jnp.take_along_axis(p_lt_sorted, inv_rev, axis=1)
+
+        # shared ideal-prefix tables (indexable by a traced count)
+        disc_cum = jnp.concatenate(
+            [jnp.zeros(1, jnp.float32),
+             jnp.cumsum(1.0 / jnp.log2(jnp.arange(N, dtype=jnp.float32) + 2.0))]
+        )
+        harm_cum = jnp.concatenate(
+            [jnp.zeros(1, jnp.float32),
+             jnp.cumsum(1.0 / (jnp.arange(N, dtype=jnp.float32) + 1.0))]
+        )
+
+        pr_f = pos_ranks.astype(jnp.float32)
+
+        def k_eff(k):
+            if k > 0:
+                return jnp.full((B,), jnp.int32(k))
+            return n_cand
+
+        outs = []
+        for kind, k in specs:
+            ke = k_eff(k)
+            in_k = pos_ranks < ke[:, None]
+            if kind == "ndcg":
+                dcg = jnp.sum(
+                    jnp.where(in_k, 1.0 / jnp.log2(pr_f + 2.0), 0.0), axis=1
+                )
+                idcg = disc_cum[jnp.minimum(n_pos, ke)]
+                outs.append(dcg / jnp.maximum(idcg, 1e-12))
+            elif kind == "ncrr":
+                crr = jnp.sum(jnp.where(in_k, 1.0 / (pr_f + 1.0), 0.0), axis=1)
+                icrr = harm_cum[jnp.minimum(n_pos, ke)]
+                outs.append(
+                    jnp.where(crr > 0, crr / jnp.maximum(icrr, 1e-12), 0.0)
+                )
+            elif kind == "mrr":
+                first = jnp.min(pos_ranks, axis=1).astype(jnp.float32)
+                outs.append(1.0 / (first + 1.0))
+            elif kind in ("hit", "prec", "rec", "f1"):
+                tp = jnp.sum(in_k, axis=1, dtype=jnp.int32).astype(jnp.float32)
+                tp_fp = ke.astype(jnp.float32)
+                tp_fn = jnp.maximum(n_pos, 1).astype(jnp.float32)
+                if kind == "hit":
+                    outs.append((tp > 0).astype(jnp.float32))
+                elif kind == "prec":
+                    outs.append(tp / tp_fp)
+                elif kind == "rec":
+                    outs.append(tp / tp_fn)
+                else:
+                    prec, rec = tp / tp_fp, tp / tp_fn
+                    denom = prec + rec
+                    outs.append(
+                        jnp.where(
+                            denom > 0,
+                            2.0 * prec * rec / jnp.maximum(denom, 1e-12),
+                            0.0,
+                        )
+                    )
+            elif kind == "auc":
+                neg_lt = jnp.sum(
+                    jnp.where(pos_mask, c_lt - p_lt, 0), axis=1, dtype=jnp.int32
+                ).astype(jnp.float32)
+                denom = (n_pos * n_neg).astype(jnp.float32)
+                outs.append(neg_lt / jnp.maximum(denom, 1.0))
+            elif kind == "map":
+                c_ge = (n_cand[:, None] - c_lt).astype(jnp.float32)
+                p_ge = (n_pos[:, None] - p_lt).astype(jnp.float32)
+                ap = jnp.sum(
+                    jnp.where(pos_mask, p_ge / jnp.maximum(c_ge, 1.0), 0.0),
+                    axis=1,
+                )
+                outs.append(ap / jnp.maximum(n_pos, 1).astype(jnp.float32))
+            else:  # pragma: no cover - specs are validated by the caller
+                raise ValueError(kind)
+        return jnp.stack(outs, axis=1)
+
+    return kernel
+
+
+_FUSED_KERNEL_CACHE = {}
+
+
+def metric_device_specs(metrics):
+    """Static (kind, k) spec per metric, or None when any metric has no
+    fused device implementation (exact type match only — subclasses may
+    override ``compute`` semantics)."""
+    table = {
+        NDCG: "ndcg",
+        NCRR: "ncrr",
+        MRR: "mrr",
+        HitRatio: "hit",
+        Precision: "prec",
+        Recall: "rec",
+        FMeasure: "f1",
+        AUC: "auc",
+        MAP: "map",
+    }
+    specs = []
+    for m in metrics:
+        kind = table.get(type(m))
+        if kind is None:
+            return None
+        k = getattr(m, "k", -1)
+        if hasattr(k, "__len__"):
+            return None
+        specs.append((kind, int(k)))
+    return tuple(specs)
+
+
+def batch_eval_device(scores_dev, pos_mask, cand_mask, specs):
+    """Run the fused metric kernel: ``scores_dev`` is a device (or host)
+    (B, N) float array, masks are host bool arrays. Returns a (B, M)
+    float64 numpy array — the only device->host transfer."""
+    import jax.numpy as jnp
+
+    kernel = _FUSED_KERNEL_CACHE.get(specs)
+    if kernel is None:
+        kernel = _fused_metrics_kernel(specs)
+        _FUSED_KERNEL_CACHE[specs] = kernel
+    out = kernel(scores_dev, jnp.asarray(pos_mask), jnp.asarray(cand_mask))
+    return np.asarray(out, dtype=np.float64)
+
+
 class RankingContext:
     """Lazily-computed per-batch ranking quantities.
 

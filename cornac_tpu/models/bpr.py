@@ -320,6 +320,14 @@ class BPR(Recommender, ANNMixin):
         )
         return np.asarray(scores, dtype=np.float64)
 
+    def score_batch_device(self, user_indices):
+        return _dot_scores(
+            jnp.asarray(self.u_factors),
+            jnp.asarray(self.i_factors),
+            jnp.asarray(self.i_biases),
+            jnp.asarray(np.asarray(user_indices), dtype=jnp.int32),
+        )
+
     def score_pairs(self, user_indices, item_indices):
         users = np.asarray(user_indices)
         items = np.asarray(item_indices)

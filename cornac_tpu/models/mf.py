@@ -275,6 +275,19 @@ class MF(Recommender, ANNMixin):
             return out
         return scores
 
+    def score_batch_device(self, user_indices):
+        users = np.asarray(user_indices)
+        known = (users >= 0) & (users < self.num_users)
+        return _mf_scores(
+            jnp.asarray(self.u_factors),
+            jnp.asarray(self.i_factors),
+            jnp.asarray(self.u_biases),
+            jnp.asarray(self.i_biases),
+            jnp.float32(self.global_mean),
+            jnp.asarray(np.where(known, users, 0), dtype=jnp.int32),
+            jnp.asarray(known.astype(DTYPE)),
+        )
+
     def score_pairs(self, user_indices, item_indices):
         # mirrors score()/rate(): unknown item -> default score (global mean);
         # unknown user -> mu + item bias; known pair -> full biased dot

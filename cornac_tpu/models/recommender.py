@@ -270,6 +270,15 @@ class Recommender:
                 out[b, : len(known)] = known
         return out
 
+    def score_batch_device(self, user_indices):
+        """Device-resident (B, total_items) score array for a batch of
+        users, or None when the model has no single-program batch scorer.
+        Models that score with one jitted call override this to return the
+        un-materialized device array — the fused eval path then computes
+        the ranking metrics on device in the same dispatch stream, so only
+        per-user metric values ever cross back to the host."""
+        return None
+
     def score_pairs(self, user_indices, item_indices):
         """(n,) scores for aligned (user, item) index arrays. Default loops
         ``score``; vectorized in factor models."""

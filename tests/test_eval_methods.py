@@ -88,8 +88,9 @@ class TestBatchedEvalParity:
     """The batched device eval path must reproduce the reference-faithful
     per-user loop on a real trained model."""
 
+    @pytest.mark.parametrize("fused", [True, False])
     @pytest.mark.parametrize("exclude_unknowns", [True, False])
-    def test_mf_parity(self, exclude_unknowns):
+    def test_mf_parity(self, exclude_unknowns, fused):
         rs = RatioSplit(
             data=_uir_data(),
             test_size=0.2,
@@ -100,6 +101,12 @@ class TestBatchedEvalParity:
         model = MF(k=4, max_iter=5, seed=123).fit(rs.train_set)
         metrics = [NDCG(k=3), Precision(k=3), Recall(k=3), AUC(), MAP()]
 
+        if not fused:
+            # force the host metric engine (float64, bit-faithful to the
+            # per-user oracle); the fused branch computes in float32 on
+            # device, so it gets the looser tolerance below
+            model.score_batch_device = lambda users: None
+
         fast_avg, fast_user = ranking_eval(
             model, metrics, rs.train_set, rs.test_set,
             rating_threshold=3.0, exclude_unknowns=exclude_unknowns,
@@ -108,8 +115,9 @@ class TestBatchedEvalParity:
             model, metrics, rs.train_set, rs.test_set,
             rating_threshold=3.0, exclude_unknowns=exclude_unknowns,
         )
+        tol = 1e-6 if fused else 1e-9
         for i, mt in enumerate(metrics):
-            assert fast_avg[i] == pytest.approx(slow_avg[i], abs=1e-9), mt.name
+            assert fast_avg[i] == pytest.approx(slow_avg[i], abs=tol), mt.name
             assert set(fast_user[i]) == set(slow_user[i])
 
     def test_rating_eval_matches_loop(self):

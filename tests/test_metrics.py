@@ -247,3 +247,50 @@ def test_device_rank_path_matches_host(monkeypatch):
     np.testing.assert_array_equal(dev.rank_of, host.rank_of)
     np.testing.assert_array_equal(dev.c_lt, host.c_lt)
     np.testing.assert_array_equal(dev.p_lt, host.p_lt)
+
+
+def test_fused_device_engine_matches_host():
+    """The single-program fused metric kernel must agree with the host
+    batch engine for every supported metric kind, including under ties
+    and with k larger than the catalog."""
+    from cornac_tpu.metrics import (
+        AUC, FMeasure, HitRatio, MAP, MRR, NCRR, NDCG, Precision,
+        RankingContext, Recall,
+    )
+    from cornac_tpu.metrics.ranking import batch_eval_device, metric_device_specs
+
+    rng = np.random.RandomState(11)
+    scores = np.round(rng.randn(48, 150), 1).astype(np.float32)  # many ties
+    pos = rng.rand(48, 150) < 0.06
+    pos[:, 3] = True  # every row has a positive
+    cand = rng.rand(48, 150) < 0.9
+    cand |= pos
+
+    metrics = [
+        NDCG(k=10), NDCG(k=-1), NDCG(k=500), NCRR(k=10), MRR(),
+        HitRatio(k=10), Precision(k=10), Recall(k=10), FMeasure(k=10),
+        AUC(), MAP(),
+    ]
+    specs = metric_device_specs(metrics)
+    assert specs is not None
+    fused = batch_eval_device(scores, pos, cand, specs)
+
+    host_scores = np.where(cand, scores.astype(np.float64), -np.inf)
+    ctx = RankingContext(host_scores, pos, cand)
+    for i, m in enumerate(metrics):
+        np.testing.assert_allclose(
+            fused[:, i], m.batch_compute(ctx), rtol=1e-5, atol=1e-6,
+            err_msg=m.name,
+        )
+
+
+def test_fused_specs_reject_unsupported():
+    from cornac_tpu.metrics import NDCG, RankingMetric
+    from cornac_tpu.metrics.ranking import metric_device_specs
+
+    class Custom(NDCG):  # overridden semantics must not silently fuse
+        pass
+
+    assert metric_device_specs([NDCG(k=3), Custom(k=3)]) is None
+    assert metric_device_specs([NDCG(k=[1, 2])]) is None
+    assert metric_device_specs([RankingMetric(name="x")]) is None
