@@ -29,6 +29,14 @@ class GlobalAvg(Recommender):
             return np.full(self.num_items, self.global_mean)
         return self.global_mean
 
+    def _known_scores_device(self, safe_users, known):
+        from ..ops.dense_scores import device_broadcast_row
+
+        return device_broadcast_row(
+            np.full(self.num_items, self.global_mean, dtype=np.float32),
+            len(safe_users),
+        )
+
     def score_batch(self, user_indices):
         return np.full((len(user_indices), self.total_items), self.global_mean)
 
@@ -52,6 +60,13 @@ class MostPop(Recommender):
         if item_idx is None:
             return self.item_pop
         return self.item_pop[item_idx]
+
+    def _known_scores_device(self, safe_users, known):
+        from ..ops.dense_scores import device_broadcast_row
+
+        return device_broadcast_row(
+            np.asarray(self.item_pop, dtype=np.float32), len(safe_users)
+        )
 
     def score_batch(self, user_indices):
         row = np.asarray(self.item_pop, dtype=np.float64)
@@ -182,6 +197,18 @@ class BaselineOnly(Recommender):
         if self.knows_user(user_idx):
             score += self.u_biases[user_idx]
         return score
+
+    def score_batch_device(self, user_indices):
+        import jax.numpy as jnp
+
+        users = np.asarray(user_indices)
+        known = (users >= 0) & (users < self.num_users)
+        bu = np.where(known, self.u_biases[np.where(known, users, 0)], 0.0)
+        return (
+            jnp.float32(self.global_mean)
+            + jnp.asarray(bu, jnp.float32)[:, None]
+            + jnp.asarray(self.i_biases, jnp.float32)[None, :]
+        )
 
     def score_batch(self, user_indices):
         users = np.asarray(user_indices)

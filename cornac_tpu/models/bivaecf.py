@@ -234,6 +234,13 @@ class BiVAECF(Recommender, ANNMixin):
             return expit(self.mu_beta @ self.mu_theta[user_idx])
         return float(expit(self.mu_beta[item_idx] @ self.mu_theta[user_idx]))
 
+    def _known_scores_device(self, safe_users, known):
+        import jax
+
+        from ..ops.dense_scores import device_dot
+
+        return jax.nn.sigmoid(device_dot(self.mu_theta[safe_users], self.mu_beta))
+
     def score_batch(self, user_indices):
         from scipy.special import expit
 

@@ -78,6 +78,20 @@ class EASE(Recommender, ANNMixin):
             return np.asarray(self.U[user_idx, :].dot(self.B)).ravel()
         return float(np.asarray(self.U[user_idx, :].dot(self.B[:, item_idx])).ravel()[0])
 
+    def _known_scores_device(self, safe_users, known):
+        import jax.numpy as jnp
+
+        if getattr(self, "_B_src", None) is not self.B:
+            self._B_dev = jnp.asarray(self.B, jnp.float32)
+            self._B_src = self.B
+            for attr in ("_B_dev", "_B_src"):
+                if attr not in self.ignored_attrs:
+                    self.ignored_attrs.append(attr)
+        rows = jnp.asarray(
+            self.U[safe_users].toarray().astype(np.float32, copy=False)
+        )
+        return rows @ self._B_dev
+
     def score_batch(self, user_indices):
         users = np.asarray(user_indices)
         known = (users >= 0) & (users < self.num_users)

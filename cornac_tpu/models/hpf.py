@@ -158,6 +158,11 @@ class HPF(Recommender, ANNMixin):
             return self.Beta @ self.Theta[user_idx]
         return self.Beta[item_idx] @ self.Theta[user_idx]
 
+    def _known_scores_device(self, safe_users, known):
+        from ..ops.dense_scores import device_dot
+
+        return device_dot(self.Theta[safe_users], self.Beta)
+
     def score_batch(self, user_indices):
         users = np.asarray(user_indices)
         known = (users >= 0) & (users < self.num_users)

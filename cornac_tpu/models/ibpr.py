@@ -167,6 +167,13 @@ class _TripletEmbedBase(Recommender, ANNMixin):
         row = self._scores_for(np.asarray([user_idx]))[0]
         return row if item_idx is None else row[item_idx]
 
+    def _known_scores_device(self, safe_users, known):
+        from ..ops.dense_scores import device_dot, device_neg_l2
+
+        if self._distance == "angular":
+            return device_dot(self.U[safe_users], self.V)
+        return device_neg_l2(self.U[safe_users], self.V)
+
     def score_batch(self, user_indices):
         users = np.asarray(user_indices)
         known = (users >= 0) & (users < self.num_users)

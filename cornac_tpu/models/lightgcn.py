@@ -184,6 +184,11 @@ class LightGCN(Recommender):
             return self.V @ self.U[user_idx]
         return self.V[item_idx] @ self.U[user_idx]
 
+    def _known_scores_device(self, safe_users, known):
+        from ..ops.dense_scores import device_dot
+
+        return device_dot(self.U[safe_users], self.V)
+
     def score_batch(self, user_indices):
         users = np.asarray(user_indices)
         known = (users >= 0) & (users < self.num_users)

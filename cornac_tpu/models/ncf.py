@@ -214,6 +214,13 @@ class NCFBase(Recommender):
         )
         return float(np.asarray(out)[0])
 
+    def _known_scores_device(self, safe_users, known):
+        u = jnp.repeat(jnp.asarray(safe_users, dtype=jnp.int32), self.num_items)
+        i = jnp.tile(jnp.arange(self.num_items, dtype=jnp.int32), len(safe_users))
+        return self._forward(self.params, u, i).reshape(
+            len(safe_users), self.num_items
+        )
+
     def score_batch(self, user_indices):
         users = np.asarray(user_indices)
         known = (users >= 0) & (users < self.num_users)

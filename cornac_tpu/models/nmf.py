@@ -197,6 +197,19 @@ class NMF(Recommender, ANNMixin):
             item_score += self.u_factors[user_idx].dot(self.i_factors[item_idx])
         return item_score
 
+    def score_batch_device(self, user_indices):
+        users = np.asarray(user_indices)
+        known = (users >= 0) & (users < self.num_users)
+        return _nmf_scores(
+            jnp.asarray(self.u_factors, dtype=jnp.float32),
+            jnp.asarray(self.i_factors, dtype=jnp.float32),
+            jnp.asarray(self.u_biases, dtype=jnp.float32),
+            jnp.asarray(self.i_biases, dtype=jnp.float32),
+            jnp.float32(self.global_mean),
+            jnp.asarray(np.where(known, users, 0), dtype=jnp.int32),
+            jnp.asarray(known.astype(np.float32)),
+        )
+
     def score_batch(self, user_indices):
         users = np.asarray(user_indices)
         known = (users >= 0) & (users < self.num_users)

@@ -191,6 +191,13 @@ class PMF(Recommender, ANNMixin):
             user_pred = scale(user_pred, self.min_rating, self.max_rating, 0.0, 1.0)
         return user_pred
 
+    def _known_scores_device(self, safe_users, known):
+        return _pmf_scores(
+            jnp.asarray(self.U, dtype=jnp.float32),
+            jnp.asarray(self.V, dtype=jnp.float32),
+            jnp.asarray(safe_users, dtype=jnp.int32),
+        )
+
     def score_batch(self, user_indices):
         users = np.asarray(user_indices)
         known = (users >= 0) & (users < self.num_users)

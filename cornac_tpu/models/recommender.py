@@ -270,14 +270,30 @@ class Recommender:
                 out[b, : len(known)] = known
         return out
 
-    def score_batch_device(self, user_indices):
-        """Device-resident (B, total_items) score array for a batch of
-        users, or None when the model has no single-program batch scorer.
-        Models that score with one jitted call override this to return the
-        un-materialized device array — the fused eval path then computes
-        the ranking metrics on device in the same dispatch stream, so only
-        per-user metric values ever cross back to the host."""
+    def _known_scores_device(self, safe_users, known):
+        """Device (B, width) scores for the index-clamped user batch, or
+        None when the model has no single-program batch scorer.
+        ``safe_users`` has out-of-range indices clamped to 0; ``known``
+        marks which rows were in range — the wrapper overwrites unknown
+        rows with ``default_score()``, mirroring ``score_batch``."""
         return None
+
+    def score_batch_device(self, user_indices):
+        """Device-resident (B, >=num_items) score array for a batch of
+        users, or None when the model has no single-program batch scorer.
+        The fused eval path consumes this directly: ranking metrics are
+        computed on device in the same dispatch stream, so only per-user
+        metric values ever cross back to the host."""
+        users = np.asarray(user_indices)
+        known = (users >= 0) & (users < self.num_users)
+        dev = self._known_scores_device(np.where(known, users, 0), known)
+        if dev is None or known.all():
+            return dev
+        import jax.numpy as jnp
+
+        return jnp.where(
+            jnp.asarray(known)[:, None], dev, jnp.float32(self.default_score())
+        )
 
     def score_pairs(self, user_indices, item_indices):
         """(n,) scores for aligned (user, item) index arrays. Default loops

@@ -134,6 +134,13 @@ class SKMeans(Recommender):
         scores = self._scores_for(self.user_center_sim[user_idx : user_idx + 1])[0]
         return scores if item_idx is None else scores[item_idx]
 
+    def _known_scores_device(self, safe_users, known):
+        from ..ops.dense_scores import device_dot
+
+        sims = self.user_center_sim[safe_users]
+        weights = sims / (sims.sum(axis=1, keepdims=True) + 1e-20)
+        return device_dot(weights, self.centroids.T)
+
     def score_batch(self, user_indices):
         users = np.asarray(user_indices)
         known = (users >= 0) & (users < self.num_users)

@@ -150,6 +150,11 @@ class SoRec(Recommender, ANNMixin):
             return scale(user_pred, 0.0, self.max_rating, 0.0, 1.0)
         return scale(user_pred, self.min_rating, self.max_rating, 0.0, 1.0)
 
+    def _known_scores_device(self, safe_users, known):
+        from ..ops.dense_scores import device_dot
+
+        return device_dot(self.U[safe_users], self.V)
+
     def score_batch(self, user_indices):
         users = np.asarray(user_indices)
         known = (users >= 0) & (users < self.num_users)

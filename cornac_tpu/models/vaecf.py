@@ -213,6 +213,12 @@ class VAECF(Recommender, ANNMixin):
         scores = self._decode_users(x_u)[0]
         return scores if item_idx is None else scores[item_idx]
 
+    def _known_scores_device(self, safe_users, known):
+        act = ACTIVATIONS[self.act_fn]
+        rows = (self.r_mat[safe_users] > 0).astype(np.float32).toarray()
+        mu, _ = _encode(self.params, jnp.asarray(rows), act)
+        return _decode(self.params, mu, act, self.likelihood)
+
     def score_batch(self, user_indices):
         users = np.asarray(user_indices)
         known = (users >= 0) & (users < self.num_users)

@@ -181,6 +181,14 @@ class WMF(Recommender, ANNMixin):
             return self.V @ self.U[user_idx]
         return self.V[item_idx].dot(self.U[user_idx])
 
+    def _known_scores_device(self, safe_users, known):
+        return _wmf_scores(
+            jnp.asarray(self.U),
+            jnp.asarray(self.V),
+            jnp.asarray(safe_users, dtype=jnp.int32),
+            jnp.asarray(known.astype(np.float32)),
+        )
+
     def score_batch(self, user_indices):
         users = np.asarray(user_indices)
         known = (users >= 0) & (users < self.num_users)

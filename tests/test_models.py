@@ -78,6 +78,18 @@ class TestModelContract:
         row = np.asarray(model.score(0), dtype=np.float64)
         np.testing.assert_allclose(batch[0, : len(row)], row, rtol=1e-4, atol=1e-5)
 
+    def test_device_scorer_matches_host(self, split, make_model):
+        """score_batch_device (fused-eval input) must agree with the host
+        score_batch over its column range (f32 device vs f64 host)."""
+        model = make_model().fit(split.train_set)
+        users = np.array([0, 1, model.num_users - 1])
+        dev = model.score_batch_device(users)
+        if dev is None:
+            pytest.skip("model has no device batch scorer")
+        dev = np.asarray(dev, dtype=np.float64)
+        host = model.score_batch(users)[:, : dev.shape[1]]
+        np.testing.assert_allclose(dev, host, rtol=1e-4, atol=1e-5)
+
     def test_clone(self, split, make_model):
         model = make_model()
         clone = model.clone()

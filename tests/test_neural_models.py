@@ -45,6 +45,13 @@ def test_fit_and_eval(split, make_model):
         rating_threshold=3.0,
     )
     assert all(np.isfinite(v) for v in avg)
+    # device scorer (fused-eval input) agrees with the host batch scorer
+    dev = model.score_batch_device(np.array([0, 1]))
+    if dev is not None:
+        dev = np.asarray(dev, dtype=np.float64)
+        np.testing.assert_allclose(
+            dev, batch[:, : dev.shape[1]], rtol=1e-4, atol=1e-5
+        )
 
 
 def test_vaecf_likelihood_validation():
