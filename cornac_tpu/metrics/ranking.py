@@ -45,7 +45,10 @@ def _device_rank_and_ties(scores, pos_mask, cand_mask):
     def kernel(scores, pos_mask, cand_mask):
         B, N = scores.shape
         order = jnp.argsort(-scores, axis=1, stable=True)
-        rank_of = jnp.argsort(order, axis=1)
+        iota = jnp.broadcast_to(jnp.arange(N, dtype=jnp.int32)[None, :], (B, N))
+        rank_of = jnp.put_along_axis(
+            jnp.empty((B, N), jnp.int32), order, iota, axis=1, inplace=False
+        )
 
         s = jnp.where(cand_mask, scores, -jnp.inf)
         rev = order[:, ::-1]  # ascending
@@ -80,7 +83,7 @@ def _device_rank_and_ties(scores, pos_mask, cand_mask):
         c_lt_sorted = jnp.take_along_axis(cand_cum, group_start, axis=1)
         p_lt_sorted = jnp.take_along_axis(pos_cum, group_start, axis=1)
 
-        inv_rev = jnp.argsort(rev, axis=1)
+        inv_rev = (jnp.int32(N) - 1) - rank_of
         c_lt = jnp.take_along_axis(c_lt_sorted, inv_rev, axis=1)
         p_lt = jnp.take_along_axis(p_lt_sorted, inv_rev, axis=1)
         return rank_of.astype(jnp.int32), c_lt, p_lt
@@ -106,61 +109,76 @@ _RANK_SENTINEL = 2**31 - 1
 
 
 def _fused_metrics_kernel(specs):
-    """Build the jitted (scores, pos_mask, cand_mask) -> (B, M) kernel for a
+    """Build the jitted (scores, cand_bits, pos_idx) -> (B, M) kernel for a
     static tuple of metric specs. Computes every supported ranking metric
-    from shared primitives (stable descending ranks + tie counts) in ONE
-    device program, so a whole eval batch costs a single small transfer
-    back — through a remote-dispatch tunnel this is the difference between
-    one round-trip and shipping (B, N) rank matrices."""
+    in ONE device program, so a whole eval batch costs a single small
+    transfer back.
+
+    Sort-free: every supported metric needs only per-POSITIVE quantities —
+    the rank of each positive (candidates scored above it, ties broken by
+    column index like the host stable argsort) and its strict-below tie
+    counts — so instead of sorting each (N,) row, the kernel counts
+    comparisons of the row against the (few) positive scores. That is a
+    fused compare+mask+reduce over (B, P, N) on the VPU, far cheaper than
+    B argsorts, and the positive ids upload as a (B, P) int32 instead of a
+    dense mask."""
     import jax
     import jax.numpy as jnp
 
+    def _unpack_bits(bits, N):
+        """(B, ceil(N/8)) uint8 (np.packbits big-endian) -> (B, N) bool."""
+        shifts = jnp.arange(7, -1, -1, dtype=jnp.uint8)[None, None, :]
+        bools = (bits[:, :, None] >> shifts) & jnp.uint8(1)
+        return bools.reshape(bits.shape[0], -1)[:, :N] != 0
+
     @jax.jit
-    def kernel(scores, pos_mask, cand_mask):
+    def kernel(scores, cand_bits, pos_idx):
         B, N = scores.shape
+        P = pos_idx.shape[1]
+        cand_mask = _unpack_bits(cand_bits, N)
         s = jnp.where(cand_mask, scores.astype(jnp.float32), -jnp.inf)
 
-        order = jnp.argsort(-s, axis=1, stable=True)
-        rank_of = jnp.argsort(order, axis=1).astype(jnp.int32)
-        pos_ranks = jnp.where(pos_mask, rank_of, jnp.int32(_RANK_SENTINEL))
+        valid = pos_idx >= 0  # (B, P); padded slots are -1
+        safe_idx = jnp.maximum(pos_idx, 0)
+        sp = jnp.take_along_axis(s, safe_idx, axis=1)  # (B, P)
 
-        n_pos = jnp.sum(pos_mask, axis=1, dtype=jnp.int32)
+        iota = jnp.arange(N, dtype=jnp.int32)[None, None, :]
+        s3 = s[:, None, :]
+        cand3 = cand_mask[:, None, :]
+        sp3 = sp[:, :, None]
+
+        # rank of each positive under the host's stable descending argsort:
+        # strictly-above candidates + equal-scored candidates at a smaller
+        # column index (non-candidates are -inf and never rank above)
+        above = jnp.sum((s3 > sp3) & cand3, axis=2, dtype=jnp.int32)
+        tie_lo = jnp.sum(
+            (s3 == sp3) & cand3 & (iota < safe_idx[:, :, None]),
+            axis=2,
+            dtype=jnp.int32,
+        )
+        rank_p = above + tie_lo
+        pos_ranks = jnp.where(valid, rank_p, jnp.int32(_RANK_SENTINEL))
+
+        # strict-below tie counts at each positive: candidates over N,
+        # positives over the (B, P, P) pairwise compare of positive scores
+        c_lt = jnp.sum((s3 < sp3) & cand3, axis=2, dtype=jnp.int32)
+        p_lt = jnp.sum(
+            (sp[:, None, :] < sp3) & valid[:, None, :], axis=2, dtype=jnp.int32
+        )
+
+        n_pos = jnp.sum(valid, axis=1, dtype=jnp.int32)
         n_cand = jnp.sum(cand_mask, axis=1, dtype=jnp.int32)
         n_neg = n_cand - n_pos
 
-        # tie counts: candidates/positives with strictly lower score per
-        # column (same construction as _device_rank_and_ties)
-        rev = order[:, ::-1]
-        s_sorted = jnp.take_along_axis(s, rev, axis=1)
-        cand_sorted = jnp.take_along_axis(cand_mask, rev, axis=1)
-        pos_sorted = jnp.take_along_axis(pos_mask, rev, axis=1)
-        idx = jnp.arange(N, dtype=jnp.int32)[None, :]
-        new_group = jnp.concatenate(
-            [jnp.ones((B, 1), bool), s_sorted[:, 1:] != s_sorted[:, :-1]], axis=1
-        )
-        group_start = jax.lax.cummax(jnp.where(new_group, idx, 0), axis=1)
-        cand_cum = jnp.concatenate(
-            [jnp.zeros((B, 1), jnp.int32),
-             jnp.cumsum(cand_sorted, axis=1, dtype=jnp.int32)], axis=1
-        )
-        pos_cum = jnp.concatenate(
-            [jnp.zeros((B, 1), jnp.int32),
-             jnp.cumsum(pos_sorted, axis=1, dtype=jnp.int32)], axis=1
-        )
-        c_lt_sorted = jnp.take_along_axis(cand_cum, group_start, axis=1)
-        p_lt_sorted = jnp.take_along_axis(pos_cum, group_start, axis=1)
-        inv_rev = jnp.argsort(rev, axis=1)
-        c_lt = jnp.take_along_axis(c_lt_sorted, inv_rev, axis=1)
-        p_lt = jnp.take_along_axis(p_lt_sorted, inv_rev, axis=1)
-
         # shared ideal-prefix tables (indexable by a traced count)
+        max_ideal = min(P, N)
         disc_cum = jnp.concatenate(
             [jnp.zeros(1, jnp.float32),
-             jnp.cumsum(1.0 / jnp.log2(jnp.arange(N, dtype=jnp.float32) + 2.0))]
+             jnp.cumsum(1.0 / jnp.log2(jnp.arange(max_ideal, dtype=jnp.float32) + 2.0))]
         )
         harm_cum = jnp.concatenate(
             [jnp.zeros(1, jnp.float32),
-             jnp.cumsum(1.0 / (jnp.arange(N, dtype=jnp.float32) + 1.0))]
+             jnp.cumsum(1.0 / (jnp.arange(max_ideal, dtype=jnp.float32) + 1.0))]
         )
 
         pr_f = pos_ranks.astype(jnp.float32)
@@ -178,11 +196,11 @@ def _fused_metrics_kernel(specs):
                 dcg = jnp.sum(
                     jnp.where(in_k, 1.0 / jnp.log2(pr_f + 2.0), 0.0), axis=1
                 )
-                idcg = disc_cum[jnp.minimum(n_pos, ke)]
+                idcg = disc_cum[jnp.minimum(n_pos, jnp.minimum(ke, max_ideal))]
                 outs.append(dcg / jnp.maximum(idcg, 1e-12))
             elif kind == "ncrr":
                 crr = jnp.sum(jnp.where(in_k, 1.0 / (pr_f + 1.0), 0.0), axis=1)
-                icrr = harm_cum[jnp.minimum(n_pos, ke)]
+                icrr = harm_cum[jnp.minimum(n_pos, jnp.minimum(ke, max_ideal))]
                 outs.append(
                     jnp.where(crr > 0, crr / jnp.maximum(icrr, 1e-12), 0.0)
                 )
@@ -211,7 +229,7 @@ def _fused_metrics_kernel(specs):
                     )
             elif kind == "auc":
                 neg_lt = jnp.sum(
-                    jnp.where(pos_mask, c_lt - p_lt, 0), axis=1, dtype=jnp.int32
+                    jnp.where(valid, c_lt - p_lt, 0), axis=1, dtype=jnp.int32
                 ).astype(jnp.float32)
                 denom = (n_pos * n_neg).astype(jnp.float32)
                 outs.append(neg_lt / jnp.maximum(denom, 1.0))
@@ -219,7 +237,7 @@ def _fused_metrics_kernel(specs):
                 c_ge = (n_cand[:, None] - c_lt).astype(jnp.float32)
                 p_ge = (n_pos[:, None] - p_lt).astype(jnp.float32)
                 ap = jnp.sum(
-                    jnp.where(pos_mask, p_ge / jnp.maximum(c_ge, 1.0), 0.0),
+                    jnp.where(valid, p_ge / jnp.maximum(c_ge, 1.0), 0.0),
                     axis=1,
                 )
                 outs.append(ap / jnp.maximum(n_pos, 1).astype(jnp.float32))
@@ -270,7 +288,22 @@ def batch_eval_device(scores_dev, pos_mask, cand_mask, specs):
     if kernel is None:
         kernel = _fused_metrics_kernel(specs)
         _FUSED_KERNEL_CACHE[specs] = kernel
-    out = kernel(scores_dev, jnp.asarray(pos_mask), jnp.asarray(cand_mask))
+
+    pos_mask = np.asarray(pos_mask, dtype=bool)
+    B = pos_mask.shape[0]
+    counts = pos_mask.sum(axis=1)
+    # (B, P) positive column ids, -1 padded; P rounded to a power of two to
+    # bound the number of compiled kernel variants
+    max_c = max(int(counts.max(initial=1)), 1)
+    P = 1 << (max_c - 1).bit_length()
+    rows, cols = np.nonzero(pos_mask)  # row-major: per-row runs contiguous
+    starts = np.cumsum(counts) - counts
+    offs = np.arange(len(rows)) - starts[rows]
+    pos_idx = np.full((B, P), -1, dtype=np.int32)
+    pos_idx[rows, offs] = cols
+
+    cand_bits = np.packbits(np.asarray(cand_mask, dtype=bool), axis=1)
+    out = kernel(scores_dev, jnp.asarray(cand_bits), jnp.asarray(pos_idx))
     return np.asarray(out, dtype=np.float64)
 
 
