@@ -115,6 +115,7 @@ class BaselineOnly(Recommender):
         lambda_reg=0.02,
         batch_size=256,
         early_stop=False,
+        num_threads=0,
         trainable=True,
         verbose=False,
         init_params=None,
@@ -126,6 +127,7 @@ class BaselineOnly(Recommender):
         self.lambda_reg = lambda_reg
         self.batch_size = batch_size
         self.early_stop = early_stop
+        self.num_threads = num_threads  # no-op: no host threading on TPU
         self.seed = seed
 
         self.init_params = {} if init_params is None else init_params

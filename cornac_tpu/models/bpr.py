@@ -174,6 +174,7 @@ class BPR(Recommender, ANNMixin):
         learning_rate=0.001,
         lambda_reg=0.01,
         use_bias=True,
+        num_threads=0,
         batch_size=1024,
         trainable=True,
         verbose=False,
@@ -188,6 +189,9 @@ class BPR(Recommender, ANNMixin):
         self.learning_rate = learning_rate
         self.lambda_reg = lambda_reg
         self.use_bias = use_bias
+        # reference OpenMP knob (recom_bpr.pyx:129-137); no host threading
+        # on TPU — accepted so reference scripts run unchanged
+        self.num_threads = num_threads
         self.batch_size = batch_size
         self.seed = seed
         self.rng = get_rng(seed)
@@ -364,6 +368,7 @@ class WBPR(BPR):
         learning_rate=0.001,
         lambda_reg=0.01,
         use_bias=True,
+        num_threads=0,
         batch_size=1024,
         trainable=True,
         verbose=False,
@@ -378,6 +383,7 @@ class WBPR(BPR):
             learning_rate=learning_rate,
             lambda_reg=lambda_reg,
             use_bias=use_bias,
+            num_threads=num_threads,
             batch_size=batch_size,
             trainable=trainable,
             verbose=verbose,

@@ -142,12 +142,14 @@ class EFM(Recommender):
         lambda_v=0.01,
         use_item_aspect_popularity=True,
         max_iter=100,
+        num_threads=0,
         trainable=True,
         verbose=False,
         init_params=None,
         seed=None,
     ):
         Recommender.__init__(self, name=name, trainable=trainable, verbose=verbose)
+        self.num_threads = num_threads  # no-op: no host threading on TPU
         self.num_explicit_factors = num_explicit_factors
         self.num_latent_factors = num_latent_factors
         self.num_most_cared_aspects = num_most_cared_aspects

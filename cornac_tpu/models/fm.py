@@ -173,6 +173,7 @@ class FM(Recommender):
         reg_all=0.0,
         init_stdev=0.1,
         method="mcmc",
+        num_threads=0,
         batch_size=1024,
         trainable=True,
         verbose=True,
@@ -180,11 +181,13 @@ class FM(Recommender):
         seed=None,
     ):
         super().__init__(name=name, trainable=trainable, verbose=verbose)
+        self.num_threads = num_threads  # no-op: no host threading on TPU
         self.k0 = k0
         self.k1 = k1
         self.k2 = k2
         self.max_iter = max_iter
         self.learning_rate = learning_rate
+        self.reg_all = reg_all  # stored so clone() round-trips the signature
         self.reg0 = reg_all if reg_all != 0.0 else reg0
         self.reg1 = reg_all if reg_all != 0.0 else reg1
         self.reg2 = reg_all if reg_all != 0.0 else reg2

@@ -161,11 +161,13 @@ class _KNNBase(Recommender):
         mean_centered=False,
         weighting=None,
         amplify=1.0,
+        num_threads=0,
         trainable=True,
         verbose=True,
         seed=None,
     ):
         super().__init__(name=name, trainable=trainable, verbose=verbose)
+        self.num_threads = num_threads  # no-op: no host threading on TPU
         self.k = k
         self.similarity = similarity
         self.mean_centered = mean_centered
@@ -216,6 +218,7 @@ class UserKNN(_KNNBase):
         mean_centered=False,
         weighting=None,
         amplify=1.0,
+        num_threads=0,
         trainable=True,
         verbose=True,
         seed=None,
@@ -227,6 +230,7 @@ class UserKNN(_KNNBase):
             mean_centered=mean_centered,
             weighting=weighting,
             amplify=amplify,
+            num_threads=num_threads,
             trainable=trainable,
             verbose=verbose,
             seed=seed,
@@ -301,6 +305,7 @@ class ItemKNN(_KNNBase):
         mean_centered=False,
         weighting=None,
         amplify=1.0,
+        num_threads=0,
         trainable=True,
         verbose=True,
         seed=None,
@@ -312,6 +317,7 @@ class ItemKNN(_KNNBase):
             mean_centered=mean_centered,
             weighting=weighting,
             amplify=amplify,
+            num_threads=num_threads,
             trainable=trainable,
             verbose=verbose,
             seed=seed,

@@ -125,12 +125,14 @@ class LRPPM(Recommender):
         n_samples=200,
         max_iter=200000,
         lr=0.1,
+        n_threads=0,
         trainable=True,
         verbose=False,
         init_params=None,
         seed=None,
     ):
         super().__init__(name=name, trainable=trainable, verbose=verbose)
+        self.n_threads = n_threads  # no-op: no host threading on TPU
         self.rating_scale = rating_scale
         self.n_factors = n_factors
         self.ld = ld

@@ -88,6 +88,87 @@ def _mf_sgd_epoch(
     return U, V, Bu, Bi, 0.5 * loss
 
 
+def _make_optimizer(name, lr):
+    import optax
+
+    makers = {
+        "sgd": optax.sgd,
+        "adam": optax.adam,
+        "rmsprop": optax.rmsprop,
+        "adagrad": optax.adagrad,
+    }
+    if name not in makers:
+        raise ValueError(
+            f"optimizer must be one of {sorted(makers)}, got {name!r}"
+        )
+    return makers[name](lr)
+
+
+@partial(
+    jax.jit,
+    static_argnames=("batch_size", "use_bias", "optimizer", "dropout", "lr"),
+    donate_argnums=(0, 1),
+)
+def _mf_optax_epoch(
+    params,
+    opt_state,
+    perm,
+    mask,
+    rid,
+    cid,
+    val,
+    reg,
+    mu,
+    key,
+    batch_size,
+    use_bias,
+    optimizer,
+    dropout,
+    lr,
+):
+    """General-optimizer SGD epoch (reference torch backend parity,
+    ``mf/backend_pt.py:29-104``): per minibatch, autodiff through the
+    gathered-row prediction (XLA turns the gather's backward into the same
+    deterministic scatter-add), optax update, optional embedding dropout."""
+    import optax
+
+    opt = _make_optimizer(optimizer, lr)
+    n_batches = perm.shape[0] // batch_size
+
+    def body(b, carry):
+        params, opt_state, loss_sum = carry
+        idx = jax.lax.dynamic_slice(perm, (b * batch_size,), (batch_size,))
+        m = jax.lax.dynamic_slice(mask, (b * batch_size,), (batch_size,))
+        u, i, r = rid[idx], cid[idx], val[idx]
+
+        def loss_fn(p):
+            pu, qi = p["U"][u], p["V"][i]
+            if dropout > 0.0:
+                kb = jax.random.fold_in(key, b)
+                ku, ki = jax.random.split(kb)
+                keep = 1.0 - dropout
+                pu = pu * jax.random.bernoulli(ku, keep, pu.shape) / keep
+                qi = qi * jax.random.bernoulli(ki, keep, qi.shape) / keep
+            pred = jnp.sum(pu * qi, axis=1)
+            if use_bias:
+                pred = pred + mu + p["Bu"][u] + p["Bi"][i]
+            err = (r - pred) * m
+            reg_term = reg * (
+                jnp.sum(jnp.square(p["U"][u]) * m[:, None])
+                + jnp.sum(jnp.square(p["V"][i]) * m[:, None])
+            )
+            return 0.5 * jnp.sum(err * err) + 0.5 * reg_term
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = opt.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss_sum + loss
+
+    return jax.lax.fori_loop(
+        0, n_batches, body, (params, opt_state, jnp.float32(0.0))
+    )
+
+
 @jax.jit
 def _mf_scores(U, V, Bu, Bi, mu, users, known_mask):
     """(B, num_items) score matrix: mu + Bu + Bi + U V^T on the MXU.
@@ -110,12 +191,16 @@ class MF(Recommender, ANNMixin):
         self,
         name="MF",
         k=10,
+        backend="cpu",
+        optimizer="sgd",
         max_iter=20,
         learning_rate=0.01,
         batch_size=256,
         lambda_reg=0.02,
+        dropout=0.0,
         use_bias=True,
         early_stop=False,
+        num_threads=0,
         trainable=True,
         verbose=False,
         init_params=None,
@@ -125,12 +210,20 @@ class MF(Recommender, ANNMixin):
         super().__init__(name=name, trainable=trainable, verbose=verbose)
         self.mesh = mesh
         self.k = k
+        # reference backend selector (recom_mf.py:96,178-183); every value
+        # runs the same TPU path here but unknown ones still error for parity
+        if backend not in ("cpu", "pytorch", "tpu"):
+            raise ValueError(f"{backend} is not supported")
+        self.backend = backend
+        self.optimizer = optimizer
         self.max_iter = max_iter
         self.learning_rate = learning_rate
         self.batch_size = batch_size
         self.lambda_reg = lambda_reg
+        self.dropout = dropout
         self.use_bias = use_bias
         self.early_stop = early_stop
+        self.num_threads = num_threads  # no-op: no host threading on TPU
         self.seed = seed
 
         self.init_params = {} if init_params is None else init_params
@@ -198,6 +291,10 @@ class MF(Recommender, ANNMixin):
             cid_d = shard_replicated(self.mesh, cid_d)
             val_d = shard_replicated(self.mesh, val_d)
 
+        if self.optimizer != "sgd" or self.dropout > 0.0:
+            self._fit_optax(rng, rid_d, cid_d, val_d, mask_h, U, V, Bu, Bi, n, bsz, n_pad, n_u, n_i)
+            return
+
         last_loss = 0.0
         for epoch in range(self.max_iter):
             perm = np.concatenate([rng.permutation(n), np.zeros(n_pad, np.int64)])
@@ -230,6 +327,52 @@ class MF(Recommender, ANNMixin):
         self.i_factors = np.asarray(V)[:n_i]
         self.u_biases = np.asarray(Bu)[:n_u]
         self.i_biases = np.asarray(Bi)[:n_i]
+
+    def _fit_optax(
+        self, rng, rid_d, cid_d, val_d, mask_h, U, V, Bu, Bi, n, bsz, n_pad, n_u, n_i
+    ):
+        """Non-SGD optimizers and/or embedding dropout (reference torch
+        backend, ``mf/backend_pt.py``)."""
+        params = {"U": U, "V": V, "Bu": Bu, "Bi": Bi}
+        opt_state = _make_optimizer(self.optimizer, self.learning_rate).init(
+            params
+        )
+        key = jax.random.PRNGKey(rng.randint(2**31))
+        mask_d = jnp.asarray(mask_h)
+
+        last_loss = 0.0
+        for epoch in range(self.max_iter):
+            perm = np.concatenate([rng.permutation(n), np.zeros(n_pad, np.int64)])
+            params, opt_state, loss = _mf_optax_epoch(
+                params,
+                opt_state,
+                jnp.asarray(perm, dtype=jnp.int32),
+                mask_d,
+                rid_d,
+                cid_d,
+                val_d,
+                jnp.float32(self.lambda_reg),
+                jnp.float32(self.global_mean),
+                jax.random.fold_in(key, epoch),
+                batch_size=bsz,
+                use_bias=self.use_bias,
+                optimizer=self.optimizer,
+                dropout=float(self.dropout),
+                lr=float(self.learning_rate),
+            )
+            loss = float(loss)
+            if self.verbose:
+                print("Epoch %d/%d, loss = %.2f" % (epoch + 1, self.max_iter, loss))
+            if self.early_stop and epoch > 0 and abs(loss - last_loss) < 1e-5:
+                if self.verbose:
+                    print("Early stopping, delta_loss = %.4f" % (loss - last_loss))
+                break
+            last_loss = loss
+
+        self.u_factors = np.asarray(params["U"])[:n_u]
+        self.i_factors = np.asarray(params["V"])[:n_i]
+        self.u_biases = np.asarray(params["Bu"])[:n_u]
+        self.i_biases = np.asarray(params["Bi"])[:n_i]
 
     # ------------------------------------------------------------------ #
     # scoring
@@ -343,6 +486,7 @@ class SVD(MF):
         batch_size=256,
         lambda_reg=0.02,
         early_stop=False,
+        num_threads=0,
         trainable=True,
         verbose=False,
         init_params=None,
@@ -357,6 +501,7 @@ class SVD(MF):
             lambda_reg=lambda_reg,
             use_bias=True,
             early_stop=early_stop,
+            num_threads=num_threads,
             trainable=trainable,
             verbose=verbose,
             init_params=init_params,

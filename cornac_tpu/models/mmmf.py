@@ -21,6 +21,7 @@ class MMMF(BPR):
         max_iter=100,
         learning_rate=0.001,
         lambda_reg=0.001,
+        num_threads=0,
         batch_size=1024,
         trainable=True,
         verbose=False,
@@ -34,6 +35,7 @@ class MMMF(BPR):
             learning_rate=learning_rate,
             lambda_reg=lambda_reg,
             use_bias=True,
+            num_threads=num_threads,
             batch_size=batch_size,
             trainable=trainable,
             verbose=verbose,

@@ -186,12 +186,14 @@ class MTER(Recommender):
         lambda_bpr=10,
         max_iter=200000,
         lr=0.1,
+        n_threads=0,
         trainable=True,
         verbose=False,
         init_params=None,
         seed=None,
     ):
         super().__init__(name=name, trainable=trainable, verbose=verbose)
+        self.n_threads = n_threads  # no-op: no host threading on TPU
         self.rating_scale = rating_scale
         self.n_user_factors = n_user_factors
         self.n_item_factors = n_item_factors

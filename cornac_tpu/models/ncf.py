@@ -46,6 +46,7 @@ class NCFBase(Recommender):
         lr=0.001,
         learner="adam",
         reg=0.0,
+        backend="tensorflow",
         early_stopping=None,
         trainable=True,
         verbose=True,
@@ -58,6 +59,11 @@ class NCFBase(Recommender):
         self.lr = lr
         self.learner = learner
         self.reg = reg
+        # reference backend selector (recom_ncf_base.py:132-135); every
+        # value runs the same TPU path but unknown ones still error
+        if backend not in ("tensorflow", "pytorch", "tpu"):
+            raise ValueError(f"{backend} is not supported")
+        self.backend = backend
         self.early_stopping = early_stopping
         self.seed = seed
 
@@ -254,6 +260,7 @@ class GMF(NCFBase):
         num_neg=4,
         lr=0.001,
         learner="adam",
+        backend="tensorflow",
         early_stopping=None,
         trainable=True,
         verbose=True,
@@ -267,6 +274,7 @@ class GMF(NCFBase):
             lr=lr,
             learner=learner,
             reg=reg,
+            backend=backend,
             early_stopping=early_stopping,
             trainable=trainable,
             verbose=verbose,
@@ -313,6 +321,7 @@ class MLP(NCFBase):
         num_neg=4,
         lr=0.001,
         learner="adam",
+        backend="tensorflow",
         early_stopping=None,
         trainable=True,
         verbose=True,
@@ -326,6 +335,7 @@ class MLP(NCFBase):
             lr=lr,
             learner=learner,
             reg=reg,
+            backend=backend,
             early_stopping=early_stopping,
             trainable=trainable,
             verbose=verbose,
@@ -386,6 +396,7 @@ class NeuMF(NCFBase):
         num_neg=4,
         lr=0.001,
         learner="adam",
+        backend="tensorflow",
         early_stopping=None,
         trainable=True,
         verbose=True,
@@ -399,6 +410,7 @@ class NeuMF(NCFBase):
             lr=lr,
             learner=learner,
             reg=reg,
+            backend=backend,
             early_stopping=early_stopping,
             trainable=trainable,
             verbose=verbose,

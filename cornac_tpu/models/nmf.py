@@ -95,12 +95,14 @@ class NMF(Recommender, ANNMixin):
         lambda_bu=0.02,
         lambda_bi=0.02,
         use_bias=False,
+        num_threads=0,
         trainable=True,
         verbose=False,
         init_params=None,
         seed=None,
     ):
         super().__init__(name=name, trainable=trainable, verbose=verbose)
+        self.num_threads = num_threads  # no-op: no host threading on TPU
         self.k = k
         self.max_iter = max_iter
         self.learning_rate = learning_rate

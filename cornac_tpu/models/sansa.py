@@ -41,6 +41,9 @@ class SANSA(Recommender, ANNMixin):
         trainable=True,
         verbose=True,
         seed=None,
+        W1=None,
+        W2=None,
+        X=None,
     ):
         Recommender.__init__(self, name=name, trainable=trainable, verbose=verbose)
         self.l2 = l2
@@ -54,10 +57,25 @@ class SANSA(Recommender, ANNMixin):
         self.inverter_finetune_steps = inverter_finetune_steps
         self.use_absolute_value_scores = use_absolute_value_scores
         self.seed = seed
+        # pre-fitted construction (reference recom_sansa.py:93-96,110):
+        # weights[0]/weights[1] sparse factors and the interaction matrix
+        self.X = (
+            X.astype(np.float32) if X is not None and X.dtype != np.float32 else X
+        )
+        self.weights = (W1, W2)
+        if W1 is not None and W2 is not None:
+            self.U = self.X
+            self.W = (W1 @ W2).tocsr()
+
+    def forward(self, X):
+        """Sparse forward pass through the factored weights
+        (reference ``recom_sansa.py:222-228``)."""
+        return X @ self.weights[0] @ self.weights[1]
 
     def fit(self, train_set, val_set=None):
         Recommender.fit(self, train_set, val_set)
         self.U = train_set.matrix
+        self.X = train_set.matrix.astype(np.float32)
 
         X = jnp.asarray(self.U.toarray(), dtype=jnp.float32)
         B = np.asarray(_ease_B(X, jnp.float32(self.l2)), dtype=np.float64)
@@ -69,6 +87,8 @@ class SANSA(Recommender, ANNMixin):
             thresh = np.partition(np.abs(B).ravel(), B.size - keep)[B.size - keep]
             B = np.where(np.abs(B) >= thresh, B, 0.0)
         self.W = sp.csr_matrix(B)
+        # factored form for reference-API parity (W = weights[0] @ weights[1])
+        self.weights = (self.W, sp.identity(self.W.shape[0], format="csr"))
         return self
 
     def score(self, user_idx, item_idx=None):

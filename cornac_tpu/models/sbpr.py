@@ -20,7 +20,11 @@ from ..ops.membership import build_membership
 from .bpr import BPR
 
 
-@partial(jax.jit, static_argnames=("batch_size", "num_items"), donate_argnums=(0, 1, 2))
+@partial(
+    jax.jit,
+    static_argnames=("batch_size", "num_items", "use_bias"),
+    donate_argnums=(0, 1, 2),
+)
 def _sbpr_epochs(
     U,
     V,
@@ -39,6 +43,7 @@ def _sbpr_epochs(
     batch_size,
     num_items,
     n_epochs,
+    use_bias=True,
 ):
     n = rid.shape[0]
     n_pad = (-n) % batch_size
@@ -102,11 +107,12 @@ def _sbpr_epochs(
             V = V.at[i].add(lr * dVi)
             V = V.at[j].add(lr * dVj)
             V = V.at[k].add(lr * dVk)
-            Bi = Bi.at[i].add(lr * (z_ij + z_ik * s_uk - lbd_b * Bi[i] * m))
-            Bi = Bi.at[j].add(lr * (-z_ij - z_kj - lbd_b * Bi[j] * m))
-            Bi = Bi.at[k].add(
-                lr * (z_kj - z_ik * s_uk - lbd_b * Bi[k] * (m * hs))
-            )
+            if use_bias:
+                Bi = Bi.at[i].add(lr * (z_ij + z_ik * s_uk - lbd_b * Bi[i] * m))
+                Bi = Bi.at[j].add(lr * (-z_ij - z_kj - lbd_b * Bi[j] * m))
+                Bi = Bi.at[k].add(
+                    lr * (z_kj - z_ik * s_uk - lbd_b * Bi[k] * (m * hs))
+                )
             return U, V, Bi
 
         return jax.lax.fori_loop(0, n_batches, body, (U, V, Bi))
@@ -126,6 +132,8 @@ class SBPR(BPR):
         lambda_u=0.01,
         lambda_v=0.01,
         lambda_b=0.01,
+        use_bias=True,
+        num_threads=0,
         batch_size=1024,
         trainable=True,
         verbose=False,
@@ -138,7 +146,8 @@ class SBPR(BPR):
             max_iter=max_iter,
             learning_rate=learning_rate,
             lambda_reg=lambda_u,
-            use_bias=True,
+            use_bias=use_bias,
+            num_threads=num_threads,
             batch_size=batch_size,
             trainable=trainable,
             verbose=verbose,
@@ -215,6 +224,7 @@ class SBPR(BPR):
             batch_size=min(self.batch_size, len(rid)),
             num_items=train_set.num_items,
             n_epochs=jnp.int32(self.max_iter),
+            use_bias=self.use_bias,
         )
         self.u_factors = np.asarray(U)
         self.i_factors = np.asarray(V)

@@ -113,6 +113,7 @@ class VEBPR(BPR):
         learning_rate=0.01,
         lambda_reg=0.1,
         alpha=0.5,
+        num_threads=0,
         batch_size=1024,
         trainable=True,
         verbose=False,
@@ -126,6 +127,7 @@ class VEBPR(BPR):
             learning_rate=learning_rate,
             lambda_reg=lambda_reg,
             use_bias=False,
+            num_threads=num_threads,
             batch_size=batch_size,
             trainable=trainable,
             verbose=verbose,

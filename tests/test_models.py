@@ -267,3 +267,80 @@ def test_fm_mcmc_warns(split):
 
     with pytest.warns(UserWarning):
         FM(k2=2, max_iter=1, method="mcmc", verbose=False).fit(split.train_set)
+
+
+class TestReferenceCompatKwargs:
+    """Constructor-surface parity: reference scripts pass backend/threading
+    knobs that have no TPU meaning; they must be accepted (and cloneable)."""
+
+    def test_noop_threading_kwargs(self):
+        from cornac_tpu.models import (
+            BPR, WBPR, SBPR, MMMF, BaselineOnly, EFM, FM, ItemKNN, LRPPM,
+            MTER, NMF, UserKNN,
+        )
+
+        models = [
+            BPR(num_threads=4), WBPR(num_threads=4), SBPR(num_threads=4),
+            MMMF(num_threads=4), BaselineOnly(num_threads=4),
+            EFM(num_threads=4), FM(num_threads=4), NMF(num_threads=4),
+            UserKNN(num_threads=4), ItemKNN(num_threads=4),
+            LRPPM(n_threads=4), MTER(n_threads=4),
+        ]
+        for m in models:
+            clone = m.clone()  # init-signature introspection round-trips
+            assert type(clone) is type(m)
+
+    def test_backend_selector(self):
+        from cornac_tpu.models import GMF, MLP, MF, NeuMF
+
+        for cls in (GMF, MLP, NeuMF):
+            cls(backend="tensorflow")
+            cls(backend="pytorch")
+            with pytest.raises(ValueError):
+                cls(backend="mxnet")
+        MF(backend="cpu"); MF(backend="pytorch")
+        with pytest.raises(ValueError):
+            MF(backend="gpu")
+
+    def test_mf_optimizers_and_dropout(self, split):
+        from cornac_tpu.models import MF
+
+        base = MF(k=4, max_iter=5, optimizer="sgd", seed=123).fit(split.train_set)
+        for opt in ("adam", "rmsprop", "adagrad"):
+            m = MF(k=4, max_iter=5, optimizer=opt, seed=123).fit(split.train_set)
+            row = m.score(0)
+            assert np.isfinite(row).all() and row.shape == base.score(0).shape
+        with pytest.raises(ValueError):
+            MF(optimizer="lbfgs").fit(split.train_set)
+        md = MF(k=4, max_iter=5, dropout=0.5, seed=123).fit(split.train_set)
+        assert np.isfinite(md.score(0)).all()
+
+    def test_sbpr_no_bias(self, split):
+        from cornac_tpu.data import GraphModality
+        from cornac_tpu.eval_methods import RatioSplit
+        from cornac_tpu.models import SBPR
+
+        data = Reader().read(os.path.join(DATA_DIR, "rating.txt"), fmt="UIR")
+        users = sorted({u for u, _, _ in data})
+        edges = [(users[i], users[(i + 1) % len(users)], 1.0) for i in range(len(users))]
+        rs = RatioSplit(
+            data=data, test_size=0.2, rating_threshold=3.0, seed=123,
+            user_graph=GraphModality(data=edges),
+        )
+        m = SBPR(k=4, max_iter=3, use_bias=False, seed=123).fit(rs.train_set)
+        assert not m.i_biases.any()  # bias frozen at zero
+
+    def test_sansa_prefit_weights(self, split):
+        import scipy.sparse as sp
+        from cornac_tpu.models import SANSA
+
+        fitted = SANSA(l2=10.0, weight_matrix_density=0.2, verbose=False).fit(
+            split.train_set
+        )
+        W1, W2 = fitted.weights
+        pre = SANSA(W1=W1, W2=W2, X=fitted.X, trainable=False, verbose=False)
+        out = pre.forward(fitted.X[:2])
+        ref = fitted.forward(fitted.X[:2])
+        np.testing.assert_allclose(
+            np.asarray(out.todense()), np.asarray(ref.todense()), rtol=1e-5
+        )
