@@ -1,13 +1,18 @@
 """FPMC — Factorized Personalized Markov Chains (Rendle et al., WWW 2010).
 
-Capability parity with reference ``cornac/models/fpmc/recom_fpmc.py:36``
-(torch, BPR-family losses over (user, prev item, next item) transitions).
-TPU design: the classic four-embedding FPMC factorization
+Capability parity with reference ``cornac/models/fpmc/recom_fpmc.py:92``
+(torch, the full ``seq_utils/losses.py`` family over (user, prev item,
+next item) transitions, adagrad+momentum, best-on-val selection). TPU
+design: the classic four-embedding FPMC factorization
 
     score(u, last, i) = <V_UI[u], V_IU[i]> + <V_IL[i], V_LI[last]>
 
-trained with BPR on sampled transitions — the whole fit is one fused
-multi-epoch device program like BPR.
+With ``loss='bpr'`` and no momentum the fit is the fused hand-written
+multi-epoch BPR kernel below; every other configuration routes through the
+shared :func:`cornac_tpu.models.seq_utils.batch_loss` family using the
+concatenation identity ``score = [V_UI[u] | V_LI[last]] . [V_IU[i] |
+V_IL[i]]`` — one dot product, so the in-batch + sampled-negative score
+matrix is a single matmul.
 """
 
 from functools import partial
@@ -15,11 +20,19 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 import numpy as np
+import optax
 
 from ..utils import get_rng
 from ..utils.init_utils import normal
 from .recommender import NextItemRecommender
-from .seq_utils import pad_histories
+from .seq_utils import (
+    SUPPORTED_LOSSES,
+    batch_loss,
+    neg_sampling_table,
+    pad_histories,
+    sample_negatives,
+    val_score,
+)
 
 
 @partial(jax.jit, static_argnames=("batch_size", "num_items"), donate_argnums=(0,))
@@ -104,19 +117,50 @@ class FPMC(NextItemRecommender):
         self,
         name="FPMC",
         embedding_dim=32,
+        loss="bpr",
         n_epochs=10,
         learning_rate=0.01,
+        momentum=0.0,
+        n_sample=2048,
+        sample_alpha=0.5,
         lambda_reg=0.001,
+        bpreg=1.0,
+        elu_param=0.5,
+        device="cpu",
+        model_selection="last",
+        val_eval_every=5,
+        val_k=20,
+        val_metric="recall",
         batch_size=1024,
         trainable=True,
         verbose=False,
         seed=None,
     ):
         super().__init__(name=name, trainable=trainable, verbose=verbose)
+        if loss not in SUPPORTED_LOSSES:
+            raise ValueError(
+                f"loss='{loss}' not supported; choose from {SUPPORTED_LOSSES}"
+            )
+        if model_selection not in ("last", "best"):
+            raise ValueError(
+                f"model_selection='{model_selection}' not supported; "
+                "choose 'last' or 'best'"
+            )
         self.embedding_dim = embedding_dim
+        self.loss = loss
         self.n_epochs = n_epochs
         self.learning_rate = learning_rate
+        self.momentum = momentum
+        self.n_sample = n_sample
+        self.sample_alpha = sample_alpha
         self.lambda_reg = lambda_reg
+        self.bpreg = bpreg
+        self.elu_param = elu_param
+        self.device = device  # no-op: XLA owns placement on TPU
+        self.model_selection = model_selection
+        self.val_eval_every = val_eval_every
+        self.val_k = val_k
+        self.val_metric = val_metric
         self.batch_size = batch_size
         self.seed = seed
         self.rng = get_rng(seed)
@@ -157,20 +201,142 @@ class FPMC(NextItemRecommender):
         }
 
         n = len(users)
-        params, _ = _fpmc_epochs(
-            params,
-            jax.random.PRNGKey(self.rng.randint(2**31)),
-            jnp.asarray(users, dtype=jnp.int32),
-            jnp.asarray(prevs, dtype=jnp.int32),
-            jnp.asarray(nexts, dtype=jnp.int32),
-            jnp.float32(self.learning_rate),
-            jnp.float32(self.lambda_reg),
-            batch_size=min(self.batch_size, n),
-            num_items=self.num_items,
-            n_epochs=jnp.int32(self.n_epochs),
-        )
-        self.params = {k: np.asarray(v) for k, v in params.items()}
+        if self.loss == "bpr" and self.momentum == 0.0:
+            params, _ = _fpmc_epochs(
+                params,
+                jax.random.PRNGKey(self.rng.randint(2**31)),
+                jnp.asarray(users, dtype=jnp.int32),
+                jnp.asarray(prevs, dtype=jnp.int32),
+                jnp.asarray(nexts, dtype=jnp.int32),
+                jnp.float32(self.learning_rate),
+                jnp.float32(self.lambda_reg),
+                batch_size=min(self.batch_size, n),
+                num_items=self.num_items,
+                n_epochs=jnp.int32(self.n_epochs),
+            )
+            self.params = {k: np.asarray(v) for k, v in params.items()}
+            return self
+
+        self._fit_general(params, users, prevs, nexts, train_set, val_set)
         return self
+
+    def _fit_general(self, params, users, prevs, nexts, train_set, val_set):
+        """Reference loss family over transitions (in-batch + sampled
+        negatives via the concatenated-embedding identity)."""
+        n = len(users)
+        bsz = min(self.batch_size, n)
+        n_pad = (-n) % bsz
+        u_arr = np.concatenate([users, np.zeros(n_pad, np.int64)]).astype(np.int32)
+        p_arr = np.concatenate([prevs, np.zeros(n_pad, np.int64)]).astype(np.int32)
+        t_arr = np.concatenate([nexts, np.zeros(n_pad, np.int64)]).astype(np.int32)
+        m_arr = np.concatenate(
+            [np.ones(n, np.float32), np.zeros(n_pad, np.float32)]
+        )
+        n_batches = u_arr.shape[0] // bsz
+
+        optimizer = optax.chain(
+            optax.scale_by_rss(),
+            optax.trace(decay=self.momentum)
+            if self.momentum > 0
+            else optax.identity(),
+            optax.scale(-self.learning_rate),
+        )
+        opt_state = optimizer.init(params)
+
+        loss_kind = self.loss
+        n_sample = self.n_sample
+        bpreg, elu_param, reg = self.bpreg, self.elu_param, self.lambda_reg
+        cum_probs = neg_sampling_table(train_set, self.sample_alpha, self.num_items)
+
+        def loss_fn(prm, u, p, t, m, key):
+            state = jnp.concatenate(
+                [prm["V_UI"][u], prm["V_LI"][p]], axis=1
+            )[:, None, :]
+            out_emb = jnp.concatenate([prm["V_IU"], prm["V_IL"]], axis=1)
+            negs = sample_negatives(key, cum_probs, (n_sample,))
+            loss = batch_loss(
+                loss_kind,
+                state,
+                out_emb,
+                None,
+                t[:, None],
+                m[:, None],
+                negs,
+                bpreg=bpreg,
+                elu_param=elu_param,
+            )
+            if reg > 0:
+                loss = loss + reg * (
+                    jnp.sum(prm["V_UI"][u] ** 2 * m[:, None])
+                    + jnp.sum(prm["V_LI"][p] ** 2 * m[:, None])
+                ) / jnp.maximum(jnp.sum(m), 1.0)
+            return loss
+
+        u_d, p_d, t_d, m_d = (
+            jnp.asarray(u_arr),
+            jnp.asarray(p_arr),
+            jnp.asarray(t_arr),
+            jnp.asarray(m_arr),
+        )
+
+        @partial(jax.jit, donate_argnums=(0, 1))
+        def run_epochs(params, opt_state, key, n_epochs):
+            def epoch(e, carry):
+                params, opt_state, _ = carry
+                ekey = jax.random.fold_in(key, e)
+                order = jax.random.permutation(ekey, u_d.shape[0])
+
+                def step(b, carry):
+                    params, opt_state, loss_sum = carry
+                    idx = jax.lax.dynamic_slice(order, (b * bsz,), (bsz,))
+                    loss, grads = jax.value_and_grad(loss_fn)(
+                        params,
+                        u_d[idx],
+                        p_d[idx],
+                        t_d[idx],
+                        m_d[idx],
+                        jax.random.fold_in(ekey, b),
+                    )
+                    updates, opt_state = optimizer.update(grads, opt_state, params)
+                    params = optax.apply_updates(params, updates)
+                    return params, opt_state, loss_sum + loss
+
+                return jax.lax.fori_loop(
+                    0, n_batches, step, (params, opt_state, jnp.float32(0.0))
+                )
+
+            return jax.lax.fori_loop(
+                0, n_epochs, epoch, (params, opt_state, jnp.float32(0.0))
+            )
+
+        key = jax.random.PRNGKey(self.rng.randint(2**31))
+        select_best = self.model_selection == "best" and val_set is not None
+        chunk = self.val_eval_every if select_best else self.n_epochs
+        best_score, best_params = -np.inf, None
+        done = 0
+        while done < self.n_epochs:
+            e = min(chunk, self.n_epochs - done)
+            params, opt_state, loss_sum = run_epochs(
+                params, opt_state, jax.random.fold_in(key, done), e
+            )
+            done += e
+            if self.verbose:
+                print(
+                    "Epoch %d/%d, loss: %.4f"
+                    % (done, self.n_epochs, float(loss_sum) / n_batches)
+                )
+            if select_best:
+                self.params = {k: np.asarray(v) for k, v in params.items()}
+                score = val_score(
+                    self, train_set, val_set, self.val_metric, self.val_k
+                )
+                if score > best_score:
+                    best_score = score
+                    best_params = dict(self.params)
+        if select_best and best_params is not None:
+            self.params = best_params
+        else:
+            self.params = {k: np.asarray(v) for k, v in params.items()}
 
     def score(self, user_idx, history_items, **kwargs):
         users = np.asarray([user_idx])

@@ -2,13 +2,24 @@
 Hidasi & Karatzoglou, CIKM 2018).
 
 Capability parity with reference ``cornac/models/gru4rec/recom_gru4rec.py:38``
-(torch GRU with bpr/top1/bpr-max/cross-entropy losses over session-parallel
-minibatches). TPU redesign: padded fixed-length session batches (static
-shapes) processed by a jax.lax.scan GRU; losses come from
-:mod:`cornac_tpu.models.seq_utils` — full-softmax cross-entropy by default
-(the MXU makes full softmax over the catalog cheap, removing the need for
-the reference's sampled-loss machinery at these scales), with bpr-max/top1
-over sampled negatives also supported.
+(torch GRU, losses ``seq_utils/losses.py``: cross-entropy/bpr/bpr-max/top1/
+bce/ce over in-batch + shared sampled negatives, logQ correction,
+IndexedAdagradM optimizer, best-on-val model selection). TPU redesign:
+
+- The reference's session-parallel minibatching (many open sessions
+  advanced one step per batch, built for CPU/GPU RNNs) becomes padded
+  fixed-length session batches — static shapes, whole batch per device
+  step, multi-epoch ``lax.fori_loop`` in one compiled program.
+- The loss family is shared :func:`cornac_tpu.models.seq_utils.batch_loss`:
+  per (row, step) the score row is [in-batch negatives at the same step |
+  shared popularity^alpha sampled negatives], positives on the diagonal —
+  the reference's (B, B+n_sample) score matrix generalized over steps. The
+  shared negative draw serves all L steps of a batch (same distribution,
+  fewer gathers).
+- ``IndexedAdagradM`` (adagrad + momentum over touched rows) maps to an
+  optax ``scale_by_rss -> trace(momentum)`` chain; on TPU the dense-table
+  update is a matmul-class op, so the "indexed" sparsity trick isn't
+  needed.
 """
 
 from functools import partial
@@ -21,113 +32,205 @@ import optax
 from ..utils import get_rng
 from ..utils.init_utils import xavier_uniform
 from .recommender import NextItemRecommender
-from .seq_utils import bpr_max_loss, build_session_examples, pad_batch_rows, pad_histories, top1_loss
+from .seq_utils import (
+    SUPPORTED_LOSSES,
+    batch_loss,
+    build_session_examples,
+    neg_sampling_table,
+    pad_batch_rows,
+    pad_histories,
+    sample_negatives,
+    val_score,
+)
 
-LOSSES = ("cross-entropy", "bpr-max", "top1")
 
+def _init_gru(rng, vocab, layers, embedding, constrained):
+    """Parameter pytree: optional input embedding, stacked GRU cells, output
+    table. ``constrained`` ties the input embedding to ``out_emb``
+    (reference GRU4RecModel constrained_embedding), so the input width is
+    the last layer's size."""
 
-def _init_gru(rng, vocab, emb_dim, hidden):
     def xav(shape):
         return jnp.asarray(xavier_uniform(shape, rng))
 
-    return {
-        "emb": jnp.asarray(
-            rng.normal(0, 0.05, (vocab, emb_dim)).astype(np.float32)
-        ),
-        "W_z": xav((emb_dim, hidden)),
-        "U_z": xav((hidden, hidden)),
-        "b_z": jnp.zeros(hidden, jnp.float32),
-        "W_r": xav((emb_dim, hidden)),
-        "U_r": xav((hidden, hidden)),
-        "b_r": jnp.zeros(hidden, jnp.float32),
-        "W_h": xav((emb_dim, hidden)),
-        "U_h": xav((hidden, hidden)),
-        "b_h": jnp.zeros(hidden, jnp.float32),
+    out_dim = layers[-1]
+    if constrained:
+        emb = None
+        in_dim = out_dim
+    else:
+        e = embedding if embedding else layers[0]
+        emb = jnp.asarray(rng.normal(0, 0.05, (vocab, e)).astype(np.float32))
+        in_dim = e
+
+    cells = []
+    for h in layers:
+        cells.append(
+            {
+                "W_z": xav((in_dim, h)),
+                "U_z": xav((h, h)),
+                "b_z": jnp.zeros(h, jnp.float32),
+                "W_r": xav((in_dim, h)),
+                "U_r": xav((h, h)),
+                "b_r": jnp.zeros(h, jnp.float32),
+                "W_h": xav((in_dim, h)),
+                "U_h": xav((h, h)),
+                "b_h": jnp.zeros(h, jnp.float32),
+            }
+        )
+        in_dim = h
+
+    params = {
+        "cells": cells,
         "out_emb": jnp.asarray(
-            rng.normal(0, 0.05, (vocab, hidden)).astype(np.float32)
+            rng.normal(0, 0.05, (vocab, out_dim)).astype(np.float32)
         ),
         "out_b": jnp.zeros(vocab, jnp.float32),
     }
+    if emb is not None:
+        params["emb"] = emb
+    return params
+
+
+def _gru_states(params, seq, step_mask=None, drop_masks=None):
+    """(B, L, H_last) top-layer hidden states over an item-id sequence.
+
+    ``step_mask`` (B, L) marks real steps; on padding steps every layer's
+    state carries through unchanged (needed for left-padded inference
+    histories). ``drop_masks`` (training only) is a dict with "embed"
+    (B, L, E) and "hidden" (list of (B, L, H_i)) inverted-dropout masks.
+    """
+    emb_table = params.get("emb", params["out_emb"])
+    x = emb_table[seq]  # (B, L, E)
+    if step_mask is None:
+        step_mask = jnp.ones(seq.shape, jnp.float32)
+    if drop_masks is not None:
+        x = x * drop_masks["embed"]
+
+    inputs = x
+    for li, cell in enumerate(params["cells"]):
+        def gru_cell(h, inp, cell=cell):
+            x_t, m_t = inp
+            z = jax.nn.sigmoid(x_t @ cell["W_z"] + h @ cell["U_z"] + cell["b_z"])
+            r = jax.nn.sigmoid(x_t @ cell["W_r"] + h @ cell["U_r"] + cell["b_r"])
+            h_tilde = jnp.tanh(
+                x_t @ cell["W_h"] + (r * h) @ cell["U_h"] + cell["b_h"]
+            )
+            h_new = (1 - z) * h + z * h_tilde
+            h_new = m_t[:, None] * h_new + (1 - m_t[:, None]) * h
+            return h_new, h_new
+
+        h0 = jnp.zeros((seq.shape[0], cell["U_z"].shape[0]), jnp.float32)
+        _, states = jax.lax.scan(
+            gru_cell,
+            h0,
+            (jnp.swapaxes(inputs, 0, 1), jnp.swapaxes(step_mask, 0, 1)),
+        )
+        states = jnp.swapaxes(states, 0, 1)  # (B, L, H_i)
+        if drop_masks is not None:
+            states = states * drop_masks["hidden"][li]
+        inputs = states
+    return inputs
 
 
 @jax.jit
 def _gru_last_state(params, seq, step_mask):
-    """Jitted inference: final GRU state per left-padded history (the
-    eager forward costs one dispatch per scan step through the runtime)."""
+    """Jitted inference: final top-layer GRU state per left-padded history
+    (the eager forward costs one dispatch per scan step through the
+    runtime)."""
     return _gru_states(params, seq, step_mask)[:, -1, :]
 
 
-def _gru_states(params, seq, step_mask=None):
-    """(B, L, hidden) hidden states over an item-id sequence (B, L).
-
-    ``step_mask`` (B, L) marks real steps; on masked (padding) steps the
-    hidden state is carried through unchanged — needed for left-padded
-    inference histories.
-    """
-    x = params["emb"][seq]  # (B, L, E)
-    if step_mask is None:
-        step_mask = jnp.ones(seq.shape, jnp.float32)
-
-    def cell(h, inp):
-        x_t, m_t = inp
-        z = jax.nn.sigmoid(x_t @ params["W_z"] + h @ params["U_z"] + params["b_z"])
-        r = jax.nn.sigmoid(x_t @ params["W_r"] + h @ params["U_r"] + params["b_r"])
-        h_tilde = jnp.tanh(
-            x_t @ params["W_h"] + (r * h) @ params["U_h"] + params["b_h"]
-        )
-        h_new = (1 - z) * h + z * h_tilde
-        h_new = m_t[:, None] * h_new + (1 - m_t[:, None]) * h
-        return h_new, h_new
-
-    h0 = jnp.zeros((seq.shape[0], params["U_z"].shape[0]), jnp.float32)
-    _, states = jax.lax.scan(
-        cell, h0, (jnp.swapaxes(x, 0, 1), jnp.swapaxes(step_mask, 0, 1))
-    )
-    return jnp.swapaxes(states, 0, 1)  # (B, L, H)
-
-
 class GRU4Rec(NextItemRecommender):
-    """GRU session model trained on padded session batches."""
+    """GRU session model trained on padded session batches.
+
+    Parameters mirror the reference (``recom_gru4rec.py:124-150``):
+    ``layers`` (stacked hidden sizes), ``loss`` (cross-entropy/xe_softmax/
+    softmax/bpr/bpr-max/top1/bce/ce), ``dropout_p_embed``/
+    ``dropout_p_hidden``, ``momentum`` (adagrad momentum), ``sample_alpha``
+    (popularity exponent for shared negatives), ``n_sample``, ``embedding``
+    (separate input-embedding size, 0 = layers[0], "layersize" = layers[0]),
+    ``constrained_embedding`` (tie input to output table), ``bpreg``/
+    ``elu_param`` (bpr-max), ``logq`` (sampled-softmax logQ correction),
+    ``device`` (accepted, no-op — placement is XLA's), ``model_selection``
+    ('last' or 'best' with ``val_eval_every``/``val_k``/``val_metric``).
+    """
 
     def __init__(
         self,
         name="GRU4Rec",
         layers=None,
         loss="cross-entropy",
-        batch_size=64,
+        batch_size=512,
+        dropout_p_embed=0.0,
+        dropout_p_hidden=0.0,
         learning_rate=0.05,
+        momentum=0.0,
+        sample_alpha=0.5,
+        n_sample=2048,
+        embedding=0,
+        constrained_embedding=True,
         n_epochs=10,
-        n_sample=128,
         bpreg=1.0,
+        elu_param=0.5,
+        logq=0.0,
+        device="cpu",
+        model_selection="last",
+        val_eval_every=5,
+        val_k=20,
+        val_metric="recall",
         max_len=50,
         trainable=True,
         verbose=False,
         seed=None,
     ):
         super().__init__(name=name, trainable=trainable, verbose=verbose)
+        if loss not in SUPPORTED_LOSSES:
+            raise ValueError(
+                f"loss='{loss}' not supported; choose from {SUPPORTED_LOSSES}"
+            )
+        if model_selection not in ("last", "best"):
+            raise ValueError(
+                f"model_selection='{model_selection}' not supported; "
+                "choose 'last' or 'best'"
+            )
         self.layers = [100] if layers is None else list(layers)
         self.loss = loss
         self.batch_size = batch_size
+        self.dropout_p_embed = dropout_p_embed
+        self.dropout_p_hidden = dropout_p_hidden
         self.learning_rate = learning_rate
-        self.n_epochs = n_epochs
+        self.momentum = momentum
+        self.sample_alpha = sample_alpha
         self.n_sample = n_sample
+        self.embedding = self.layers[0] if embedding == "layersize" else embedding
+        self.constrained_embedding = constrained_embedding
+        self.n_epochs = n_epochs
         self.bpreg = bpreg
+        self.elu_param = elu_param
+        self.logq = logq
+        self.device = device  # no-op: XLA owns placement on TPU
+        self.model_selection = model_selection
+        self.val_eval_every = val_eval_every
+        self.val_k = val_k
+        self.val_metric = val_metric
         self.max_len = max_len
         self.seed = seed
         self.rng = get_rng(seed)
-
-        if loss not in LOSSES:
-            raise ValueError(f"loss must be one of {LOSSES}")
 
     def fit(self, train_set, val_set=None):
         super().fit(train_set, val_set)
         if not self.trainable:
             return self
 
-        hidden = self.layers[0]
-        vocab = self.num_items
+        vocab = self.total_items
         if not hasattr(self, "params"):
-            self.params = _init_gru(self.rng, vocab, hidden, hidden)
+            self.params = _init_gru(
+                self.rng,
+                vocab,
+                self.layers,
+                self.embedding,
+                self.constrained_embedding,
+            )
 
         users, inputs, targets, mask = build_session_examples(
             train_set, self.max_len
@@ -143,31 +246,76 @@ class GRU4Rec(NextItemRecommender):
             mask = np.concatenate([mask, np.zeros((n_pad, self.max_len), np.float32)])
         n_batches = inputs.shape[0] // bsz
 
-        optimizer = optax.adagrad(self.learning_rate)
+        optimizer = optax.chain(
+            optax.scale_by_rss(),
+            optax.trace(decay=self.momentum) if self.momentum > 0 else optax.identity(),
+            optax.scale(-self.learning_rate),
+        )
         opt_state = optimizer.init(self.params)
 
         loss_kind = self.loss
         n_sample = self.n_sample
-        bpreg = self.bpreg
+        bpreg, elu_param = self.bpreg, self.elu_param
+        logq, sample_alpha = self.logq, self.sample_alpha
+        p_embed, p_hidden = self.dropout_p_embed, self.dropout_p_hidden
+        layers = self.layers
+
+        cum_probs = neg_sampling_table(train_set, sample_alpha, vocab)
+        if logq > 0:
+            counts = np.bincount(
+                np.asarray(train_set.uir_tuple[1]), minlength=vocab
+            ).astype(np.float64)
+            log_p0 = jnp.asarray(
+                np.log(counts / max(counts.sum(), 1.0) + 1e-24), jnp.float32
+            )
+        else:
+            log_p0 = None
+
+        emb_dim = (
+            layers[-1]
+            if self.constrained_embedding
+            else (self.embedding if self.embedding else layers[0])
+        )
+
+        def make_drop_masks(key, B, L):
+            if p_embed <= 0 and p_hidden <= 0:
+                return None
+            ks = jax.random.split(key, 1 + len(layers))
+            keep_e = 1.0 - p_embed
+            embed = (
+                jax.random.bernoulli(ks[0], keep_e, (B, L, emb_dim)) / keep_e
+                if p_embed > 0
+                else jnp.ones((B, L, emb_dim))
+            )
+            hidden = []
+            keep_h = 1.0 - p_hidden
+            for li, h in enumerate(layers):
+                hidden.append(
+                    jax.random.bernoulli(ks[1 + li], keep_h, (B, L, h)) / keep_h
+                    if p_hidden > 0
+                    else jnp.ones((B, L, h))
+                )
+            return {"embed": embed.astype(jnp.float32), "hidden": [m.astype(jnp.float32) for m in hidden]}
 
         def loss_fn(params, seq, tgt, m, key):
-            states = _gru_states(params, seq)  # (B, L, H)
-            if loss_kind == "cross-entropy":
-                logits = states @ params["out_emb"].T + params["out_b"]
-                logp = jax.nn.log_softmax(logits, axis=-1)
-                nll = -jnp.take_along_axis(logp, tgt[..., None], axis=-1).squeeze(-1)
-                return jnp.sum(nll * m) / jnp.maximum(jnp.sum(m), 1.0)
-
-            negs = jax.random.randint(key, (n_sample,), 0, vocab)
-            pos_vec = params["out_emb"][tgt]  # (B, L, H)
-            pos_scores = jnp.sum(states * pos_vec, axis=-1) + params["out_b"][tgt]
-            neg_scores = states @ params["out_emb"][negs].T + params["out_b"][negs]
-            neg_mask = (negs[None, None, :] != tgt[..., None]).astype(jnp.float32)
-            if loss_kind == "bpr-max":
-                per_pos = bpr_max_loss(pos_scores, neg_scores, neg_mask, bpreg)
-            else:
-                per_pos = top1_loss(pos_scores, neg_scores, neg_mask)
-            return jnp.sum(per_pos * m) / jnp.maximum(jnp.sum(m), 1.0)
+            k_drop, k_neg = jax.random.split(key)
+            drop = make_drop_masks(k_drop, seq.shape[0], seq.shape[1])
+            states = _gru_states(params, seq, step_mask=m, drop_masks=drop)
+            negs = sample_negatives(k_neg, cum_probs, (n_sample,))
+            return batch_loss(
+                loss_kind,
+                states,
+                params["out_emb"],
+                params["out_b"],
+                tgt,
+                m,
+                negs,
+                logq=logq,
+                log_p0=log_p0,
+                sample_alpha=sample_alpha,
+                bpreg=bpreg,
+                elu_param=elu_param,
+            )
 
         inputs_d = jnp.asarray(inputs)
         targets_d = jnp.asarray(targets)
@@ -203,7 +351,13 @@ class GRU4Rec(NextItemRecommender):
             )
 
         key = jax.random.PRNGKey(self.rng.randint(2**31))
-        chunk = 1 if self.verbose else self.n_epochs
+        select_best = self.model_selection == "best" and val_set is not None
+        chunk = (
+            self.val_eval_every
+            if select_best
+            else (1 if self.verbose else self.n_epochs)
+        )
+        best_score, best_params = -np.inf, None
         done = 0
         while done < self.n_epochs:
             e = min(chunk, self.n_epochs - done)
@@ -216,6 +370,19 @@ class GRU4Rec(NextItemRecommender):
                     "Epoch %d/%d, loss: %.4f"
                     % (done, self.n_epochs, float(loss_sum) / n_batches)
                 )
+            if select_best:
+                score = val_score(
+                    self, train_set, val_set, self.val_metric, self.val_k
+                )
+                if self.verbose:
+                    print(
+                        "  val %s@%d = %.4f" % (self.val_metric, self.val_k, score)
+                    )
+                if score > best_score:
+                    best_score = score
+                    best_params = jax.tree_util.tree_map(np.asarray, self.params)
+        if select_best and best_params is not None:
+            self.params = jax.tree_util.tree_map(jnp.asarray, best_params)
         return self
 
     def _history_states(self, histories):

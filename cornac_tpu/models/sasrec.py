@@ -1,12 +1,15 @@
 """SASRec — Self-Attentive Sequential Recommendation (Kang & McAuley,
 ICDM 2018).
 
-Capability parity with reference ``cornac/models/sasrec/recom_sasrec.py:36``
-(torch transformer). TPU design: causal multi-head self-attention blocks in
-pure JAX over padded fixed-length sessions (static shapes; sessions are
-short so dense attention is the right call — SURVEY §5 long-context note),
-shared input/output item embedding, BCE over (positive, sampled negative)
-per position as in the paper, optax Adam, multi-epoch fused fit.
+Capability parity with reference ``cornac/models/sasrec/recom_sasrec.py:124``
+(torch transformer; losses from ``seq_utils/losses.py``; optional positional
+embedding and item output biases; best-on-val selection). TPU design: causal
+multi-head self-attention blocks in pure JAX over padded fixed-length
+sessions (static shapes; sessions are short so dense attention is the right
+call — SURVEY §5 long-context note), shared input/output item embedding,
+the shared :func:`cornac_tpu.models.seq_utils.batch_loss` family over
+in-batch + popularity^alpha sampled negatives, optax Adam, multi-epoch
+fused fit.
 """
 
 from functools import partial
@@ -19,10 +22,19 @@ import optax
 from ..utils import get_rng
 from ..utils.init_utils import xavier_uniform
 from .recommender import NextItemRecommender
-from .seq_utils import build_session_examples, pad_histories, pad_batch_rows
+from .seq_utils import (
+    SUPPORTED_LOSSES,
+    batch_loss,
+    build_session_examples,
+    neg_sampling_table,
+    pad_batch_rows,
+    pad_histories,
+    sample_negatives,
+    val_score,
+)
 
 
-def _init_sasrec(rng, vocab, d, n_layers, max_len):
+def _init_sasrec(rng, vocab, d, n_layers, max_len, use_pos_emb, use_biases):
     def xav(shape):
         return jnp.asarray(xavier_uniform(shape, rng))
 
@@ -44,16 +56,22 @@ def _init_sasrec(rng, vocab, d, n_layers, max_len):
                 "ln2_b": jnp.zeros(d, jnp.float32),
             }
         )
-    return {
+    params = {
         # + 1 row: index `vocab` is the padding id
         "emb": jnp.asarray(
             rng.normal(0, 0.02, (vocab + 1, d)).astype(np.float32)
         ),
-        "pos": jnp.asarray(rng.normal(0, 0.02, (max_len, d)).astype(np.float32)),
         "blocks": blocks,
         "ln_f_g": jnp.ones(d, jnp.float32),
         "ln_f_b": jnp.zeros(d, jnp.float32),
     }
+    if use_pos_emb:
+        params["pos"] = jnp.asarray(
+            rng.normal(0, 0.02, (max_len, d)).astype(np.float32)
+        )
+    if use_biases:
+        params["out_b"] = jnp.zeros(vocab + 1, jnp.float32)
+    return params
 
 
 def _layernorm(x, g, b):
@@ -69,24 +87,40 @@ def _sasrec_scores(params, seq, pad_id, n_heads, n_items):
     fusing the whole scorer is a >20x eval-latency win (PERF.md)."""
     states = _sasrec_states(params, seq, pad_id, n_heads)
     last = states[:, -1, :]  # left-padded: last column is most recent
-    return last @ params["emb"][:n_items].T
+    logits = last @ params["emb"][:n_items].T
+    if "out_b" in params:
+        logits = logits + params["out_b"][:n_items][None, :]
+    return logits
 
 
-def _sasrec_states(params, seq, pad_id, n_heads):
+def _sasrec_states(params, seq, pad_id, n_heads, dropout=0.0, drop_key=None):
     """(B, L, d) causal-transformer states; padded positions attend nowhere
-    and are zeroed."""
+    and are zeroed. ``dropout`` (training only) applies inverted dropout to
+    the embedded input and each block's attention/FFN outputs, matching the
+    reference torch module's placement."""
     B, L = seq.shape
-    d = params["pos"].shape[1]
+    d = params["emb"].shape[1]
     key_mask = seq != pad_id  # (B, L)
 
-    h = params["emb"][seq] * np.sqrt(d) + params["pos"][None, :, :]
+    h = params["emb"][seq] * np.sqrt(d)
+    if "pos" in params:
+        h = h + params["pos"][None, :, :]
     h = h * key_mask[:, :, None]
+
+    def drop(x, i):
+        if dropout <= 0.0 or drop_key is None:
+            return x
+        keep = 1.0 - dropout
+        k = jax.random.fold_in(drop_key, i)
+        return x * jax.random.bernoulli(k, keep, x.shape) / keep
+
+    h = drop(h, 0)
 
     causal = jnp.tril(jnp.ones((L, L), bool))
     attn_mask = causal[None, :, :] & key_mask[:, None, :]  # (B, L, L)
 
     head_dim = d // n_heads
-    for blk in params["blocks"]:
+    for bi, blk in enumerate(params["blocks"]):
         q = _layernorm(h, blk["ln1_g"], blk["ln1_b"])
         Q = (q @ blk["Wq"]).reshape(B, L, n_heads, head_dim)
         K = (h @ blk["Wk"]).reshape(B, L, n_heads, head_dim)
@@ -95,46 +129,95 @@ def _sasrec_states(params, seq, pad_id, n_heads):
         logits = jnp.where(attn_mask[:, None, :, :], logits, -1e9)
         attn = jax.nn.softmax(logits, axis=-1)
         ctx = jnp.einsum("bhlm,bmhd->blhd", attn, V).reshape(B, L, d)
-        h = h + ctx @ blk["Wo"]
+        h = h + drop(ctx @ blk["Wo"], 2 * bi + 1)
 
         f = _layernorm(h, blk["ln2_g"], blk["ln2_b"])
         f = jax.nn.relu(f @ blk["ff1"] + blk["ff1_b"])
-        h = h + f @ blk["ff2"] + blk["ff2_b"]
+        h = h + drop(f @ blk["ff2"] + blk["ff2_b"], 2 * bi + 2)
         h = h * key_mask[:, :, None]
 
     return _layernorm(h, params["ln_f_g"], params["ln_f_b"])
 
 
 class SASRec(NextItemRecommender):
-    """Causal-attention next-item model on padded session batches."""
+    """Causal-attention next-item model on padded session batches.
+
+    Parameters mirror the reference (``recom_sasrec.py:124-151``):
+    ``embedding_dim``, ``loss`` (ce/cross-entropy/xe_softmax/softmax/bpr/
+    bpr-max/top1/bce), ``n_sample``/``sample_alpha`` (shared popularity^alpha
+    negatives), ``num_blocks``/``num_heads``/``dropout``, ``l2_reg``,
+    ``bpreg``/``elu_param`` (bpr-max), ``use_pos_emb``, ``use_biases``
+    (item output biases), ``device`` (no-op), ``model_selection`` 'last'/
+    'best' with ``val_eval_every``/``val_k``/``val_metric``. ``n_layers``
+    is kept as an alias of ``num_blocks``.
+    """
 
     def __init__(
         self,
         name="SASRec",
-        embedding_dim=64,
-        n_layers=2,
-        n_heads=1,
-        max_len=50,
-        n_epochs=10,
-        batch_size=128,
+        embedding_dim=100,
+        loss="ce",
+        batch_size=512,
         learning_rate=0.001,
+        n_sample=2048,
+        sample_alpha=0.5,
+        n_epochs=10,
+        max_len=50,
+        num_blocks=2,
+        num_heads=1,
+        dropout=0.2,
         l2_reg=0.0,
+        bpreg=1.0,
+        elu_param=0.5,
+        device="cpu",
+        use_pos_emb=True,
+        use_biases=False,
+        model_selection="last",
+        val_eval_every=5,
+        val_k=20,
+        val_metric="recall",
+        n_layers=None,
+        n_heads=None,
         trainable=True,
         verbose=False,
         seed=None,
     ):
         super().__init__(name=name, trainable=trainable, verbose=verbose)
+        if loss not in SUPPORTED_LOSSES:
+            raise ValueError(
+                f"loss='{loss}' not supported; choose from {SUPPORTED_LOSSES}"
+            )
+        if model_selection not in ("last", "best"):
+            raise ValueError(
+                f"model_selection='{model_selection}' not supported; "
+                "choose 'last' or 'best'"
+            )
         self.embedding_dim = embedding_dim
-        self.n_layers = n_layers
-        self.n_heads = n_heads
-        self.max_len = max_len
-        self.n_epochs = n_epochs
+        self.loss = loss
         self.batch_size = batch_size
         self.learning_rate = learning_rate
+        self.n_sample = n_sample
+        self.sample_alpha = sample_alpha
+        self.n_epochs = n_epochs
+        self.max_len = max_len
+        self.num_blocks = num_blocks if n_layers is None else n_layers
+        self.num_heads = num_heads if n_heads is None else n_heads
+        self.dropout = dropout
         self.l2_reg = l2_reg
+        self.bpreg = bpreg
+        self.elu_param = elu_param
+        self.device = device  # no-op: XLA owns placement on TPU
+        self.use_pos_emb = use_pos_emb
+        self.use_biases = use_biases
+        self.model_selection = model_selection
+        self.val_eval_every = val_eval_every
+        self.val_k = val_k
+        self.val_metric = val_metric
+        self.n_layers = n_layers
+        self.n_heads = n_heads
         self.seed = seed
         self.rng = get_rng(seed)
-        assert embedding_dim % n_heads == 0
+        assert embedding_dim % self.num_heads == 0
 
     def fit(self, train_set, val_set=None):
         super().fit(train_set, val_set)
@@ -145,7 +228,13 @@ class SASRec(NextItemRecommender):
         pad_id = vocab
         if not hasattr(self, "params"):
             self.params = _init_sasrec(
-                self.rng, vocab, self.embedding_dim, self.n_layers, self.max_len
+                self.rng,
+                vocab,
+                self.embedding_dim,
+                self.num_blocks,
+                self.max_len,
+                self.use_pos_emb,
+                self.use_biases,
             )
 
         users, inputs, targets, mask = build_session_examples(train_set, self.max_len)
@@ -177,24 +266,39 @@ class SASRec(NextItemRecommender):
 
         optimizer = optax.adam(self.learning_rate)
         opt_state = optimizer.init(self.params)
-        n_heads = self.n_heads
+        n_heads = self.num_heads
         l2 = self.l2_reg
+        loss_kind = self.loss
+        n_sample = self.n_sample
+        dropout = float(self.dropout)
+        bpreg, elu_param = self.bpreg, self.elu_param
+
+        cum_probs = neg_sampling_table(train_set, self.sample_alpha, vocab)
 
         def loss_fn(params, seq, tgt, m, key):
-            states = _sasrec_states(params, seq, pad_id, n_heads)
-            pos_vec = params["emb"][tgt]
-            negs = jax.random.randint(key, tgt.shape, 0, vocab)
-            neg_vec = params["emb"][negs]
-            pos_logit = jnp.sum(states * pos_vec, axis=-1)
-            neg_logit = jnp.sum(states * neg_vec, axis=-1)
-            # paper's BCE on positive/negative logits per position
-            loss = -jnp.log(jax.nn.sigmoid(pos_logit) + 1e-24) - jnp.log(
-                1 - jax.nn.sigmoid(neg_logit) + 1e-24
+            k_drop, k_neg = jax.random.split(key)
+            states = _sasrec_states(
+                params, seq, pad_id, n_heads, dropout=dropout, drop_key=k_drop
             )
-            loss = jnp.sum(loss * m) / jnp.maximum(jnp.sum(m), 1.0)
+            negs = sample_negatives(k_neg, cum_probs, (n_sample,))
+            out_bias = params.get("out_b")
+            loss = batch_loss(
+                loss_kind,
+                states,
+                params["emb"],
+                out_bias,
+                tgt,
+                m,
+                negs,
+                bpreg=bpreg,
+                elu_param=elu_param,
+            )
             if l2 > 0:
-                loss = loss + l2 * (
-                    jnp.sum(params["emb"] ** 2) + jnp.sum(params["pos"] ** 2)
+                loss = loss + l2 * sum(
+                    jnp.sum(p**2)
+                    for p in (
+                        [params["emb"]] + ([params["pos"]] if "pos" in params else [])
+                    )
                 )
             return loss
 
@@ -232,7 +336,13 @@ class SASRec(NextItemRecommender):
             )
 
         key = jax.random.PRNGKey(self.rng.randint(2**31))
-        chunk = 1 if self.verbose else self.n_epochs
+        select_best = self.model_selection == "best" and val_set is not None
+        chunk = (
+            self.val_eval_every
+            if select_best
+            else (1 if self.verbose else self.n_epochs)
+        )
+        best_score, best_params = -np.inf, None
         done = 0
         while done < self.n_epochs:
             e = min(chunk, self.n_epochs - done)
@@ -245,6 +355,19 @@ class SASRec(NextItemRecommender):
                     "Epoch %d/%d, loss: %.4f"
                     % (done, self.n_epochs, float(loss_sum) / n_batches)
                 )
+            if select_best:
+                score = val_score(
+                    self, train_set, val_set, self.val_metric, self.val_k
+                )
+                if self.verbose:
+                    print(
+                        "  val %s@%d = %.4f" % (self.val_metric, self.val_k, score)
+                    )
+                if score > best_score:
+                    best_score = score
+                    best_params = jax.tree_util.tree_map(np.asarray, self.params)
+        if select_best and best_params is not None:
+            self.params = jax.tree_util.tree_map(jnp.asarray, best_params)
         return self
 
     def score(self, user_idx, history_items, **kwargs):
@@ -255,6 +378,6 @@ class SASRec(NextItemRecommender):
         padded, lengths = pad_histories(histories, self.max_len, pad_value=pad_id)
         (padded,), B = pad_batch_rows([padded])
         logits = _sasrec_scores(
-            self.params, jnp.asarray(padded), pad_id, self.n_heads, self.num_items
+            self.params, jnp.asarray(padded), pad_id, self.num_heads, self.num_items
         )
         return np.asarray(logits, dtype=np.float64)[:B]

@@ -106,6 +106,178 @@ def sampled_xe_logq(pos_scores, neg_scores, neg_counts, total_count, neg_mask):
     return -jax.nn.log_softmax(all_scores, axis=-1)[..., 0]
 
 
+SUPPORTED_LOSSES = (
+    "cross-entropy",
+    "xe_softmax",
+    "softmax",
+    "bpr",
+    "bpr-max",
+    "top1",
+    "bce",
+    "ce",
+)
+
+
+def neg_sampling_table(train_set, sample_alpha, total_items):
+    """Cumulative popularity^alpha distribution for shared negative
+    sampling (reference ``seq_utils/iterators.py`` sample_alpha semantics:
+    negatives drawn with probability proportional to freq**alpha;
+    alpha=0 -> uniform over seen items)."""
+    counts = np.bincount(
+        np.asarray(train_set.uir_tuple[1]), minlength=total_items
+    ).astype(np.float64)
+    w = counts**sample_alpha
+    w[counts == 0] = 0.0
+    total = w.sum()
+    if total <= 0:
+        w = np.ones(total_items)
+        total = w.sum()
+    return jnp.asarray(np.cumsum(w / total), dtype=jnp.float32)
+
+
+def sample_negatives(key, cum_probs, shape):
+    """Inverse-CDF draw of negative item ids on device."""
+    u = jax.random.uniform(key, shape)
+    return jnp.clip(
+        jnp.searchsorted(cum_probs, u), 0, cum_probs.shape[0] - 1
+    ).astype(jnp.int32)
+
+
+def batch_loss(
+    loss_kind,
+    states,
+    out_emb,
+    out_bias,
+    targets,
+    mask,
+    neg_ids,
+    logq=0.0,
+    log_p0=None,
+    sample_alpha=0.5,
+    bpreg=1.0,
+    elu_param=0.5,
+):
+    """Reference loss family over padded session batches.
+
+    Mirrors ``seq_utils/losses.py``: for every valid (row, step) the score
+    row is [in-batch negatives at the same step | shared sampled
+    negatives], positives on the diagonal of the first block. The reference
+    draws the shared negatives per session-parallel minibatch (one step);
+    here one draw serves all ``L`` steps of the batch — same distribution,
+    fewer gathers.
+
+    states (B,L,H); targets/mask (B,L); neg_ids (N,). Returns scalar mean
+    loss over valid positions.
+    """
+    B, L, H = states.shape
+    tgt_emb = out_emb[targets]  # (B, L, H)
+    # in-batch block: scores[b, t, c] = states[b,t] . out_emb[targets[c,t]]
+    sc_in = jnp.einsum("bth,cth->btc", states, tgt_emb)
+    sc_neg = jnp.einsum("bth,nh->btn", states, out_emb[neg_ids])
+    # (1, L, B) view of a per-(column, step) quantity q[c, t]
+    by_col = lambda q: jnp.swapaxes(q, 0, 1)[None, :, :]
+    if out_bias is not None:
+        sc_in = sc_in + by_col(out_bias[targets])
+        sc_neg = sc_neg + out_bias[neg_ids][None, None, :]
+
+    if logq > 0.0 and log_p0 is not None:
+        # logQ correction (losses.py xe_softmax_loss): in-batch negatives
+        # are popularity-distributed, sampled ones follow pop**alpha
+        sc_in = sc_in - logq * by_col(log_p0[targets])
+        sc_neg = sc_neg - logq * sample_alpha * log_p0[neg_ids][None, None, :]
+
+    # column validity: in-batch column c at step t is real iff mask[c, t]
+    col_valid = jnp.broadcast_to(by_col(mask), sc_in.shape)
+    scores = jnp.concatenate([sc_in, sc_neg], axis=-1)  # (B, L, B+N)
+    valid = jnp.concatenate([col_valid, jnp.ones_like(sc_neg)], axis=-1)
+    diag = jnp.broadcast_to(
+        jnp.concatenate(
+            [jnp.eye(B, dtype=bool), jnp.zeros((B, sc_neg.shape[-1]), bool)],
+            axis=-1,
+        )[:, None, :],
+        scores.shape,
+    )
+    pos = jnp.einsum("bth,bth->bt", states, tgt_emb)
+    if out_bias is not None:
+        pos = pos + out_bias[targets]
+    if logq > 0.0 and log_p0 is not None:
+        pos = pos - logq * log_p0[targets]
+
+    neg_inf = jnp.float32(-1e30)
+    if loss_kind in ("cross-entropy", "xe_softmax", "softmax", "ce"):
+        masked = jnp.where(valid > 0, scores, neg_inf)
+        lse = jax.nn.logsumexp(masked, axis=-1)
+        per_pos = lse - pos
+    elif loss_kind == "bpr":
+        lg = jax.nn.log_sigmoid(pos[..., None] - scores) * valid * (~diag)
+        denom = jnp.maximum(jnp.sum(valid * (~diag), axis=-1), 1.0)
+        per_pos = -jnp.sum(lg, axis=-1) / denom
+    elif loss_kind == "bpr-max":
+        s = scores
+        if elu_param > 0:
+            s = jax.nn.elu(s, elu_param)
+        w = jax.nn.softmax(
+            jnp.where((valid > 0) & (~diag), s, neg_inf), axis=-1
+        )
+        sig = jax.nn.sigmoid(pos[..., None] - s)
+        core = -jnp.log(
+            jnp.sum(w * sig * valid * (~diag), axis=-1) + 1e-24
+        )
+        reg = bpreg * jnp.sum(w * s**2 * valid * (~diag), axis=-1)
+        per_pos = core + reg
+    elif loss_kind == "top1":
+        term = (
+            jax.nn.sigmoid(scores - pos[..., None])
+            + jax.nn.sigmoid(scores**2)
+        ) * valid
+        denom = jnp.maximum(jnp.sum(valid, axis=-1), 1.0)
+        per_pos = jnp.sum(term, axis=-1) / denom - jax.nn.sigmoid(
+            pos**2
+        ) / denom
+    elif loss_kind == "bce":
+        logits = jnp.where(valid > 0, scores, neg_inf)
+        labels = diag.astype(jnp.float32)
+        per_col = (
+            jnp.maximum(logits, 0) - logits * labels + jnp.log1p(jnp.exp(-jnp.abs(logits)))
+        ) * valid
+        per_pos = jnp.sum(per_col, axis=-1) / jnp.maximum(
+            jnp.sum(valid, axis=-1), 1.0
+        )
+    else:
+        raise ValueError(f"unknown loss {loss_kind!r}")
+
+    return jnp.sum(per_pos * mask) / jnp.maximum(jnp.sum(mask), 1.0)
+
+
+def val_score(model, train_set, val_set, metric="recall", k=20):
+    """Next-item validation metric for best-on-val model selection
+    (reference ``seq_utils/selection.py:19``)."""
+    if val_set is None:
+        return None
+
+    from ..eval_methods.next_item_evaluation import ranking_eval
+    from ..metrics import AUC, MRR, NDCG, Recall
+
+    name = metric.lower()
+    if name == "recall":
+        m = Recall(k=k)
+    elif name == "ndcg":
+        m = NDCG(k=k)
+    elif name == "auc":
+        m = AUC()
+    elif name == "mrr":
+        m = MRR()
+    else:
+        raise ValueError(
+            f"unknown validation metric {metric!r}; "
+            "choose recall, ndcg, auc, or mrr"
+        )
+    avg_results, _ = ranking_eval(
+        model, [m], train_set, val_set, mode="last"
+    )
+    return avg_results[0]
+
+
 def pad_batch_rows(arrs, multiple=64):
     """Pad the leading (batch) dim of each array up to a multiple by
     repeating the last row; returns (padded arrays, original B). Bounds the

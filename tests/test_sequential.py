@@ -143,12 +143,18 @@ def test_transformer_rec_validation():
 
     with pytest.raises(ValueError):
         TransformerRec(backbone="nope")
-    with pytest.raises(NotImplementedError):
-        TransformerRec(objective="rtd")
-    with pytest.warns(UserWarning):
-        TransformerRec(objective="plm")
-    with pytest.warns(UserWarning):
-        TransformerRec(backbone="xlnet")
+    with pytest.raises(ValueError):
+        TransformerRec(objective="cloze")
+    with pytest.raises(ValueError):
+        TransformerRec(loss_at="first")
+    with pytest.raises(ValueError):
+        TransformerRec(loss="hinge")
+    with pytest.raises(ValueError):
+        TransformerRec(objective="mlm", backbone="gpt2")
+    # every reference backbone/objective combination constructs
+    TransformerRec(backbone="xlnet", objective="plm")
+    TransformerRec(backbone="electra", objective="rtd")
+    assert TransformerRec(objective="clm").backbone == "gpt2"
 
 
 class TestTIGER:
@@ -234,3 +240,92 @@ class TestTIGER:
                     PAISCHER_TOYS_CONFIG):
             m = TIGER(**{**cfg, "seed": 1})
             assert m.tokenizer in ("rqvae", "rkmeans")
+
+
+def _nie_splits(seed=7):
+    rng = np.random.RandomState(seed)
+
+    def gen(n, sid0):
+        rows = []
+        for s in range(n):
+            start = rng.randint(0, 30)
+            items = [(start + j) % 40 for j in range(rng.randint(3, 8))]
+            u = f"u{rng.randint(40)}"
+            for t, it in enumerate(items):
+                rows.append((u, f"s{sid0 + s}", f"i{it}", t))
+        return rows
+
+    return NextItemEvaluation.from_splits(
+        train_data=gen(200, 0),
+        test_data=gen(40, 2000),
+        val_data=gen(30, 1000),
+        fmt="USIT",
+        exclude_unknowns=True,
+        seed=42,
+    )
+
+
+class TestSeqReferenceSurface:
+    """The reference's sequential-family training knobs all run end-to-end:
+    loss family, sampled negatives, dropout, momentum, tied embeddings,
+    transformer objectives, best-on-val selection."""
+
+    def test_gru4rec_losses_and_selection(self):
+        from cornac_tpu.models import GRU4Rec
+
+        ev = _nie_splits()
+        for kwargs in [
+            dict(loss="bpr", logq=0.0),
+            dict(loss="bpr-max", layers=[16, 8]),
+            dict(loss="top1", constrained_embedding=False, embedding=12),
+            dict(loss="bce", dropout_p_embed=0.2, dropout_p_hidden=0.2, momentum=0.3),
+            dict(loss="cross-entropy", logq=1.0, model_selection="best", val_eval_every=1),
+        ]:
+            m = GRU4Rec(n_epochs=2, batch_size=32, n_sample=16, max_len=8, seed=1, **kwargs)
+            res = ev.evaluate(m, [Recall(k=5)], user_based=False)[0]
+            assert np.isfinite(res.metric_avg_results["Recall@5"])
+
+    def test_sasrec_surface(self):
+        from cornac_tpu.models import SASRec
+
+        ev = _nie_splits()
+        for kwargs in [
+            dict(loss="ce", use_biases=True, dropout=0.2),
+            dict(loss="bpr-max", use_pos_emb=False, model_selection="best", val_eval_every=1),
+        ]:
+            m = SASRec(
+                embedding_dim=16, num_blocks=1, n_epochs=2, batch_size=32,
+                n_sample=16, max_len=8, seed=1, **kwargs,
+            )
+            res = ev.evaluate(m, [Recall(k=5)], user_based=False)[0]
+            assert np.isfinite(res.metric_avg_results["Recall@5"])
+
+    def test_transformer_objectives(self):
+        from cornac_tpu.models import TransformerRec
+
+        ev = _nie_splits()
+        common = dict(
+            embedding_dim=16, num_blocks=1, num_heads=2, n_sample=16,
+            n_epochs=2, batch_size=32, max_len=8, seed=1,
+        )
+        for kwargs in [
+            dict(objective="clm", loss_at="last"),
+            dict(objective="rtd", rtd_lambda=0.5),
+            dict(objective="plm", backbone="xlnet"),
+        ]:
+            m = TransformerRec(**common, **kwargs)
+            res = ev.evaluate(m, [Recall(k=5)], user_based=False)[0]
+            assert np.isfinite(res.metric_avg_results["Recall@5"])
+
+    def test_fpmc_loss_family(self):
+        from cornac_tpu.models import FPMC
+
+        ev = _nie_splits()
+        for kwargs in [
+            dict(loss="ce"),
+            dict(loss="bpr-max", momentum=0.2),
+            dict(loss="top1", model_selection="best", val_eval_every=1),
+        ]:
+            m = FPMC(embedding_dim=8, n_epochs=2, batch_size=32, n_sample=16, seed=1, **kwargs)
+            res = ev.evaluate(m, [Recall(k=5)], user_based=False)[0]
+            assert np.isfinite(res.metric_avg_results["Recall@5"])
