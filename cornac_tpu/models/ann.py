@@ -166,35 +166,146 @@ class TPUExactANN(BaseANN):
         return np.asarray(top_idx), -np.asarray(top_scores)
 
 
-def _external_ann(name, import_name):
-    """Factory for wrappers delegating to an external ANN library when
-    available; otherwise they fall back to exact device retrieval with a
-    warning (keeps scripts written against the reference API running)."""
+class _ExternalANN(TPUExactANN):
+    """Base for wrappers of an external ANN library; each falls back to
+    exact TPU retrieval (recall 1.0, same API) when the library is not
+    installed — on TPU the exhaustive matmul top-k is fast enough to serve
+    as the index at reference scales (SURVEY §7.10)."""
 
-    class _ExternalANN(TPUExactANN):
-        """Reference-API wrapper for an external ANN library; falls back to
-        exact TPU retrieval (recall 1.0, same API) when the library is not
-        installed."""
+    _import_name = None
 
-        def __init__(self, model, name=name, verbose=False, **kwargs):
-            super().__init__(model=model, name=name, verbose=verbose)
-            self.backend_params = kwargs
-            try:
-                __import__(import_name)
-                self._have_backend = True
-            except ImportError:
-                warnings.warn(
-                    f"{import_name} is not installed; {name} falls back to "
-                    "exact TPU retrieval (recall 1.0, same API)."
-                )
-                self._have_backend = False
-
-    _ExternalANN.__name__ = name
-    _ExternalANN.__qualname__ = name
-    return _ExternalANN
+    def __init__(self, model, name, verbose, backend_params):
+        super().__init__(model=model, name=name, verbose=verbose)
+        self.backend_params = backend_params
+        for key, value in backend_params.items():
+            setattr(self, key, value)
+        try:
+            __import__(self._import_name)
+            self._have_backend = True
+        except ImportError:
+            warnings.warn(
+                f"{self._import_name} is not installed; {name} falls back "
+                "to exact TPU retrieval (recall 1.0, same API)."
+            )
+            self._have_backend = False
 
 
-AnnoyANN = _external_ann("AnnoyANN", "annoy")
-FaissANN = _external_ann("FaissANN", "faiss")
-HNSWLibANN = _external_ann("HNSWLibANN", "hnswlib")
-ScaNNANN = _external_ann("ScaNNANN", "scann")
+class AnnoyANN(_ExternalANN):
+    """Annoy wrapper (reference ``ann/recom_ann_annoy.py:60``); index
+    parameters accepted for parity, retrieval is exact on TPU."""
+
+    _import_name = "annoy"
+
+    def __init__(
+        self,
+        model,
+        n_trees=100,
+        search_k=50,
+        num_threads=-1,
+        seed=None,
+        name="AnnoyANN",
+        verbose=False,
+    ):
+        super().__init__(
+            model,
+            name,
+            verbose,
+            dict(
+                n_trees=n_trees,
+                search_k=search_k,
+                num_threads=num_threads,
+                seed=seed,
+            ),
+        )
+
+
+class FaissANN(_ExternalANN):
+    """FAISS wrapper (reference ``ann/recom_ann_faiss.py:58``)."""
+
+    _import_name = "faiss"
+
+    def __init__(
+        self,
+        model,
+        nlist=100,
+        nprobe=50,
+        use_gpu=False,
+        num_threads=-1,
+        seed=None,
+        name="FaissANN",
+        verbose=False,
+    ):
+        super().__init__(
+            model,
+            name,
+            verbose,
+            dict(
+                nlist=nlist,
+                nprobe=nprobe,
+                use_gpu=use_gpu,
+                num_threads=num_threads,
+                seed=seed,
+            ),
+        )
+
+
+class HNSWLibANN(_ExternalANN):
+    """HNSWLib wrapper (reference ``ann/recom_ann_hnswlib.py:69``)."""
+
+    _import_name = "hnswlib"
+
+    def __init__(
+        self,
+        model,
+        M=16,
+        ef_construction=100,
+        ef=50,
+        num_threads=-1,
+        seed=None,
+        name="HNSWLibANN",
+        verbose=False,
+    ):
+        super().__init__(
+            model,
+            name,
+            verbose,
+            dict(
+                M=M,
+                ef_construction=ef_construction,
+                ef=ef,
+                num_threads=num_threads,
+                seed=seed,
+            ),
+        )
+
+
+class ScaNNANN(_ExternalANN):
+    """ScaNN wrapper (reference ``ann/recom_ann_scann.py:69``)."""
+
+    _import_name = "scann"
+
+    def __init__(
+        self,
+        model,
+        partition_params=None,
+        score_params=None,
+        score_brute_force=False,
+        rescore_params=None,
+        num_threads=-1,
+        seed=None,
+        name="ScaNNANN",
+        verbose=False,
+    ):
+        super().__init__(
+            model,
+            name,
+            verbose,
+            dict(
+                partition_params=partition_params,
+                score_params=score_params,
+                score_brute_force=score_brute_force,
+                rescore_params=rescore_params,
+                num_threads=num_threads,
+                seed=seed,
+            ),
+        )

@@ -330,6 +330,11 @@ class Companion(MTER):
         n_opinion_ranking_samples=1000,
         n_top_aspects=100,
         alpha=0.5,
+        min_user_freq=2,
+        min_pair_freq=1,
+        min_common_freq=1,
+        use_item_aspect_popularity=True,
+        enum_window=None,
         lambda_reg=0.1,
         lambda_bpr=10,
         lambda_p=10,
@@ -367,6 +372,15 @@ class Companion(MTER):
         self.n_opinion_ranking_samples = n_opinion_ranking_samples
         self.n_top_aspects = n_top_aspects
         self.alpha = alpha
+        # Signature parity: the reference Companion accepts these but never
+        # reads them (recom_companion.pyx:147-154 — not even stored except
+        # the popularity flag, whose item-quality matrix is built and then
+        # discarded, ":262-268,:342 vs the _build_data return tuple).
+        self.min_user_freq = min_user_freq
+        self.min_pair_freq = min_pair_freq
+        self.min_common_freq = min_common_freq
+        self.use_item_aspect_popularity = use_item_aspect_popularity
+        self.enum_window = enum_window
         self.lambda_p = lambda_p
         self.lambda_a = lambda_a
         self.lambda_y = lambda_y

@@ -285,6 +285,7 @@ class ComparERSub(MTER):
         min_user_freq=2,
         min_pair_freq=1,
         min_common_freq=1,
+        use_item_aspect_popularity=True,
         enum_window=None,
         lambda_reg=0.1,
         lambda_bpr=10,
@@ -322,6 +323,12 @@ class ComparERSub(MTER):
         self.min_user_freq = min_user_freq
         self.min_pair_freq = min_pair_freq
         self.min_common_freq = min_common_freq
+        # Behaviorally inert here exactly as in the reference: the flag only
+        # scales the item-quality values (total vs averaged sentiment,
+        # recom_comparer_sub.pyx:197-199), and those values are always > 1,
+        # so the Y>0 pair filter (":315") reduces to aspect presence — which
+        # is what _build_sub_pairs uses.
+        self.use_item_aspect_popularity = use_item_aspect_popularity
         self.enum_window = enum_window
         self.lambda_d = lambda_d
         self.n_threads = n_threads  # API parity

@@ -596,6 +596,8 @@ class BERT4Rec(TransformerRec):
         num_heads=1,
         dropout=0.2,
         l2_reg=0.0,
+        bpreg=1.0,
+        elu_param=0.5,
         mask_prob=0.2,
         device="cpu",
         model_selection="last",
@@ -624,6 +626,8 @@ class BERT4Rec(TransformerRec):
             num_heads=num_heads,
             dropout=dropout,
             l2_reg=l2_reg,
+            bpreg=bpreg,
+            elu_param=elu_param,
             mask_prob=mask_prob,
             device=device,
             model_selection=model_selection,
