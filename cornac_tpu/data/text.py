@@ -502,8 +502,27 @@ class ReviewModality(TextModality):
     """(user, item, review) triplets filtered by observed train pairs,
     optionally grouped into one document per user or per item."""
 
-    def __init__(self, data=None, group_by=None, **kwargs):
-        super().__init__(**kwargs)
+    def __init__(
+        self,
+        data=None,
+        group_by=None,
+        tokenizer=None,
+        vocab=None,
+        max_vocab=None,
+        max_doc_freq=1.0,
+        min_doc_freq=1,
+        tfidf_params=None,
+        **kwargs,
+    ):
+        super().__init__(
+            tokenizer=tokenizer,
+            vocab=vocab,
+            max_vocab=max_vocab,
+            max_doc_freq=max_doc_freq,
+            min_doc_freq=min_doc_freq,
+            tfidf_params=tfidf_params,
+            **kwargs,
+        )
         self.raw_data = data
         if group_by not in ["user", "item", None]:
             raise ValueError("group_by should be in ['user', 'item', None]")

@@ -134,6 +134,8 @@ class NextItemEvaluation(BaseMethod):
     def __init__(
         self,
         data=None,
+        test_size=0.2,
+        val_size=0.0,
         fmt="SIT",
         seed=None,
         mode="last",
@@ -141,6 +143,12 @@ class NextItemEvaluation(BaseMethod):
         verbose=False,
         **kwargs,
     ):
+        # test_size/val_size mirror the reference signature
+        # (next_item_evaluation.py:211-212); there as here the direct
+        # constructor performs no split — the from_splits/from_timestamps/
+        # leave_last_out classmethods do — so they are stored, not acted on.
+        self.test_size = test_size
+        self.val_size = val_size
         super().__init__(
             data=data,
             fmt=fmt,
