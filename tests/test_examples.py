@@ -23,6 +23,7 @@ OFFLINE = [
     "given_data.py",
     "vebpr_example.py",
     "multichip_sharding.py",
+    "seq_objectives_offline.py",
 ]
 
 
