@@ -1,6 +1,7 @@
 from .mesh import (
     DATA_AXIS,
     MODEL_AXIS,
+    init_distributed,
     make_mesh,
     shard_batch,
     shard_replicated,
@@ -10,6 +11,7 @@ from .mesh import (
 __all__ = [
     "DATA_AXIS",
     "MODEL_AXIS",
+    "init_distributed",
     "make_mesh",
     "shard_batch",
     "shard_replicated",

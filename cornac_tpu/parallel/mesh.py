@@ -19,13 +19,44 @@ DATA_AXIS = "data"
 MODEL_AXIS = "model"
 
 
+def init_distributed(
+    coordinator_address=None, num_processes=None, process_id=None, **kwargs
+):
+    """Initialize the multi-host JAX runtime (``jax.distributed``).
+
+    Call once per host before any device use when training across hosts
+    (each host drives its local chips; collectives cross hosts over DCN).
+    With no arguments the standard cluster environment variables
+    (``JAX_COORDINATOR_ADDRESS`` etc. / TPU pod metadata) are used.
+    Safe to call when already initialized or in a single-process run —
+    both cases are no-ops.
+    """
+    try:
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id,
+            **kwargs,
+        )
+    except (RuntimeError, ValueError) as e:
+        # already initialized, or single-process with no coordinator info
+        if "already" not in str(e) and coordinator_address is not None:
+            raise
+
+
 def make_mesh(devices=None, data_parallel=None):
     """Build a (data, model) mesh over the available devices.
+
+    In a multi-host run (``jax.process_count() > 1``) the data axis is
+    laid out so that it crosses hosts while the model axis stays within a
+    host's slice — gradient psums ride DCN once per step, but the chatty
+    row-gather/scatter all-to-alls of the sharded embedding tables stay on
+    ICI (SURVEY §2.4's mandated layout).
 
     Parameters
     ----------
     devices: list of jax devices, optional
-        Defaults to ``jax.devices()``.
+        Defaults to ``jax.devices()`` (all devices across all hosts).
     data_parallel: int, optional
         Size of the data axis; the model axis takes the rest. Defaults to
         all devices on data (model axis of 1) — the right choice until
@@ -41,6 +72,20 @@ def make_mesh(devices=None, data_parallel=None):
             f"data_parallel={data_parallel} must divide device count {n}"
         )
     model_parallel = n // data_parallel
+
+    n_proc = getattr(jax, "process_count", lambda: 1)()
+    if n_proc > 1 and len(devices) == len(jax.devices()):
+        # hybrid ICI x DCN layout: hosts partition the data axis
+        if data_parallel % n_proc == 0 and (n // n_proc) % model_parallel == 0:
+            from jax.experimental import mesh_utils
+
+            dev_array = mesh_utils.create_hybrid_device_mesh(
+                (data_parallel // n_proc, model_parallel),
+                (n_proc, 1),
+                devices=devices,
+            )
+            return Mesh(dev_array, (DATA_AXIS, MODEL_AXIS))
+
     dev_array = np.asarray(devices).reshape(data_parallel, model_parallel)
     return Mesh(dev_array, (DATA_AXIS, MODEL_AXIS))
 

@@ -310,3 +310,20 @@ class TestPallasSimilarity:
         W = self._W(n=20, m=10)
         s, i = cosine_topk(W, 50, force="pallas_interpret")
         assert s.shape == (20, 19)  # n - 1 with self excluded
+
+
+def test_init_distributed_single_process_noop():
+    from cornac_tpu.parallel import init_distributed
+
+    # single-process, no coordinator info: must be a silent no-op
+    init_distributed()
+    init_distributed()  # idempotent
+
+
+def test_make_mesh_single_process_shapes(mesh):
+    from cornac_tpu.parallel import DATA_AXIS, MODEL_AXIS, make_mesh
+
+    m = make_mesh(data_parallel=4)
+    assert m.shape[DATA_AXIS] == 4 and m.shape[MODEL_AXIS] == 2
+    m_all = make_mesh()
+    assert m_all.shape[DATA_AXIS] == 8 and m_all.shape[MODEL_AXIS] == 1
