@@ -70,6 +70,21 @@ def _parse_usitjson(tokens, **kwargs):
     ]
 
 
+# public aliases under the reference's parser names (data/reader.py:21-96),
+# so custom-parser call sites written against the reference keep working
+ui_parser = _parse_ui
+uir_parser = _parse_uir
+uirt_parser = _parse_uirt
+tup_parser = _parse_uitup
+review_parser = _parse_uireview
+ubi_parser = _parse_ubi
+ubit_parser = _parse_ubit
+ubitjson_parser = _parse_ubitjson
+sit_parser = _parse_sit
+sitjson_parser = _parse_sitjson
+usit_parser = _parse_usit
+usitjson_parser = _parse_usitjson
+
 PARSERS = {
     "UI": _parse_ui,
     "UIR": _parse_uir,

@@ -23,6 +23,19 @@ def get_cache_dir():
     return cache_dir
 
 
+def get_cache_path(relative_path, cache_dir=None):
+    """Absolute path a cached data file would live at (reference
+    ``utils/download.py:110-125``). Returns ``(cache_path, cache_dir)``
+    and creates the parent directory."""
+    if cache_dir is None:
+        cache_dir = get_cache_dir()
+    if not os.access(cache_dir, os.W_OK):
+        cache_dir = os.path.join("/tmp", ".cornac_tpu")
+    cache_path = os.path.join(cache_dir, relative_path)
+    os.makedirs(os.path.dirname(cache_path) or ".", exist_ok=True)
+    return cache_path, cache_dir
+
+
 def _is_within_directory(directory, target):
     abs_directory = os.path.abspath(directory)
     abs_target = os.path.abspath(target)
