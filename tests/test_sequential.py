@@ -329,3 +329,39 @@ class TestSeqReferenceSurface:
             m = FPMC(embedding_dim=8, n_epochs=2, batch_size=32, n_sample=16, seed=1, **kwargs)
             res = ev.evaluate(m, [Recall(k=5)], user_based=False)[0]
             assert np.isfinite(res.metric_avg_results["Recall@5"])
+
+
+def test_seq_models_save_load_clone(tmp_path):
+    """Pickle round-trip and clone() for the upgraded sequential models
+    (params are jax arrays; loaded scores must match exactly)."""
+    from cornac_tpu.models import Recommender, TransformerRec
+
+    rng = np.random.RandomState(7)
+    rows = []
+    for s in range(80):
+        items = [(rng.randint(0, 20) + j) % 25 for j in range(4)]
+        for t, it in enumerate(items):
+            rows.append((f"u{rng.randint(20)}", f"s{s}", f"i{it}", t))
+    ev = NextItemEvaluation.from_splits(
+        train_data=rows, test_data=rows[-60:], fmt="USIT", seed=1
+    )
+
+    for m in [
+        GRU4Rec(layers=[8], n_epochs=1, batch_size=16, n_sample=8, max_len=6, seed=1),
+        SASRec(
+            embedding_dim=8, num_blocks=1, n_epochs=1, batch_size=16,
+            n_sample=8, max_len=6, seed=1,
+        ),
+        TransformerRec(
+            objective="rtd", embedding_dim=8, num_blocks=1, num_heads=2,
+            n_epochs=1, batch_size=16, n_sample=8, max_len=6, seed=1,
+        ),
+    ]:
+        m.fit(ev.train_set)
+        before = m.score(0, [1, 2])
+        m.save(str(tmp_path))
+        loaded = Recommender.load(str(tmp_path / m.name))
+        np.testing.assert_allclose(
+            np.asarray(before), np.asarray(loaded.score(0, [1, 2])), rtol=1e-6
+        )
+        assert type(m.clone()) is type(m)
