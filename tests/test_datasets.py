@@ -48,3 +48,46 @@ def test_download_cache_path_traversal_guard(tmp_path):
         zf.writestr("inner/data.txt", "y")
     _extract_archive(str(ok), str(tmp_path / "out2"))
     assert (tmp_path / "out2" / "inner" / "data.txt").read_text() == "y"
+
+
+def test_amazon_review_load_text_offline(tmp_path, monkeypatch):
+    """load_text builds item content texts from cached meta (no network):
+    attribute flattening, review-item alignment, empty-string fallback,
+    separate description cache (reference datasets/amazon_review.py:149)."""
+    import gzip
+    import json
+
+    import cornac_tpu.datasets.amazon_review as ar
+
+    monkeypatch.setenv("CORNAC_TPU_CACHE", str(tmp_path))
+    (tmp_path / "amazon_review").mkdir()
+    with gzip.open(tmp_path / "amazon_review" / "beauty_2014.json.gz", "wt") as f:
+        for u, i, r, t in [("u1", "iA", 5, 1), ("u2", "iB", 4, 2)]:
+            f.write(
+                json.dumps(
+                    {"reviewerID": u, "asin": i, "overall": r, "unixReviewTime": t}
+                )
+                + "\n"
+            )
+    # 2014 meta files are python-literal lines, not strict JSON
+    with gzip.open(tmp_path / "amazon_review" / "meta_beauty_2014.json.gz", "wt") as f:
+        f.write(
+            str(
+                {
+                    "asin": "iA", "title": "Lipstick", "price": 9.99,
+                    "brand": "X", "categories": [["Beauty", "Makeup"]],
+                    "description": "Nice.",
+                }
+            )
+            + "\n"
+        )
+    monkeypatch.setattr(
+        ar, "cache", lambda url, relative_path=None, **kw: str(tmp_path / relative_path)
+    )
+
+    texts, ids = ar.load_text("beauty")
+    assert ids == ["iA", "iB"]
+    assert texts[0] == "Title: Lipstick. Price: 9.99. Brand: X. Categories: Beauty, Makeup"
+    assert texts[1] == ""  # item without metadata
+    texts_d, _ = ar.load_text("beauty", include_description=True)
+    assert texts_d[0].endswith("Description: Nice.")
