@@ -1,6 +1,9 @@
 """Experiment: run many models through one evaluation method.
 
-Parity with reference ``cornac/experiment/experiment.py:26-167``.
+Behavioral parity with reference ``cornac/experiment/experiment.py:26-167``
+(validation filtering, result-container selection, verbose propagation,
+model auto-save, and the VALIDATION/TEST console + ``CornacExp-*.log``
+output), organized as small free functions around a thin orchestrator.
 """
 
 import os
@@ -10,6 +13,29 @@ from ..metrics.ranking import RankingMetric
 from ..metrics.rating import RatingMetric
 from ..models.recommender import Recommender
 from .result import CVExperimentResult, ExperimentResult
+
+
+def _filter_instances(seq, types, kind):
+    """Keep only instances of ``types``; reject non-sequence input."""
+    if not hasattr(seq, "__len__"):
+        raise ValueError("{} have to be an array but {}".format(kind, type(seq)))
+    return [x for x in seq if isinstance(x, types)]
+
+
+def _is_fold_based(eval_method):
+    from ..eval_methods.cross_validation import CrossValidation
+    from ..eval_methods.propensity_stratified_evaluation import (
+        PropensityStratifiedEvaluation,
+    )
+
+    return isinstance(eval_method, (CrossValidation, PropensityStratifiedEvaluation))
+
+
+def _write_log(text, save_dir):
+    stamp = datetime.now().strftime("%Y-%m-%d_%H-%M-%S-%f")
+    path = os.path.join(save_dir or ".", "CornacExp-{}.log".format(stamp))
+    with open(path, "w") as f:
+        f.write(text)
 
 
 class Experiment:
@@ -45,8 +71,10 @@ class Experiment:
         save_dir=None,
     ):
         self.eval_method = eval_method
-        self.models = self._validate_models(models)
-        self.metrics = self._validate_metrics(metrics)
+        self.models = _filter_instances(models, Recommender, "models")
+        self.metrics = _filter_instances(
+            metrics, (RatingMetric, RankingMetric), "metrics"
+        )
         self.user_based = user_based
         self.show_validation = show_validation
         self.verbose = verbose
@@ -54,49 +82,21 @@ class Experiment:
         self.result = None
         self.val_result = None
 
-    @staticmethod
-    def _validate_models(input_models):
-        if not hasattr(input_models, "__len__"):
-            raise ValueError(
-                "models have to be an array but {}".format(type(input_models))
-            )
-        return [m for m in input_models if isinstance(m, Recommender)]
-
-    @staticmethod
-    def _validate_metrics(input_metrics):
-        if not hasattr(input_metrics, "__len__"):
-            raise ValueError(
-                "metrics have to be an array but {}".format(type(input_metrics))
-            )
-        return [
-            m
-            for m in input_metrics
-            if isinstance(m, (RatingMetric, RankingMetric))
-        ]
-
-    def _create_result(self):
-        from ..eval_methods.cross_validation import CrossValidation
-        from ..eval_methods.propensity_stratified_evaluation import (
-            PropensityStratifiedEvaluation,
-        )
-
-        if isinstance(
-            self.eval_method, (CrossValidation, PropensityStratifiedEvaluation)
-        ):
-            self.result = CVExperimentResult()
-        else:
-            self.result = ExperimentResult()
-            if self.show_validation and self.eval_method.val_set is not None:
-                self.val_result = ExperimentResult()
-
     def run(self):
         """Fit + evaluate every model; print and log the result tables."""
-        self._create_result()
+        fold_based = _is_fold_based(self.eval_method)
+        self.result = CVExperimentResult() if fold_based else ExperimentResult()
+        want_val = (
+            not fold_based
+            and self.show_validation
+            and self.eval_method.val_set is not None
+        )
+        self.val_result = ExperimentResult() if want_val else None
 
         if self.verbose:
-            self.eval_method.verbose = self.verbose
+            self.eval_method.verbose = True
             for model in self.models:
-                model.verbose = self.verbose
+                model.verbose = True
 
         for model in self.models:
             test_result, val_result = self.eval_method.evaluate(
@@ -105,23 +105,17 @@ class Experiment:
                 user_based=self.user_based,
                 show_validation=self.show_validation,
             )
-
             self.result.append(test_result)
             if self.val_result is not None:
                 self.val_result.append(val_result)
-
-            if self.save_dir and (not isinstance(self.result, CVExperimentResult)):
+            if self.save_dir and not fold_based:
                 model.save(self.save_dir)
 
-        output = ""
+        sections = []
         if self.val_result is not None:
-            output += "\nVALIDATION:\n...\n{}".format(self.val_result)
-        output += "\nTEST:\n...\n{}".format(self.result)
+            sections.append("\nVALIDATION:\n...\n{}".format(self.val_result))
+        sections.append("\nTEST:\n...\n{}".format(self.result))
+        report = "".join(sections)
 
-        print(output)
-
-        timestamp = datetime.now().strftime("%Y-%m-%d_%H-%M-%S-%f")
-        save_dir = "." if self.save_dir is None else self.save_dir
-        output_file = os.path.join(save_dir, "CornacExp-{}.log".format(timestamp))
-        with open(output_file, "w") as f:
-            f.write(output)
+        print(report)
+        _write_log(report, self.save_dir)
