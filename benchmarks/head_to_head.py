@@ -1,0 +1,194 @@
+"""Head-to-head: reference (torch CPU backends) vs cornac_tpu on one host.
+
+Fits the SAME seeded synthetic dataset through both frameworks' full
+RatioSplit -> fit -> ranking/rating eval pipelines (split parity is proven
+by tests/test_reference_parity_eval.py, so both sides see identical
+train/test matrices) and records per-model quality + wall-clock.
+
+Usage:
+    python benchmarks/head_to_head.py --scale 100k --models MF,VAECF,...
+    python benchmarks/head_to_head.py --scale 1m --models MF,VAECF
+
+Writes one JSON per (scale, model) under benchmarks/parity/.
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tests"))
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+SCALES = {
+    # ~ML-100K and ~ML-1M shapes ("tiny" is a smoke-test size)
+    "tiny": dict(n_users=60, n_items=100, n_obs=2_000),
+    "100k": dict(n_users=943, n_items=1682, n_obs=100_000),
+    "1m": dict(n_users=6040, n_items=3706, n_obs=1_000_000),
+}
+
+
+def gen_data(n_users, n_items, n_obs, seed=2024, rank=8, temp=0.6):
+    """Low-rank preference structure with exposure correlated to affinity.
+
+    Observation probability per user is softmax(affinity/temp) (so ranking
+    metrics have signal) and ratings are noisy per-user z-scores of affinity
+    binned to 1..5 (so rating metrics have signal).
+    """
+    rng = np.random.RandomState(seed)
+    U = rng.normal(size=(n_users, rank)) / np.sqrt(rank)
+    V = rng.normal(size=(n_items, rank)) / np.sqrt(rank)
+    per_user = max(2, n_obs // n_users)
+    rows = []
+    for u in range(n_users):
+        aff = U[u] @ V.T
+        p = np.exp(aff / temp)
+        p /= p.sum()
+        items = rng.choice(n_items, size=min(per_user, n_items), replace=False, p=p)
+        z = (aff[items] - aff.mean()) / (aff.std() + 1e-9)
+        r = np.clip(np.round(3.0 + 1.2 * z + 0.5 * rng.normal(size=len(items))), 1, 5)
+        rows.extend((f"u{u}", f"i{it}", float(rv)) for it, rv in zip(items, r))
+    rng.shuffle(rows)
+    return rows
+
+
+SEED = 123
+K_FACTORS = 32
+
+
+def model_specs():
+    """name -> (build_ref(models_ns), build_ours(models_ns)) with identical
+    hyperparameters on both sides."""
+    mf_kw = dict(k=K_FACTORS, max_iter=30, learning_rate=0.01, lambda_reg=0.02,
+                 use_bias=True, seed=SEED, verbose=False)
+    vaecf_kw = dict(k=10, autoencoder_structure=[20], act_fn="tanh",
+                    likelihood="mult", n_epochs=100, batch_size=100,
+                    learning_rate=0.001, seed=SEED, verbose=False)
+    recvae_kw = dict(hidden_dim=600, latent_dim=200, batch_size=500,
+                     beta=None, gamma=0.005, lr=5e-4, n_epochs=20,
+                     seed=SEED, verbose=False)
+    bivae_kw = dict(k=10, encoder_structure=[20], act_fn="tanh",
+                    likelihood="pois", n_epochs=100, batch_size=100,
+                    learning_rate=0.001, seed=SEED, verbose=False)
+    neumf_kw = dict(num_factors=8, layers=(32, 16, 8), act_fn="relu",
+                    num_epochs=15, batch_size=256, num_neg=4, lr=0.001,
+                    seed=SEED, verbose=False)
+    vbpr_kw = dict(k=10, k2=10, n_epochs=20, batch_size=100,
+                   learning_rate=0.005, lambda_w=0.01, lambda_b=0.01,
+                   lambda_e=0.0, seed=SEED, verbose=False)
+
+    return {
+        "MF": (
+            lambda M: M.MF(backend="pytorch", optimizer="adam",
+                           batch_size=512, **mf_kw),
+            lambda M: M.MF(backend="pytorch", optimizer="adam",
+                           batch_size=512, **mf_kw),
+        ),
+        "VAECF": (
+            lambda M: M.VAECF(use_gpu=False, **vaecf_kw),
+            lambda M: M.VAECF(use_gpu=False, **vaecf_kw),
+        ),
+        "RecVAE": (
+            lambda M: M.RecVAE(use_gpu=False, **recvae_kw),
+            lambda M: M.RecVAE(use_gpu=False, **recvae_kw),
+        ),
+        "BiVAECF": (
+            lambda M: M.BiVAECF(use_gpu=False, **bivae_kw),
+            lambda M: M.BiVAECF(use_gpu=False, **bivae_kw),
+        ),
+        "NeuMF": (
+            lambda M: M.NeuMF(backend="pytorch", **neumf_kw),
+            lambda M: M.NeuMF(backend="pytorch", **neumf_kw),
+        ),
+        "VBPR": (
+            lambda M: M.VBPR(use_gpu=False, **vbpr_kw),
+            lambda M: M.VBPR(use_gpu=False, **vbpr_kw),
+        ),
+    }
+
+
+def image_features(n_items, seed=77, dim=64):
+    rng = np.random.RandomState(seed)
+    return rng.normal(size=(n_items, dim)).astype(np.float32), [
+        f"i{i}" for i in range(n_items)
+    ]
+
+
+def run_side(side, name, data, scale_key, need_image):
+    """Build split + metrics + model for one side; return dict of results."""
+    if side == "ref":
+        from ref_loader import load_ref_torch_models
+
+        root = load_ref_torch_models()
+        M, EM = root.models, root.eval_methods
+        from refcornac.data import ImageModality
+        metrics_ns = root.metrics
+    else:
+        import cornac_tpu as ct
+
+        M, EM = ct.models, ct.eval_methods
+        from cornac_tpu.data import ImageModality
+        metrics_ns = ct.metrics
+
+    kw = {}
+    if need_image:
+        feats, ids = image_features(SCALES[scale_key]["n_items"])
+        kw["item_image"] = ImageModality(features=feats, ids=ids)
+
+    split = EM.RatioSplit(
+        data=data, test_size=0.2, rating_threshold=3.5, seed=SEED,
+        exclude_unknowns=True, verbose=False, **kw,
+    )
+    metrics = [
+        metrics_ns.AUC(),
+        metrics_ns.Recall(k=20),
+        metrics_ns.NDCG(k=10),
+        metrics_ns.RMSE(),
+    ]
+    model = model_specs()[name][0 if side == "ref" else 1](M)
+
+    t0 = time.perf_counter()
+    test_result, _ = split.evaluate(
+        model=model, metrics=metrics, user_based=True, show_validation=False
+    )
+    wall = time.perf_counter() - t0
+    out = {k: float(v) for k, v in test_result.metric_avg_results.items()}
+    out["wall_s"] = wall
+    return out
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--scale", default="100k", choices=list(SCALES))
+    ap.add_argument("--models", default="MF,VAECF,RecVAE,BiVAECF,NeuMF,VBPR")
+    ap.add_argument("--sides", default="ref,ours")
+    ap.add_argument("--outdir", default=os.path.join(os.path.dirname(__file__), "parity"))
+    args = ap.parse_args()
+
+    os.makedirs(args.outdir, exist_ok=True)
+    data = gen_data(**SCALES[args.scale])
+    print(f"[data] {args.scale}: {len(data)} obs", flush=True)
+
+    for name in args.models.split(","):
+        rec = {"model": name, "scale": args.scale}
+        for side in args.sides.split(","):
+            print(f"[{name}] {side} ...", flush=True)
+            try:
+                rec[side] = run_side(side, name, data, args.scale, name == "VBPR")
+                print(f"[{name}] {side}: {rec[side]}", flush=True)
+            except Exception as e:  # record, keep going
+                import traceback
+
+                traceback.print_exc()
+                rec[side] = {"error": repr(e)}
+        path = os.path.join(args.outdir, f"{args.scale}_{name}.json")
+        with open(path, "w") as f:
+            json.dump(rec, f, indent=1)
+        print(f"[{name}] wrote {path}", flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -54,7 +54,7 @@ def row_shard_lookup(mesh, table, ids):
         contrib = jnp.where(owned[:, None], table_local[safe], 0.0)
         return jax.lax.psum(contrib, MODEL_AXIS)
 
-    return jax.experimental.shard_map.shard_map(
+    return jax.shard_map(
         local_lookup,
         mesh=mesh,
         in_specs=(P(MODEL_AXIS, None), P()),
@@ -80,7 +80,7 @@ def row_shard_scatter_add(mesh, table, ids, updates):
         upd = jnp.where(owned[:, None], upd_local, 0.0)
         return table_local.at[safe].add(upd)
 
-    return jax.experimental.shard_map.shard_map(
+    return jax.shard_map(
         local_scatter,
         mesh=mesh,
         in_specs=(P(MODEL_AXIS, None), P(), P()),
@@ -126,16 +126,10 @@ def sharded_topk(mesh, user_emb, item_table, k, item_bias=None):
 
     # outputs are replicated by construction (every shard runs the same
     # final merge on all-gathered candidates); the checker can't infer it
-    try:
-        mapped = jax.experimental.shard_map.shard_map(
-            fn, mesh=mesh, in_specs=specs_in, out_specs=(P(), P()),
-            check_vma=False,
-        )
-    except TypeError:  # older jax spells it check_rep
-        mapped = jax.experimental.shard_map.shard_map(
-            fn, mesh=mesh, in_specs=specs_in, out_specs=(P(), P()),
-            check_rep=False,
-        )
+    mapped = jax.shard_map(
+        fn, mesh=mesh, in_specs=specs_in, out_specs=(P(), P()),
+        check_vma=False,
+    )
     return mapped(*args)
 
 

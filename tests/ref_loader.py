@@ -185,6 +185,85 @@ def load_refcornac():
     return root
 
 
+def _load_pkg(name, dirpath):
+    """Load a real reference package (executing its ``__init__``) under the
+    refcornac namespace, with submodule search rooted at the real directory
+    so lazy relative imports (``from .backend_pt import ...``) resolve."""
+    spec = importlib.util.spec_from_file_location(
+        name,
+        os.path.join(dirpath, "__init__.py"),
+        submodule_search_locations=[dirpath],
+    )
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules[name] = mod
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def _real_pkg_no_init(name, dirpath):
+    """Register a package pointing at a real directory WITHOUT executing its
+    ``__init__`` (reference model ``__init__`` files import compiled ext
+    siblings)."""
+    mod = types.ModuleType(name)
+    mod.__package__ = name
+    mod.__path__ = [dirpath]
+    sys.modules[name] = mod
+    return mod
+
+
+#: torch-backed reference families runnable without any Cython build:
+#: refcornac.models attr -> (package dir, recom module, class name)
+TORCH_MODELS = {
+    "MF": ("mf", "recom_mf", "MF"),  # construct with backend="pytorch"
+    "VAECF": ("vaecf", "recom_vaecf", "VAECF"),
+    "RecVAE": ("recvae", "recom_recvae", "RecVAE"),
+    "BiVAECF": ("bivaecf", "recom_bivaecf", "BiVAECF"),
+    "GMF": ("ncf", "recom_gmf", "GMF"),
+    "MLP": ("ncf", "recom_mlp", "MLP"),
+    "NeuMF": ("ncf", "recom_neumf", "NeuMF"),
+    "VBPR": ("vbpr", "recom_vbpr", "VBPR"),
+    "GRU4Rec": ("gru4rec", "recom_gru4rec", "GRU4Rec"),
+    "SASRec": ("sasrec", "recom_sasrec", "SASRec"),
+}
+
+
+def load_ref_torch_models():
+    """Extend ``refcornac`` with the reference's torch-backed model zoo.
+
+    Returns the refcornac root with ``root.models.<Name>`` populated for
+    every entry in :data:`TORCH_MODELS`. Only the Cython ``fast_dot`` is
+    stubbed (numpy ``output += mat @ vec``); the torch training/scoring code
+    runs unmodified. Also aliases ``cornac`` -> ``refcornac`` in sys.modules
+    because gru4rec/sasrec use absolute imports.
+    """
+    root = load_refcornac()
+    models = root.models
+    if getattr(models, "_torch_loaded", False):
+        return root
+
+    def fast_dot(vec, mat, output):
+        output += np.asarray(mat) @ np.asarray(vec)
+
+    root.utils.fast_dot = fast_dot
+
+    # absolute-import aliases used by the reference's seq model files
+    sys.modules.setdefault("cornac", root)
+    sys.modules.setdefault("cornac.models", models)
+    sys.modules.setdefault("cornac.models.recommender", models.recommender)
+
+    _load_pkg("refcornac.models.seq_utils", os.path.join(REF, "models/seq_utils"))
+
+    for attr, (pkg, recom_mod, cls) in TORCH_MODELS.items():
+        pkg_name = "refcornac.models." + pkg
+        if pkg_name not in sys.modules:
+            _real_pkg_no_init(pkg_name, os.path.join(REF, "models", pkg))
+        mod = importlib.import_module(pkg_name + "." + recom_mod)
+        setattr(models, attr, getattr(mod, cls))
+
+    models._torch_loaded = True
+    return root
+
+
 class RefDuckModel:
     """Deterministic stand-in implementing the reference Recommender
     surface the eval loops call (rank/rate/score), with the exact rank()
