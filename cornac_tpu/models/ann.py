@@ -150,19 +150,26 @@ class TPUExactANN(BaseANN):
         self._item_sq = jnp.sum(self._items_d**2, axis=1)
 
     def knn_query(self, query, k):
+        # fused score+top-k (ops/pallas_ranking.fused_topk): the Pallas
+        # kernel on directly-attached TPUs, XLA matmul+top_k elsewhere.
+        # Replaces reference fast_dot (utils/fast_dot.pyx:25-43) + host
+        # argpartition.
+        from ..ops.pallas_ranking import fused_topk
+
         q = jnp.asarray(np.asarray(query, np.float32))
+        k = min(k, self._items_d.shape[0])
         if self.measure == MEASURE_COSINE:
             q = q / jnp.maximum(jnp.linalg.norm(q, axis=1, keepdims=True), 1e-12)
         if self.measure == MEASURE_L2:
-            scores = -(
-                jnp.sum(q**2, axis=1, keepdims=True)
-                - 2 * q @ self._items_d.T
-                + self._item_sq[None, :]
-            )
+            # -|q - v|^2 = (2q)·v - |v|^2 - |q|^2; the |q|^2 term is
+            # constant per query so top-k on (2q)·v - |v|^2 is exact, and
+            # the returned distances add it back
+            top_scores, top_idx = fused_topk(2.0 * q, self._items_d, k,
+                                             bias=-self._item_sq)
+            q_sq = jnp.sum(q**2, axis=1, keepdims=True)
+            top_scores = top_scores - q_sq
         else:  # dot or cosine
-            scores = q @ self._items_d.T
-        k = min(k, self._items_d.shape[0])
-        top_scores, top_idx = jax.lax.top_k(scores, k)
+            top_scores, top_idx = fused_topk(q, self._items_d, k)
         return np.asarray(top_idx), -np.asarray(top_scores)
 
 

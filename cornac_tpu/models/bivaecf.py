@@ -232,7 +232,10 @@ class BiVAECF(Recommender, ANNMixin):
 
         if item_idx is None:
             return expit(self.mu_beta @ self.mu_theta[user_idx])
-        return float(expit(self.mu_beta[item_idx] @ self.mu_theta[user_idx]))
+        # pointwise predictions are scaled from the decoder's [0, 1] range
+        # to the rating range (reference recom_bivaecf.py:225)
+        pred = float(expit(self.mu_beta[item_idx] @ self.mu_theta[user_idx]))
+        return self.min_rating + pred * (self.max_rating - self.min_rating)
 
     def _known_scores_device(self, safe_users, known):
         import jax

@@ -185,6 +185,44 @@ class _KNNBase(Recommender):
                 "Invalid weighting choice, supported {}".format(WEIGHTING_OPTIONS)
             )
 
+    def _build_neighbor_index(self, num_neighbors, force=None):
+        """Precompute the (n, k) neighbor table with the fused similarity
+        top-k kernel (``ops.pallas_similarity.cosine_topk``): the Pallas
+        path on directly-attached TPUs never materializes the (n, n)
+        similarity matrix. Replaces the reference's full-matrix
+        ``similarity.pyx:51-107`` + per-query heap for neighbor queries."""
+        from ..ops.pallas_similarity import cosine_topk
+
+        W = np.asarray(self._weight_mat.todense(), dtype=np.float32)
+        sims, ids = cosine_topk(W, num_neighbors, exclude_self=True, force=force)
+        sims = np.asarray(sims, dtype=np.float64)
+        if self.amplify != 1.0:  # monotone per sign: order is unchanged
+            sims = np.where(sims > 0, sims**self.amplify, -((-sims) ** self.amplify))
+        self._nn_k = int(min(num_neighbors, W.shape[0] - 1))
+        self._nn_sims, self._nn_ids = sims, np.asarray(ids)
+
+    def neighbors(self, indices=None, num_neighbors=None, force=None):
+        """Top-``num_neighbors`` most similar entities per entity, under
+        the model's own (weighted/centered/amplified) co-support cosine —
+        the related-users / related-items serving surface.
+
+        Returns (neighbor_ids (n, k), similarities (n, k)); with
+        ``indices`` only those rows. The table is computed once and cached.
+        """
+        kk = int(num_neighbors if num_neighbors is not None else self.k)
+        if (
+            getattr(self, "_nn_ids", None) is None
+            or self._nn_k < kk
+            or force is not None
+        ):
+            self._build_neighbor_index(kk, force=force)
+        kk = min(kk, self._nn_ids.shape[1])
+        ids, sims = self._nn_ids[:, :kk], self._nn_sims[:, :kk]
+        if indices is None:
+            return ids, sims
+        idx = np.asarray(indices)
+        return ids[idx], sims[idx]
+
     def _chunked_scores(self, sim_rows, R, chunk=16):
         rated = R != 0
         R_d = jnp.asarray(R, dtype=jnp.float32)
@@ -255,12 +293,17 @@ class UserKNN(_KNNBase):
             weight_mat.data *= np.sqrt(_bm25_weight(train_set.matrix))
 
         self.ui_centered = np.asarray(ui_mat.todense())  # (n_users, n_items)
+        self._weight_mat = weight_mat  # rows = users (neighbor entities)
         self.sim_mat = compute_similarity(weight_mat, k=self.k, verbose=self.verbose)
         if self.amplify != 1.0:
             s = self.sim_mat
             self.sim_mat = np.where(s > 0, s**self.amplify, -((-s) ** self.amplify))
 
         return self
+
+    def nearest_users(self, user_indices=None, num_neighbors=None, force=None):
+        """Related-users serving API; see :meth:`_KNNBase.neighbors`."""
+        return self.neighbors(user_indices, num_neighbors, force=force)
 
     def score(self, user_idx, item_idx=None):
         if not self.knows_user(user_idx):
@@ -347,14 +390,19 @@ class ItemKNN(_KNNBase):
 
         self.ui_centered = np.asarray(ui_mat.todense())
         # item-item similarity: rows are items
+        self._weight_mat = weight_mat.T.tocsr()  # rows = items
         self.sim_mat = compute_similarity(
-            weight_mat.T.tocsr(), k=self.k, verbose=self.verbose
+            self._weight_mat, k=self.k, verbose=self.verbose
         )
         if self.amplify != 1.0:
             s = self.sim_mat
             self.sim_mat = np.where(s > 0, s**self.amplify, -((-s) ** self.amplify))
 
         return self
+
+    def nearest_items(self, item_indices=None, num_neighbors=None, force=None):
+        """Related-items serving API; see :meth:`_KNNBase.neighbors`."""
+        return self.neighbors(item_indices, num_neighbors, force=force)
 
     def score(self, user_idx, item_idx=None):
         if self.is_unknown_user(user_idx):

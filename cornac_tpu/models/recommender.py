@@ -385,11 +385,18 @@ class Recommender:
 
     def recommend_batch(self, user_ids, k=-1, remove_seen=False, train_set=None):
         """Batch top-k recommendation by raw user IDs (device-batched when
-        the model overrides ``score_batch``)."""
+        the model overrides ``score_batch``; dot-measure factor models take
+        the fused device top-k path and never materialize the full score
+        matrix on the host)."""
         user_idx = np.array([self.uid_map.get(uid, -1) for uid in user_ids])
         if (user_idx == -1).any():
             unknown = [uid for uid, i in zip(user_ids, user_idx) if i == -1]
             raise ValueError(f"{unknown} are unknown to the model.")
+
+        if k > 0:
+            recs = self._topk_recommend_device(user_idx, k, remove_seen, train_set)
+            if recs is not None:
+                return recs
 
         scores = np.asarray(self.score_batch(user_idx), dtype=np.float64)
         if remove_seen:
@@ -404,6 +411,49 @@ class Recommender:
         if k != -1:
             order = order[:, :k]
         return [[self.item_ids[i] for i in row] for row in order]
+
+    def _topk_recommend_device(self, user_idx, k, remove_seen, train_set):
+        """Fused device top-k for dot-measure ANN-capable models, or None.
+
+        Routes through ``ops.pallas_ranking.fused_topk`` (Pallas kernel on
+        directly-attached TPUs, XLA elsewhere): the (B, n_items) score
+        matrix stays on device; only (B, k') ids come back. Seen items are
+        handled by over-fetching ``k + max_seen`` then filtering — same
+        ordering as the host path (ties broken by lower item index)."""
+        if not is_ann_supported(self):
+            return None
+        try:
+            if self.get_vector_measure() != MEASURE_DOT:
+                return None
+            U = np.asarray(self.get_user_vectors(), dtype=np.float32)
+            V = np.asarray(self.get_item_vectors(), dtype=np.float32)
+        except (NotImplementedError, AttributeError, TypeError, ValueError):
+            return None
+        if V.shape[0] != self.total_items or (user_idx >= U.shape[0]).any():
+            return None
+
+        from ..ops.pallas_ranking import fused_topk
+
+        csr = None
+        fetch = k
+        if remove_seen:
+            if train_set is None:
+                raise ValueError("train_set must be provided to remove seen items.")
+            csr = train_set.csr_matrix
+            max_seen = int(np.diff(csr.indptr).max(initial=0))
+            fetch = min(k + max_seen, V.shape[0])
+
+        _, top_idx = fused_topk(U[user_idx], V, fetch)
+        top_idx = np.asarray(top_idx)
+
+        recs = []
+        for b, u in enumerate(user_idx):
+            row = top_idx[b]
+            if csr is not None and u < csr.shape[0]:
+                seen = set(csr.getrow(u).indices)
+                row = [i for i in row if i not in seen]
+            recs.append([self.item_ids[i] for i in row[:k]])
+        return recs
 
     # ------------------------------------------------------------------ #
     # early stopping

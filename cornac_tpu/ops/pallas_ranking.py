@@ -8,9 +8,11 @@ folds it into a running top-k held in the revisited output block — the
 full score matrix never exists in HBM, per-user-block HBM traffic is
 O(n_items·d + k) instead of O(n_items·(d+B)).
 
-``fused_topk`` picks the Pallas kernel on TPU and transparently falls back
-to an XLA matmul + ``top_k`` elsewhere (CPU tests exercise the kernel via
-interpret mode).
+``fused_topk`` resolves its path through :mod:`cornac_tpu.ops.dispatch`:
+Pallas on a directly-attached TPU, XLA matmul + ``top_k`` elsewhere
+(including the axon tunnel, where Mosaic hangs — see dispatch docstring).
+CPU tests exercise the kernel via interpret mode. Production call sites:
+``TPUExactANN.knn_query`` and ``Recommender.recommend_batch``.
 """
 
 import functools
@@ -153,12 +155,12 @@ def fused_topk(U, V, k, bias=None, force=None):
         if bias is None
         else jnp.asarray(bias, jnp.float32)
     )
-    # Default to the XLA path everywhere: on this project's tunneled TPU
-    # backend (axon PJRT plugin) Mosaic kernel compilation hangs
-    # indefinitely (even a trivial pallas_call; plain XLA compiles in
-    # ~1s), so the Pallas path must be opted into with force='pallas' on
-    # hardware where Mosaic is reachable. Interpret mode covers tests.
-    mode = force or "xla"
+    if force is None:
+        from .dispatch import use_pallas
+
+        mode = "pallas" if use_pallas() else "xla"
+    else:
+        mode = force
     if mode == "xla":
         return _fused_topk_xla(U, V, b, k)
     tile_n = int(min(512, _round_up(V.shape[0], 128)))

@@ -16,10 +16,12 @@ cosine tile on the MXU —
 block. The (n, n) similarity matrix never exists in HBM: per-row-block
 traffic is O(n·m + k) instead of O(n·(m + n)).
 
-``cosine_topk`` defaults to the XLA fallback (full tile in HBM + top_k):
-on this project's tunneled TPU backend Mosaic compilation hangs, so the
-Pallas path is opt-in via ``force='pallas'`` on hardware with reachable
-Mosaic; ``force='pallas_interpret'`` covers CPU tests.
+``cosine_topk`` resolves its path through :mod:`cornac_tpu.ops.dispatch`:
+Pallas on a directly-attached TPU, the XLA fallback (full tile in HBM +
+top_k) elsewhere — including this project's tunneled backend, where Mosaic
+compilation hangs. ``force='pallas_interpret'`` covers CPU tests.
+Production call sites: ``UserKNN.nearest_users`` / ``ItemKNN.nearest_items``
+(the related-items serving surface).
 """
 
 import functools
@@ -176,7 +178,12 @@ def cosine_topk(W, k, exclude_self=True, force=None):
     W = jnp.asarray(W, jnp.float32)
     n = W.shape[0]
     k = int(min(k, n - 1 if exclude_self else n))
-    mode = force or "xla"
+    if force is None:
+        from .dispatch import use_pallas
+
+        mode = "pallas" if use_pallas() else "xla"
+    else:
+        mode = force
     if mode == "xla":
         return _cosine_topk_xla(W, k, exclude_self=exclude_self)
     tile_c = int(min(256, _round_up(n, 128)))
