@@ -120,8 +120,10 @@ class BaselineOnly(Recommender):
         verbose=False,
         init_params=None,
         seed=None,
+        mesh=None,
     ):
         super().__init__(name=name, trainable=trainable, verbose=verbose)
+        self.mesh = mesh
         self.max_iter = max_iter
         self.learning_rate = learning_rate
         self.lambda_reg = lambda_reg
@@ -160,6 +162,14 @@ class BaselineOnly(Recommender):
         )
 
         Bu, Bi = jnp.asarray(self.u_biases), jnp.asarray(self.i_biases)
+        n_u, n_i = Bu.shape[0], Bi.shape[0]
+        if self.mesh is not None:
+            from ..parallel import replicate_all, shard_tables
+
+            Bu, Bi = shard_tables(self.mesh, Bu, Bi)
+            rid_d, cid_d, val_d, mask_h = replicate_all(
+                self.mesh, rid_d, cid_d, val_d, mask_h
+            )
         last_loss = 0.0
         for epoch in range(self.max_iter):
             perm = np.concatenate([rng.permutation(n), np.zeros(n_pad, np.int64)])
@@ -183,8 +193,8 @@ class BaselineOnly(Recommender):
                 break
             last_loss = loss
 
-        self.u_biases = np.asarray(Bu)
-        self.i_biases = np.asarray(Bi)
+        self.u_biases = np.asarray(Bu)[:n_u]
+        self.i_biases = np.asarray(Bi)[:n_i]
         return self
 
     def score(self, user_idx, item_idx=None):

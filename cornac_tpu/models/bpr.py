@@ -240,23 +240,12 @@ class BPR(Recommender, ANNMixin):
 
         n_u, n_i = U.shape[0], V.shape[0]
         if self.mesh is not None:
-            from ..parallel import shard_replicated, shard_rows
-            from ..parallel.mesh import MODEL_AXIS, pad_rows_to_multiple
+            from ..parallel import replicate_all, shard_tables
 
-            # row counts must divide the shard count; padded rows are never
-            # sampled (ids stay < num_users/num_items) and are sliced off
-            # after training
-            shards = self.mesh.shape[MODEL_AXIS]
-            U = shard_rows(self.mesh, pad_rows_to_multiple(np.asarray(U), shards))
-            V = shard_rows(self.mesh, pad_rows_to_multiple(np.asarray(V), shards))
-            Bi = shard_rows(self.mesh, pad_rows_to_multiple(np.asarray(Bi), shards))
-            rid_d = shard_replicated(self.mesh, rid_d)
-            cid_d = shard_replicated(self.mesh, cid_d)
-            membership = jax.tree_util.tree_map(
-                lambda a: shard_replicated(self.mesh, a), membership
+            U, V, Bi = shard_tables(self.mesh, U, V, Bi)
+            rid_d, cid_d, membership, neg_pop = replicate_all(
+                self.mesh, rid_d, cid_d, membership, neg_pop
             )
-            if neg_pop is not None:
-                neg_pop = shard_replicated(self.mesh, neg_pop)
 
         base_key = jax.random.PRNGKey(self.rng.randint(2**31))
         n = len(rid)

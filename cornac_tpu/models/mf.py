@@ -279,17 +279,10 @@ class MF(Recommender, ANNMixin):
             # GSPMD: row-shard the tables over the mesh model axis (rows
             # padded to the shard multiple; padded rows are never sampled
             # and are sliced off below), replicate the rating arrays
-            from ..parallel import shard_replicated, shard_rows
-            from ..parallel.mesh import MODEL_AXIS, pad_rows_to_multiple
+            from ..parallel import replicate_all, shard_tables
 
-            shards = self.mesh.shape[MODEL_AXIS]
-            U = shard_rows(self.mesh, pad_rows_to_multiple(np.asarray(U), shards))
-            V = shard_rows(self.mesh, pad_rows_to_multiple(np.asarray(V), shards))
-            Bu = shard_rows(self.mesh, pad_rows_to_multiple(np.asarray(Bu), shards))
-            Bi = shard_rows(self.mesh, pad_rows_to_multiple(np.asarray(Bi), shards))
-            rid_d = shard_replicated(self.mesh, rid_d)
-            cid_d = shard_replicated(self.mesh, cid_d)
-            val_d = shard_replicated(self.mesh, val_d)
+            U, V, Bu, Bi = shard_tables(self.mesh, U, V, Bu, Bi)
+            rid_d, cid_d, val_d = replicate_all(self.mesh, rid_d, cid_d, val_d)
 
         if self.optimizer != "sgd" or self.dropout > 0.0:
             self._fit_optax(rng, rid_d, cid_d, val_d, mask_h, U, V, Bu, Bi, n, bsz, n_pad, n_u, n_i)

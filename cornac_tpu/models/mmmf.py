@@ -27,6 +27,7 @@ class MMMF(BPR):
         verbose=False,
         init_params=None,
         seed=None,
+        mesh=None,
     ):
         super().__init__(
             name=name,
@@ -41,4 +42,5 @@ class MMMF(BPR):
             verbose=verbose,
             init_params=init_params,
             seed=seed,
+            mesh=mesh,
         )

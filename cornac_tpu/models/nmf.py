@@ -100,8 +100,10 @@ class NMF(Recommender, ANNMixin):
         verbose=False,
         init_params=None,
         seed=None,
+        mesh=None,
     ):
         super().__init__(name=name, trainable=trainable, verbose=verbose)
+        self.mesh = mesh
         self.num_threads = num_threads  # no-op: no host threading on TPU
         self.k = k
         self.max_iter = max_iter
@@ -155,16 +157,36 @@ class NMF(Recommender, ANNMixin):
         item_counts = np.zeros(self.num_items, np.float32)
         np.add.at(item_counts, cid, 1)
 
+        U0 = jnp.asarray(self.u_factors, dtype=jnp.float32)
+        V0 = jnp.asarray(self.i_factors, dtype=jnp.float32)
+        Bu0 = jnp.asarray(self.u_biases, dtype=jnp.float32)
+        Bi0 = jnp.asarray(self.i_biases, dtype=jnp.float32)
+        rid_d = jnp.asarray(rid, dtype=jnp.int32)
+        cid_d = jnp.asarray(cid, dtype=jnp.int32)
+        val_d = jnp.asarray(val, dtype=jnp.float32)
+        ucnt_d = jnp.asarray(user_counts)
+        icnt_d = jnp.asarray(item_counts)
+        n_u, n_i = U0.shape[0], V0.shape[0]
+        if self.mesh is not None:
+            # multiplicative updates touch whole tables each epoch:
+            # row-sharding both factor tables splits the epoch's matmul
+            # accumulations across the model axis (counts stay row-aligned)
+            from ..parallel import replicate_all, shard_tables
+
+            U0, Bu0, ucnt_d = shard_tables(self.mesh, U0, Bu0, ucnt_d)
+            V0, Bi0, icnt_d = shard_tables(self.mesh, V0, Bi0, icnt_d)
+            rid_d, cid_d, val_d = replicate_all(self.mesh, rid_d, cid_d, val_d)
+
         U, V, Bu, Bi = _nmf_fit(
-            jnp.asarray(self.u_factors, dtype=jnp.float32),
-            jnp.asarray(self.i_factors, dtype=jnp.float32),
-            jnp.asarray(self.u_biases, dtype=jnp.float32),
-            jnp.asarray(self.i_biases, dtype=jnp.float32),
-            jnp.asarray(rid, dtype=jnp.int32),
-            jnp.asarray(cid, dtype=jnp.int32),
-            jnp.asarray(val, dtype=jnp.float32),
-            jnp.asarray(user_counts),
-            jnp.asarray(item_counts),
+            U0,
+            V0,
+            Bu0,
+            Bi0,
+            rid_d,
+            cid_d,
+            val_d,
+            ucnt_d,
+            icnt_d,
             jnp.float32(self.learning_rate),
             jnp.float32(self.lambda_u),
             jnp.float32(self.lambda_v),
@@ -174,10 +196,10 @@ class NMF(Recommender, ANNMixin):
             jnp.int32(self.max_iter),
             use_bias=self.use_bias,
         )
-        self.u_factors = np.asarray(U)
-        self.i_factors = np.asarray(V)
-        self.u_biases = np.asarray(Bu)
-        self.i_biases = np.asarray(Bi)
+        self.u_factors = np.asarray(U)[:n_u]
+        self.i_factors = np.asarray(V)[:n_i]
+        self.u_biases = np.asarray(Bu)[:n_u]
+        self.i_biases = np.asarray(Bi)[:n_i]
         return self
 
     def score(self, user_idx, item_idx=None):

@@ -96,8 +96,10 @@ class PMF(Recommender, ANNMixin):
         verbose=False,
         init_params=None,
         seed=None,
+        mesh=None,
     ):
         Recommender.__init__(self, name=name, trainable=trainable, verbose=verbose)
+        self.mesh = mesh
         self.k = k
         self.max_iter = max_iter
         self.learning_rate = learning_rate
@@ -148,6 +150,16 @@ class PMF(Recommender, ANNMixin):
 
         U = jnp.asarray(self.U, dtype=jnp.float32)
         V = jnp.asarray(self.V, dtype=jnp.float32)
+        n_u, n_i = U.shape[0], V.shape[0]
+        if self.mesh is not None:
+            # row-shard tables + RMSProp caches over the model axis (SURVEY
+            # §2.4); padded rows are never indexed and are sliced off below
+            from ..parallel import replicate_all, shard_tables
+
+            U, V = shard_tables(self.mesh, U, V)
+            rid_d, cid_d, val_d, mask_h = replicate_all(
+                self.mesh, rid_d, cid_d, val_d, mask_h
+            )
         cache_u = jnp.zeros_like(U)
         cache_v = jnp.zeros_like(V)
 
@@ -172,8 +184,8 @@ class PMF(Recommender, ANNMixin):
             if self.verbose:
                 print("epoch %i, loss: %f" % (epoch, float(loss)))
 
-        self.U = np.asarray(U, dtype=np.float64)
-        self.V = np.asarray(V, dtype=np.float64)
+        self.U = np.asarray(U, dtype=np.float64)[:n_u]
+        self.V = np.asarray(V, dtype=np.float64)[:n_i]
         return self
 
     def score(self, user_idx, item_idx=None):

@@ -139,6 +139,7 @@ class SBPR(BPR):
         verbose=False,
         init_params=None,
         seed=None,
+        mesh=None,
     ):
         super().__init__(
             name=name,
@@ -153,6 +154,7 @@ class SBPR(BPR):
             verbose=verbose,
             init_params=init_params,
             seed=seed,
+            mesh=mesh,
         )
         self.lambda_u = lambda_u
         self.lambda_v = lambda_v

@@ -98,8 +98,10 @@ class VAECF(Recommender, ANNMixin):
         verbose=False,
         seed=None,
         use_gpu=False,
+        mesh=None,
     ):
         Recommender.__init__(self, name=name, trainable=trainable, verbose=verbose)
+        self.mesh = mesh
         self.k = k
         self.autoencoder_structure = (
             [20] if autoencoder_structure is None else autoencoder_structure
@@ -181,6 +183,14 @@ class VAECF(Recommender, ANNMixin):
             )
 
         X_d = jnp.asarray(X)
+        if self.mesh is not None:
+            # data parallelism: user rows sharded over the data axis,
+            # parameters replicated; GSPMD turns the per-batch gradient
+            # reduction into a psum over the mesh (same math, same result)
+            from ..parallel import replicate_all, shard_batch
+
+            X_d = shard_batch(self.mesh, X_d)
+            self.params, opt_state = replicate_all(self.mesh, self.params, opt_state)
         key = jax.random.PRNGKey(rng.randint(2**31))
         chunk = 1 if self.verbose else self.n_epochs
         done = 0

@@ -119,6 +119,7 @@ class VEBPR(BPR):
         verbose=False,
         init_params=None,
         seed=None,
+        mesh=None,
     ):
         super().__init__(
             name=name,
@@ -133,6 +134,7 @@ class VEBPR(BPR):
             verbose=verbose,
             init_params=init_params,
             seed=seed,
+            mesh=mesh,
         )
         self.alpha = alpha
 
@@ -159,16 +161,30 @@ class VEBPR(BPR):
             view_ids = np.zeros(1, dtype=np.int32)
 
         U, V = jnp.asarray(self.u_factors), jnp.asarray(self.i_factors)
+        n_u, n_i = U.shape[0], V.shape[0]
+        rid_d = jnp.asarray(rid, dtype=jnp.int32)
+        cid_d = jnp.asarray(cid, dtype=jnp.int32)
+        view_ids_d = jnp.asarray(view_ids)
+        view_indptr_d = jnp.asarray(view_indptr)
+        if self.mesh is not None:
+            from ..parallel import replicate_all, shard_tables
+
+            U, V = shard_tables(self.mesh, U, V)
+            (rid_d, cid_d, purchase_mem, view_mem, view_ids_d,
+             view_indptr_d) = replicate_all(
+                self.mesh, rid_d, cid_d, purchase_mem, view_mem,
+                view_ids_d, view_indptr_d,
+            )
         U, V = _vebpr_epochs(
             U,
             V,
             jax.random.PRNGKey(self.rng.randint(2**31)),
-            jnp.asarray(rid, dtype=jnp.int32),
-            jnp.asarray(cid, dtype=jnp.int32),
+            rid_d,
+            cid_d,
             purchase_mem,
             view_mem,
-            jnp.asarray(view_ids),
-            jnp.asarray(view_indptr),
+            view_ids_d,
+            view_indptr_d,
             jnp.float32(self.learning_rate),
             jnp.float32(self.lambda_reg),
             jnp.float32(self.alpha),
@@ -176,6 +192,6 @@ class VEBPR(BPR):
             num_items=train_set.num_items,
             n_epochs=jnp.int32(self.max_iter),
         )
-        self.u_factors = np.asarray(U)
-        self.i_factors = np.asarray(V)
+        self.u_factors = np.asarray(U)[:n_u]
+        self.i_factors = np.asarray(V)[:n_i]
         return self

@@ -3,9 +3,12 @@ from .mesh import (
     MODEL_AXIS,
     init_distributed,
     make_mesh,
+    pad_rows_to_multiple,
+    replicate_all,
     shard_batch,
     shard_replicated,
     shard_rows,
+    shard_tables,
 )
 
 __all__ = [
@@ -13,7 +16,10 @@ __all__ = [
     "MODEL_AXIS",
     "init_distributed",
     "make_mesh",
+    "pad_rows_to_multiple",
+    "replicate_all",
     "shard_batch",
     "shard_replicated",
     "shard_rows",
+    "shard_tables",
 ]

@@ -113,3 +113,31 @@ def pad_rows_to_multiple(x, multiple):
     if pad == 0:
         return x
     return np.concatenate([x, np.zeros((pad,) + x.shape[1:], x.dtype)], axis=0)
+
+
+def shard_tables(mesh, *tables):
+    """Row-shard parameter tables over the model axis, padding each row
+    count to the shard count. Padded rows are inert — training ids never
+    reference them — and callers slice ``[:n]`` when pulling results back.
+    ``None`` entries pass through. One table in, one table out (no tuple).
+    """
+    shards = mesh.shape[MODEL_AXIS]
+    out = tuple(
+        None
+        if t is None
+        else shard_rows(mesh, pad_rows_to_multiple(np.asarray(t), shards))
+        for t in tables
+    )
+    return out[0] if len(out) == 1 else out
+
+
+def replicate_all(mesh, *values):
+    """Replicate arrays (or pytrees of arrays) across the whole mesh.
+    ``None`` entries pass through; one value in, one value out."""
+    out = tuple(
+        None
+        if v is None
+        else jax.tree_util.tree_map(lambda a: shard_replicated(mesh, a), v)
+        for v in values
+    )
+    return out[0] if len(out) == 1 else out

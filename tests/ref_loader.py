@@ -175,6 +175,9 @@ def load_refcornac():
     )
     eval_methods.base_method = base_method
     eval_methods.BaseMethod = base_method.BaseMethod
+    # free functions some reference models import for validation tracking
+    eval_methods.ranking_eval = base_method.ranking_eval
+    eval_methods.rating_eval = base_method.rating_eval
     ratio_split = _load(
         "refcornac.eval_methods.ratio_split",
         os.path.join(REF, "eval_methods/ratio_split.py"),

@@ -327,3 +327,95 @@ def test_make_mesh_single_process_shapes(mesh):
     assert m.shape[DATA_AXIS] == 4 and m.shape[MODEL_AXIS] == 2
     m_all = make_mesh()
     assert m_all.shape[DATA_AXIS] == 8 and m_all.shape[MODEL_AXIS] == 1
+
+
+@pytest.mark.parametrize(
+    "make",
+    [
+        lambda mesh: __import__("cornac_tpu.models", fromlist=["PMF"]).PMF(
+            k=4, max_iter=5, seed=11, mesh=mesh, verbose=False),
+        lambda mesh: __import__("cornac_tpu.models", fromlist=["BaselineOnly"])
+        .BaselineOnly(max_iter=5, seed=11, mesh=mesh, verbose=False),
+        lambda mesh: __import__("cornac_tpu.models", fromlist=["NMF"]).NMF(
+            k=4, max_iter=5, use_bias=True, seed=11, mesh=mesh, verbose=False),
+        lambda mesh: __import__("cornac_tpu.models", fromlist=["MMMF"]).MMMF(
+            k=4, max_iter=5, seed=11, mesh=mesh, verbose=False),
+        lambda mesh: __import__("cornac_tpu.models", fromlist=["SBPR"]).SBPR(
+            k=4, max_iter=5, seed=11, mesh=mesh, verbose=False),
+        lambda mesh: __import__("cornac_tpu.models", fromlist=["VEBPR"]).VEBPR(
+            k=4, max_iter=5, seed=11, mesh=mesh, verbose=False),
+        lambda mesh: __import__("cornac_tpu.models", fromlist=["WBPR"]).WBPR(
+            k=4, max_iter=5, seed=11, mesh=mesh, verbose=False),
+    ],
+    ids=["PMF", "BaselineOnly", "NMF", "MMMF", "SBPR", "VEBPR", "WBPR"],
+)
+def test_mesh_training_matches_single_device_family(make):
+    """Every mesh-capable embedding-SGD model must produce identical
+    factors with and without a mesh (same program under GSPMD)."""
+    import numpy as np
+
+    from cornac_tpu.eval_methods import RatioSplit
+    from cornac_tpu.parallel import make_mesh
+
+    rng = np.random.RandomState(3)
+    data = [
+        (f"u{rng.randint(30)}", f"i{rng.randint(50)}", float(rng.randint(1, 6)))
+        for _ in range(500)
+    ]
+    rs = RatioSplit(data=data, test_size=0.2, rating_threshold=2.5, seed=123)
+
+    name = make(None).name
+    if name == "SBPR":
+        # SBPR wants a user graph: give every user a couple of friends
+        from cornac_tpu.data import GraphModality
+
+        pairs = [(f"u{u}", f"u{(u + 1) % 30}") for u in range(30)]
+        rs = RatioSplit(
+            data=data, test_size=0.2, rating_threshold=2.5, seed=123,
+            user_graph=GraphModality(data=[(a, b, 1.0) for a, b in pairs]),
+        )
+        train = rs.train_set
+    elif name == "VEBPR":
+        from cornac_tpu.data import PurchaseViewDataset
+
+        views = [
+            (f"u{rng.randint(30)}", f"i{rng.randint(50)}", 1.0) for _ in range(300)
+        ]
+        train = PurchaseViewDataset.build(data, views, seed=7)
+    else:
+        train = rs.train_set
+
+    plain = make(None).fit(train)
+    sharded = make(make_mesh(data_parallel=1)).fit(train)
+
+    batch = np.arange(min(8, train.num_users))
+    np.testing.assert_allclose(
+        plain.score_batch(batch), sharded.score_batch(batch),
+        rtol=2e-4, atol=2e-5,
+    )
+
+
+def test_vaecf_mesh_training_matches_single_device():
+    """VAECF(mesh=...) data-shards the user matrix under GSPMD with
+    replicated parameters; results must match the unsharded run."""
+    import numpy as np
+
+    from cornac_tpu.eval_methods import RatioSplit
+    from cornac_tpu.models import VAECF
+    from cornac_tpu.parallel import make_mesh
+
+    rng = np.random.RandomState(4)
+    data = [
+        (f"u{rng.randint(24)}", f"i{rng.randint(40)}", 1.0) for _ in range(400)
+    ]
+    rs = RatioSplit(data=data, test_size=0.2, rating_threshold=0.5, seed=123)
+
+    kw = dict(k=4, autoencoder_structure=[8], n_epochs=5, batch_size=8, seed=11)
+    plain = VAECF(**kw).fit(rs.train_set)
+    sharded = VAECF(mesh=make_mesh(), **kw).fit(rs.train_set)
+
+    batch = np.arange(8)
+    np.testing.assert_allclose(
+        plain.score_batch(batch), sharded.score_batch(batch),
+        rtol=5e-4, atol=5e-5,
+    )
