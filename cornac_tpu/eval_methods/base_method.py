@@ -118,6 +118,7 @@ def ranking_eval(
     exclude_unknowns=True,
     verbose=False,
     user_batch_size=1024,
+    mesh=None,
 ):
     """Evaluate ranking metrics with batched device scoring.
 
@@ -182,7 +183,8 @@ def ranking_eval(
             scores_dev = None if score_dev_fn is None else score_dev_fn(batch_users)
             if scores_dev is not None and scores_dev.shape[1] >= n_items:
                 values_mat = batch_eval_device(
-                    scores_dev[:, :n_items], pos_mask, cand_mask, fused_specs
+                    scores_dev[:, :n_items], pos_mask, cand_mask, fused_specs,
+                    mesh=mesh,
                 )
         if values_mat is not None:
             for i, _ in enumerate(metrics):
@@ -314,6 +316,10 @@ class BaseMethod:
         self.verbose = verbose
         self.seed = seed
         self.rng = get_rng(seed)
+        # framework extension (no reference analogue): a jax Mesh shards
+        # the fused ranking-metric kernel across chips (items over the
+        # model axis, users over the data axis)
+        self.mesh = kwargs.get("mesh", None)
         self.global_uid_map = kwargs.get("global_uid_map", OrderedDict())
         self.global_iid_map = kwargs.get("global_iid_map", OrderedDict())
 
@@ -638,6 +644,7 @@ class BaseMethod:
         rating_metrics,
         ranking_metrics,
         verbose,
+        mesh=None,
     ):
         """Run rating + ranking evaluation and collect a :class:`Result`."""
         metric_avg_results = OrderedDict()
@@ -663,6 +670,7 @@ class BaseMethod:
             rating_threshold=rating_threshold,
             exclude_unknowns=exclude_unknowns,
             verbose=verbose,
+            mesh=mesh,
         )
         for i, mt in enumerate(ranking_metrics):
             metric_avg_results[mt.name] = avg_results[i]
@@ -704,6 +712,7 @@ class BaseMethod:
             ranking_metrics=ranking_metrics,
             user_based=user_based,
             verbose=self.verbose,
+            mesh=self.mesh,
         )
         test_time = time.time() - start
         test_result.metric_avg_results["Train (s)"] = train_time
@@ -724,6 +733,7 @@ class BaseMethod:
                 ranking_metrics=ranking_metrics,
                 user_based=user_based,
                 verbose=self.verbose,
+                mesh=self.mesh,
             )
             val_time = time.time() - start
             val_result.metric_avg_results["Time (s)"] = val_time

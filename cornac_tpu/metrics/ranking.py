@@ -278,10 +278,19 @@ def metric_device_specs(metrics):
     return tuple(specs)
 
 
-def batch_eval_device(scores_dev, pos_mask, cand_mask, specs):
+def batch_eval_device(scores_dev, pos_mask, cand_mask, specs, mesh=None):
     """Run the fused metric kernel: ``scores_dev`` is a device (or host)
     (B, N) float array, masks are host bool arrays. Returns a (B, M)
-    float64 numpy array — the only device->host transfer."""
+    float64 numpy array — the only device->host transfer.
+
+    With ``mesh``, the kernel runs sharded (SURVEY §2.4 sharded
+    full-catalog ranking): scores and candidate bits are laid out with
+    users over the data axis and items over the model axis, so the rank /
+    tie-count reductions over the item axis compile to per-shard partial
+    sums + a psum over the model axis — per-chip work is O(B·N/s·P)
+    instead of O(B·N·P), replacing the reference's single-host per-user
+    loop (``base_method.py:177-226``) at scale."""
+    import jax
     import jax.numpy as jnp
 
     kernel = _FUSED_KERNEL_CACHE.get(specs)
@@ -302,9 +311,41 @@ def batch_eval_device(scores_dev, pos_mask, cand_mask, specs):
     pos_idx = np.full((B, P), -1, dtype=np.int32)
     pos_idx[rows, offs] = cols
 
-    cand_bits = np.packbits(np.asarray(cand_mask, dtype=bool), axis=1)
-    out = kernel(scores_dev, jnp.asarray(cand_bits), jnp.asarray(pos_idx))
-    return np.asarray(out, dtype=np.float64)
+    cand = np.asarray(cand_mask, dtype=bool)
+    if mesh is None:
+        out = kernel(
+            scores_dev, jnp.asarray(np.packbits(cand, axis=1)),
+            jnp.asarray(pos_idx),
+        )
+        return np.asarray(out, dtype=np.float64)
+
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from ..parallel.mesh import DATA_AXIS, MODEL_AXIS
+
+    # pad to shardable sizes: users to the data-axis size, items to a
+    # multiple of 8*model-size (packbits bytes must split evenly). Padded
+    # items are non-candidates (never rank); padded user rows are sliced
+    # off after the kernel.
+    dsz, msz = mesh.shape[DATA_AXIS], mesh.shape[MODEL_AXIS]
+    N = cand.shape[1]
+    b_pad = (-B) % dsz
+    n_pad = (-N) % (8 * msz)
+    scores = jnp.asarray(scores_dev, jnp.float32)
+    scores = jnp.pad(scores, ((0, b_pad), (0, n_pad)))
+    cand = np.pad(cand, ((0, b_pad), (0, n_pad)))
+    pos_idx = np.pad(pos_idx, ((0, b_pad), (0, 0)), constant_values=-1)
+
+    scores_in = jax.device_put(scores, NamedSharding(mesh, P(DATA_AXIS, MODEL_AXIS)))
+    bits_in = jax.device_put(
+        jnp.asarray(np.packbits(cand, axis=1)),
+        NamedSharding(mesh, P(DATA_AXIS, MODEL_AXIS)),
+    )
+    idx_in = jax.device_put(
+        jnp.asarray(pos_idx), NamedSharding(mesh, P(DATA_AXIS, None))
+    )
+    out = kernel(scores_in, bits_in, idx_in)
+    return np.asarray(out, dtype=np.float64)[:B]
 
 
 class RankingContext:

@@ -135,19 +135,49 @@ class TPUExactANN(BaseANN):
     """Exact retrieval on device: one matmul + top_k over the catalog.
 
     Recall is 1.0 by construction; this is the recommended backend on TPU
-    (replaces Annoy/HNSW at reference scales).
+    (replaces Annoy/HNSW at reference scales). With ``mesh``, the item
+    table is row-sharded over the mesh model axis and queries run through
+    ``parallel.sharded.sharded_topk`` — per-chip work is O(B·n/s·d) with
+    an all-gather candidate merge, the multi-chip catalog-scale path
+    (SURVEY §2.4).
     """
 
-    def __init__(self, model, name="TPUExactANN", verbose=False):
+    def __init__(self, model, name="TPUExactANN", verbose=False, mesh=None):
+        self.mesh = mesh
         super().__init__(model=model, name=name, verbose=verbose)
+        # device-resident index arrays: process-local, rebuilt on demand
+        # after load() from the persisted item_vectors snapshot
+        self.ignored_attrs += [
+            "_items_d", "_item_sq", "_items_sharded", "_bias_sharded",
+            "_l2_bias_sharded",
+        ]
 
     def build_index(self):
         super().build_index()
+        self._build_device_index()
+
+    def _build_device_index(self):
         self._items_d = jnp.asarray(np.asarray(self.item_vectors, np.float32))
         if self.measure == MEASURE_COSINE:
             norms = jnp.linalg.norm(self._items_d, axis=1, keepdims=True)
             self._items_d = self._items_d / jnp.maximum(norms, 1e-12)
         self._item_sq = jnp.sum(self._items_d**2, axis=1)
+        if self.mesh is not None:
+            from ..parallel import shard_tables
+            from ..parallel.mesh import MODEL_AXIS, pad_rows_to_multiple
+
+            shards = self.mesh.shape[MODEL_AXIS]
+            n = self._items_d.shape[0]
+            items_p = pad_rows_to_multiple(np.asarray(self._items_d), shards)
+            # padded rows must never win: their bias is -inf
+            pad_bias = np.zeros(items_p.shape[0], np.float32)
+            pad_bias[n:] = -3.0e38
+            l2_bias = pad_bias.copy()
+            l2_bias[:n] = -np.asarray(self._item_sq)
+            self._items_sharded, self._bias_sharded, self._l2_bias_sharded = (
+                shard_tables(self.mesh, items_p, pad_bias, l2_bias)
+            )
+            self._rows_per_shard = items_p.shape[0] // shards
 
     def knn_query(self, query, k):
         # fused score+top-k (ops/pallas_ranking.fused_topk): the Pallas
@@ -156,10 +186,14 @@ class TPUExactANN(BaseANN):
         # argpartition.
         from ..ops.pallas_ranking import fused_topk
 
+        if getattr(self, "_items_d", None) is None:
+            self._build_device_index()
         q = jnp.asarray(np.asarray(query, np.float32))
         k = min(k, self._items_d.shape[0])
         if self.measure == MEASURE_COSINE:
             q = q / jnp.maximum(jnp.linalg.norm(q, axis=1, keepdims=True), 1e-12)
+        if self.mesh is not None and k <= self._rows_per_shard:
+            return self._knn_query_sharded(q, k)
         if self.measure == MEASURE_L2:
             # -|q - v|^2 = (2q)·v - |v|^2 - |q|^2; the |q|^2 term is
             # constant per query so top-k on (2q)·v - |v|^2 is exact, and
@@ -171,6 +205,26 @@ class TPUExactANN(BaseANN):
         else:  # dot or cosine
             top_scores, top_idx = fused_topk(q, self._items_d, k)
         return np.asarray(top_idx), -np.asarray(top_scores)
+
+    def _knn_query_sharded(self, q, k):
+        """Multi-chip retrieval: per-shard score + local top-k, all-gather
+        candidate merge (``parallel.sharded.sharded_topk``). ``q`` is
+        already cosine-normalized when applicable."""
+        from ..parallel.sharded import sharded_topk
+
+        if self.measure == MEASURE_L2:
+            # -|q - v|^2 ranking via (2q)·v - |v|^2 (see knn_query)
+            s, i = sharded_topk(
+                self.mesh, 2.0 * q, self._items_sharded, k,
+                item_bias=self._l2_bias_sharded,
+            )
+            s = s - jnp.sum(q**2, axis=1, keepdims=True)
+        else:
+            s, i = sharded_topk(
+                self.mesh, q, self._items_sharded, k,
+                item_bias=self._bias_sharded,
+            )
+        return np.asarray(i), -np.asarray(s)
 
 
 class _ExternalANN(TPUExactANN):

@@ -110,12 +110,19 @@ class Recommender:
         self.stopped_epoch = 0
         self.wait = 0
 
+    #: attributes holding process-local device handles (a jax Mesh wraps
+    #: Device objects — not copyable, never persisted)
+    _process_local_attrs = ("mesh",)
+
     def __deepcopy__(self, memo):
         cls = self.__class__
         result = cls.__new__(cls)
         ignored = set(self.ignored_attrs)
         for k, v in self.__dict__.items():
             if k in ignored:
+                continue
+            if k in self._process_local_attrs:
+                setattr(result, k, None)
                 continue
             setattr(result, k, copy.deepcopy(v))
         return result
@@ -137,6 +144,9 @@ class Recommender:
         new_params = {} if new_params is None else new_params
         init_params = {}
         for name in self._get_init_params():
+            if name in self._process_local_attrs:  # share, don't copy
+                init_params[name] = new_params.get(name, getattr(self, name, None))
+                continue
             init_params[name] = new_params.get(name, copy.deepcopy(getattr(self, name)))
         return self.__class__(**init_params)
 

@@ -419,3 +419,90 @@ def test_vaecf_mesh_training_matches_single_device():
         plain.score_batch(batch), sharded.score_batch(batch),
         rtol=5e-4, atol=5e-5,
     )
+
+
+def test_mesh_eval_matches_single_device(mesh):
+    """RatioSplit(mesh=...) routes the fused metric kernel through the
+    sharded layout (items over model axis, users over data axis); results
+    must equal the unsharded evaluation exactly."""
+    import numpy as np
+
+    from cornac_tpu.eval_methods import RatioSplit
+    from cornac_tpu.metrics import AUC, NDCG, Recall
+    from cornac_tpu.models import BPR
+
+    rng = np.random.RandomState(9)
+    data = [
+        (f"u{rng.randint(30)}", f"i{rng.randint(60)}", 1.0) for _ in range(700)
+    ]
+    kw = dict(data=data, test_size=0.2, rating_threshold=0.5, seed=42)
+    metrics = lambda: [AUC(), NDCG(k=10), Recall(k=5)]
+
+    plain_res, _ = RatioSplit(**kw).evaluate(
+        BPR(k=4, max_iter=5, seed=7), metrics(), user_based=True,
+        show_validation=False,
+    )
+    mesh_res, _ = RatioSplit(mesh=mesh, **kw).evaluate(
+        BPR(k=4, max_iter=5, seed=7), metrics(), user_based=True,
+        show_validation=False,
+    )
+    for name in ("AUC", "NDCG@10", "Recall@5"):
+        np.testing.assert_allclose(
+            plain_res.metric_avg_results[name],
+            mesh_res.metric_avg_results[name],
+            rtol=1e-6,
+            err_msg=name,
+        )
+
+
+def test_tpu_exact_ann_sharded_matches_plain(mesh):
+    import numpy as np
+
+    from cornac_tpu.eval_methods import RatioSplit
+    from cornac_tpu.models import MF, TPUExactANN
+
+    rng = np.random.RandomState(2)
+    data = [
+        (f"u{rng.randint(20)}", f"i{rng.randint(64)}", float(rng.randint(1, 6)))
+        for _ in range(400)
+    ]
+    rs = RatioSplit(data=data, test_size=0.2, seed=1)
+    model = MF(k=6, max_iter=5, seed=3).fit(rs.train_set)
+
+    plain = TPUExactANN(model)
+    plain.build_index()
+    sharded = TPUExactANN(model, mesh=mesh)
+    sharded.build_index()
+
+    q = plain.user_vectors[:5]
+    k = 4  # <= rows_per_shard so the sharded path engages
+    assert sharded._rows_per_shard >= k
+    ids_p, d_p = plain.knn_query(q, k)
+    ids_s, d_s = sharded.knn_query(q, k)
+    np.testing.assert_array_equal(ids_p, ids_s)
+    np.testing.assert_allclose(d_p, d_s, rtol=1e-5)
+
+
+def test_mesh_model_save_load_clone(tmp_path, mesh):
+    """Mesh handles are process-local: save() must drop them, clone() must
+    share them, and a loaded model must serve without a mesh."""
+    import numpy as np
+
+    from cornac_tpu.eval_methods import RatioSplit
+    from cornac_tpu.models import BPR
+    from cornac_tpu.models.recommender import Recommender
+
+    rng = np.random.RandomState(6)
+    data = [
+        (f"u{rng.randint(20)}", f"i{rng.randint(30)}", 1.0) for _ in range(300)
+    ]
+    rs = RatioSplit(data=data, test_size=0.2, rating_threshold=0.5, seed=5)
+    m = BPR(k=4, max_iter=3, seed=8, mesh=mesh).fit(rs.train_set)
+
+    assert m.clone().mesh is mesh  # clone shares, not copies
+
+    path = m.save(str(tmp_path))
+    loaded = Recommender.load(path)
+    assert loaded.mesh is None
+    np.testing.assert_allclose(loaded.u_factors, m.u_factors)
+    assert np.isfinite(loaded.score(0)).all()
