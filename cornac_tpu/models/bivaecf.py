@@ -237,6 +237,15 @@ class BiVAECF(Recommender, ANNMixin):
         pred = float(expit(self.mu_beta[item_idx] @ self.mu_theta[user_idx]))
         return self.min_rating + pred * (self.max_rating - self.min_rating)
 
+    def score_pairs(self, user_indices, item_indices):
+        # pointwise predictions are row values scaled to the rating range
+        # (reference recom_bivaecf.py:225)
+        span = self.max_rating - self.min_rating
+        return self._score_pairs_from_rows(
+            user_indices, item_indices,
+            transform=lambda s: self.min_rating + s * span,
+        )
+
     def _known_scores_device(self, safe_users, known):
         import jax
 

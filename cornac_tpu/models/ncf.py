@@ -220,6 +220,24 @@ class NCFBase(Recommender):
         )
         return float(np.asarray(out)[0])
 
+    def score_pairs(self, user_indices, item_indices):
+        # the NCF forward is already pairwise: one device program
+        users = np.asarray(user_indices)
+        items = np.asarray(item_indices)
+        known = (
+            (users >= 0) & (users < self.num_users)
+            & (items >= 0) & (items < self.num_items)
+        )
+        out = np.asarray(
+            self._forward(
+                self.params,
+                jnp.asarray(np.where(known, users, 0), dtype=jnp.int32),
+                jnp.asarray(np.where(known, items, 0), dtype=jnp.int32),
+            ),
+            dtype=np.float64,
+        )
+        return np.where(known, out, self.default_score())
+
     def _known_scores_device(self, safe_users, known):
         u = jnp.repeat(jnp.asarray(safe_users, dtype=jnp.int32), self.num_items)
         i = jnp.tile(jnp.arange(self.num_items, dtype=jnp.int32), len(safe_users))

@@ -235,6 +235,9 @@ class RecVAE(Recommender):
         scores = self._decode_rows(row)[0]
         return scores if item_idx is None else scores[item_idx]
 
+    def score_pairs(self, user_indices, item_indices):
+        return self._score_pairs_from_rows(user_indices, item_indices)
+
     def _known_scores_device(self, safe_users, known):
         rows = (self.r_mat[safe_users] > 0).astype(np.float32).toarray()
         mu, _ = _encode_ref(self.enc, jnp.asarray(rows), 0.0, jax.random.PRNGKey(0))

@@ -223,6 +223,10 @@ class VAECF(Recommender, ANNMixin):
         scores = self._decode_users(x_u)[0]
         return scores if item_idx is None else scores[item_idx]
 
+    def score_pairs(self, user_indices, item_indices):
+        # pointwise score == row gather (no per-pair transform): batch it
+        return self._score_pairs_from_rows(user_indices, item_indices)
+
     def _known_scores_device(self, safe_users, known):
         act = ACTIVATIONS[self.act_fn]
         rows = (self.r_mat[safe_users] > 0).astype(np.float32).toarray()

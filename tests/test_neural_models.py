@@ -140,3 +140,34 @@ def test_bivaecf_cap_priors(split):
         cap_priors={"user": True, "item": False}, verbose=False,
     ).fit(rs.train_set)
     assert np.isfinite(m.score(0)).all()
+
+
+def test_vectorized_score_pairs_matches_loop():
+    """Neural models' batched score_pairs (one device program) must equal
+    the per-pair score() loop, including unknown-entity fallbacks."""
+    import numpy as np
+
+    from cornac_tpu.eval_methods import RatioSplit
+    from cornac_tpu.models import BiVAECF, GMF, RecVAE, VAECF
+    from cornac_tpu.models.recommender import Recommender
+
+    rng = np.random.RandomState(0)
+    data = [
+        (f"u{rng.randint(25)}", f"i{rng.randint(40)}", float(rng.randint(1, 6)))
+        for _ in range(500)
+    ]
+    rs = RatioSplit(data=data, test_size=0.2, seed=1)
+    pairs_u = rng.randint(0, 25, 50)
+    pairs_i = rng.randint(0, 40, 50)
+
+    for make in (
+        lambda: VAECF(k=4, n_epochs=2, seed=2),
+        lambda: RecVAE(n_epochs=1, hidden_dim=16, latent_dim=8, seed=2),
+        lambda: BiVAECF(k=4, n_epochs=2, seed=2),
+        lambda: GMF(num_factors=4, num_epochs=1, seed=2, verbose=False),
+    ):
+        m = make().fit(rs.train_set)
+        fast = m.score_pairs(pairs_u, pairs_i)
+        slow = Recommender.score_pairs(m, pairs_u, pairs_i)
+        np.testing.assert_allclose(fast, slow, rtol=1e-5, atol=1e-6,
+                                   err_msg=m.name)
