@@ -7,13 +7,11 @@ user/item one-hot design matrix the FM prediction reduces to
 
     y(u, i) = k0*w0 + k1*(w_u + w_i) + k2 * <v_u, v_i>
 
-so training runs as fused minibatched device SGD (methods 'sgd'/'sgda') or
-coordinate ALS sweeps (methods 'als'/'mcmc' — MCMC's posterior-mean
-behavior is approximated by ALS with its regularization; documented
-deviation, the Gibbs sampler is not reimplemented).
+so training runs as fused minibatched device SGD (methods 'sgd'/'sgda'),
+coordinate ALS sweeps (method 'als'), or a Gibbs sampler (method 'mcmc',
+matching libFM ``fm_learn_mcmc.h`` semantics — see ``_fm_mcmc``).
 """
 
-import warnings
 from functools import partial
 
 import jax
@@ -85,6 +83,17 @@ def _fm_sgd(
     return jax.lax.fori_loop(0, n_epochs, epoch, (w0, w, V, jnp.float32(0.0)))
 
 
+def _seg_sum(x, perm, starts, ends):
+    """Segment sums over columns of x via one permutation gather + a
+    cumulative sum read at precomputed segment boundaries — measured
+    ~4x faster than XLA's scatter-based segment_sum at this size
+    (gather-latency bound; see PERF.md)."""
+    xp = x[perm]  # (n, C) rows gathered once
+    c = jnp.concatenate([jnp.zeros((1, xp.shape[1]), xp.dtype),
+                         jnp.cumsum(xp, axis=0)])
+    return c[ends] - c[starts]  # (n_feat, C)
+
+
 @partial(
     jax.jit,
     static_argnames=("use_w0", "use_w", "use_v", "n_feat"),
@@ -97,15 +106,7 @@ def _fm_als(w0, w, V, val, rid, cid, blocks, reg0, reg1, reg2,
     n = val.shape[0]
     k2 = V.shape[1]
 
-    def seg_sum(x, perm, starts, ends):
-        """Segment sums over columns of x via one permutation gather + a
-        cumulative sum read at precomputed segment boundaries — measured
-        ~4x faster than XLA's scatter-based segment_sum at this size
-        (gather-latency bound; see PERF.md)."""
-        xp = x[perm]  # (n, C) rows gathered once
-        c = jnp.concatenate([jnp.zeros((1, xp.shape[1]), xp.dtype),
-                             jnp.cumsum(xp, axis=0)])
-        return c[ends] - c[starts]  # (n_feat, C)
+    seg_sum = _seg_sum
 
     def predict(w0, w, V):
         p = jnp.zeros_like(val)
@@ -154,6 +155,163 @@ def _fm_als(w0, w, V, val, rid, cid, blocks, reg0, reg1, reg2,
         return w0, w, V
 
     return jax.lax.fori_loop(0, n_sweeps, sweep, (w0, w, V))
+
+
+@partial(
+    jax.jit,
+    static_argnames=("use_w0", "use_w", "use_v", "n_feat"),
+)
+def _fm_mcmc(w0, w, V, key, val, rid, cid, blocks, reg0, reg1, reg2,
+             use_w0, use_w, use_v, n_feat, n_sweeps):
+    """Bayesian FM Gibbs sampler (Freudenthaler et al. 2011), matching the
+    reference libFM learner ``fm/libfm/libfm/src/fm_learn_mcmc.h`` with
+    ``do_sample=do_multilevel=True`` (how the reference wires method='mcmc',
+    ``backend_libfm.pyx:202-224``) on the user/item one-hot design with one
+    attribute group (the reference wrapper passes no meta groups).
+
+    TPU redesign of the sequential per-feature sweep: one-hot features
+    within a block (all users / all items) have pairwise-disjoint training
+    supports, so their conditional posteriors given the block boundary are
+    independent — the libFM feature-by-feature loop collapses EXACTLY into
+    two vectorized block draws per sweep (users, then items with the fresh
+    user draws), with the k2 factor loop kept sequential as in libFM. All
+    hyperpriors at the libFM defaults: alpha_0=gamma_0=beta_0=1, mu_0=0
+    (``fm_learn_mcmc.h:1305-1312``). Like the reference wrapper (which
+    extracts final ``fm.w/v`` after learn, ``recom_fm.py:189-226``), the
+    returned parameters are the LAST Gibbs draw. Deviation: features absent
+    from training keep their init values instead of receiving pure prior
+    draws (libFM draws noise for them; they carry no signal either way).
+    """
+    n = val.shape[0]
+    k2 = V.shape[1]
+    alpha_0 = gamma_0 = beta_0 = jnp.float32(1.0)
+    mu_0 = jnp.float32(0.0)
+
+    def predict(w0, w, V):
+        p = jnp.zeros_like(val)
+        if use_w0:
+            p = p + w0
+        if use_w:
+            p = p + w[rid] + w[cid]
+        if use_v:
+            p = p + jnp.sum(V[rid] * V[cid], axis=1)
+        return p
+
+    def gamma_draw(k, shape_param, rate):
+        return jax.random.gamma(k, shape_param) / rate
+
+    def sweep(s, carry):
+        w0, w, V, alpha, w_mu, w_lambda, v_mu, v_lambda = carry
+        ks = jax.random.fold_in(key, s)
+        # e follows the libFM sign convention: e = prediction - target,
+        # recomputed fresh each sweep to bound f32 drift.
+        e = predict(w0, w, V) - val
+
+        # -- noise precision: alpha | e ~ Gamma((a0+n)/2, (g0+SSE)/2)
+        alpha = gamma_draw(
+            jax.random.fold_in(ks, 0),
+            (alpha_0 + n) / 2.0,
+            (gamma_0 + jnp.sum(e * e)) / 2.0,
+        )
+
+        # -- global bias
+        if use_w0:
+            mean_raw = jnp.sum(e) - n * w0  # sum(e - w0)
+            sigma2 = 1.0 / (reg0 + alpha * n)
+            mean = -sigma2 * (alpha * mean_raw - mu_0 * reg0)
+            w0_new = mean + jnp.sqrt(sigma2) * jax.random.normal(
+                jax.random.fold_in(ks, 1)
+            )
+            e = e + (w0_new - w0)
+            w0 = w0_new
+
+        # -- first-order weights
+        if use_w:
+            # hyper draws: lambda with the OLD mu, then mu with the NEW
+            # lambda (libFM order: draw_w_lambda then draw_w_mu)
+            g = beta_0 * (w_mu - mu_0) ** 2 + gamma_0 + jnp.sum((w - w_mu) ** 2)
+            w_lambda = gamma_draw(
+                jax.random.fold_in(ks, 2), (alpha_0 + n_feat + 1) / 2.0, g / 2.0
+            )
+            mu_mean = (jnp.sum(w) + beta_0 * mu_0) / (n_feat + beta_0)
+            w_mu = mu_mean + jnp.sqrt(
+                1.0 / ((n_feat + beta_0) * w_lambda)
+            ) * jax.random.normal(jax.random.fold_in(ks, 3))
+
+            for j, (ids, perm, starts, ends, cnt) in enumerate(blocks):
+                S_e = _seg_sum(e[:, None], perm, starts, ends)[:, 0]
+                mean_raw = S_e - cnt * w  # sum over support of (e - w*x)
+                sigma2 = 1.0 / (w_lambda + alpha * cnt)
+                mean = -sigma2 * (alpha * mean_raw - w_mu * w_lambda)
+                draw = mean + jnp.sqrt(sigma2) * jax.random.normal(
+                    jax.random.fold_in(ks, 4 + j), (n_feat,)
+                )
+                w_new = jnp.where(cnt > 0, draw, w)
+                e = e + (w_new - w)[ids]
+                w = w_new
+
+        # -- pairwise factors
+        if use_v:
+            # per-factor hyper draws, vectorized over f (one group)
+            g_f = (
+                beta_0 * (v_mu - mu_0) ** 2
+                + gamma_0
+                + jnp.sum((V - v_mu[None, :]) ** 2, axis=0)
+            )
+            v_lambda = gamma_draw(
+                jax.random.fold_in(ks, 6),
+                (alpha_0 + n_feat + 1) / 2.0,
+                g_f / 2.0,
+            )
+            mu_mean = (jnp.sum(V, axis=0) + beta_0 * mu_0) / (n_feat + beta_0)
+            v_mu = mu_mean + jnp.sqrt(
+                1.0 / ((n_feat + beta_0) * v_lambda)
+            ) * jax.random.normal(jax.random.fold_in(ks, 7), (k2,))
+
+            def f_step(f, carry):
+                V, e = carry
+                vf = jnp.take(V, f, axis=1)
+                lam_f = v_lambda[f]
+                mu_f = v_mu[f]
+                for j, ((ids, perm, starts, ends, cnt), other) in enumerate(
+                    zip(blocks, (cid, rid))
+                ):
+                    h = vf[other]  # the case's other one-hot side
+                    nd = _seg_sum(
+                        jnp.stack([h * e, h * h], axis=1), perm, starts, ends
+                    )
+                    S_he, S_h2 = nd[:, 0], nd[:, 1]
+                    mean_raw = S_he - vf * S_h2
+                    sigma2 = 1.0 / (lam_f + alpha * S_h2)
+                    mean = -sigma2 * (alpha * mean_raw - mu_f * lam_f)
+                    draw = mean + jnp.sqrt(sigma2) * jax.random.normal(
+                        jax.random.fold_in(jax.random.fold_in(ks, 8 + j), f),
+                        (n_feat,),
+                    )
+                    vf_new = jnp.where(cnt > 0, draw, vf)
+                    e = e + (vf_new - vf)[ids] * h
+                    vf = vf_new
+                V = jax.lax.dynamic_update_slice_in_dim(
+                    V, vf[:, None], f, axis=1
+                )
+                return V, e
+
+            V, e = jax.lax.fori_loop(0, k2, f_step, (V, e))
+
+        return w0, w, V, alpha, w_mu, w_lambda, v_mu, v_lambda
+
+    init = (
+        w0,
+        w,
+        V,
+        jnp.float32(1.0),       # alpha     (fm_learn_mcmc.h:1310)
+        jnp.float32(0.0),       # w_mu
+        jnp.maximum(reg1, 1e-8),  # w_lambda init from regw (backend_libfm.pyx:223)
+        jnp.zeros((k2,), jnp.float32),                      # v_mu
+        jnp.full((k2,), 1.0, jnp.float32) * jnp.maximum(reg2, 1e-8),  # v_lambda
+    )
+    out = jax.lax.fori_loop(0, n_sweeps, sweep, init)
+    return out[0], out[1], out[2]
 
 
 class FM(Recommender):
@@ -223,12 +381,9 @@ class FM(Recommender):
         rid, cid, val = train_set.uir_tuple
         cid_off = cid + self.num_users  # item feature block offset
 
-        if self.method in ("als", "mcmc"):
-            if self.method == "mcmc":
-                warnings.warn(
-                    "FM method 'mcmc' is approximated by ALS on this backend "
-                    "(the libFM Gibbs sampler is not reimplemented)."
-                )
+        if self.method == "mcmc":
+            self._fit_mcmc(rid, cid_off, val, rng)
+        elif self.method == "als":
             self._fit_als(rid, cid_off, val)
         else:
             n = len(rid)
@@ -257,12 +412,10 @@ class FM(Recommender):
             self.V = np.asarray(V)
         return self
 
-    def _fit_als(self, rid, cid_off, val):
-        """Coordinate-descent sweeps on the degenerate two-feature design,
-        entirely on device: the error vector is maintained incrementally
-        (recomputed fresh each sweep to bound f32 drift) and per-feature
-        aggregations are sorted segment-sums over permutations precomputed
-        once on the host — one compiled program runs all sweeps."""
+    def _make_blocks(self, rid, cid_off):
+        """Per feature block (users, items): device arrays of (case ids,
+        stable sort permutation, segment starts/ends, per-feature counts)
+        for the sorted-segment-sum sweeps."""
         n_feat = self.w.shape[0]
         blocks = []
         for idx_arr in (rid, cid_off):
@@ -285,6 +438,41 @@ class FM(Recommender):
                     ),
                 )
             )
+        return blocks
+
+    def _fit_mcmc(self, rid, cid_off, val, rng):
+        """Gibbs sampling sweeps (libFM fm_learn_mcmc semantics), one
+        compiled program for all sweeps; see ``_fm_mcmc``."""
+        blocks = self._make_blocks(rid, cid_off)
+        w0, w, V = _fm_mcmc(
+            jnp.float32(self.w0),
+            jnp.asarray(self.w, dtype=jnp.float32),
+            jnp.asarray(self.V, dtype=jnp.float32),
+            jax.random.PRNGKey(rng.randint(2**31)),
+            jnp.asarray(val, dtype=jnp.float32),
+            blocks[0][0],
+            blocks[1][0],
+            blocks,
+            jnp.float32(self.reg0),
+            jnp.float32(self.reg1),
+            jnp.float32(self.reg2),
+            use_w0=self.k0 > 0,
+            use_w=self.k1 > 0,
+            use_v=self.k2 > 0,
+            n_feat=self.w.shape[0],
+            n_sweeps=jnp.int32(self.max_iter),
+        )
+        self.w0 = float(w0)
+        self.w = np.asarray(w, dtype=np.float64)
+        self.V = np.asarray(V, dtype=np.float64)
+
+    def _fit_als(self, rid, cid_off, val):
+        """Coordinate-descent sweeps on the degenerate two-feature design,
+        entirely on device: the error vector is maintained incrementally
+        (recomputed fresh each sweep to bound f32 drift) and per-feature
+        aggregations are sorted segment-sums over permutations precomputed
+        once on the host — one compiled program runs all sweeps."""
+        blocks = self._make_blocks(rid, cid_off)
         rid_d = blocks[0][0]
         cid_d = blocks[1][0]
 
@@ -302,7 +490,7 @@ class FM(Recommender):
             use_w0=self.k0 > 0,
             use_w=self.k1 > 0,
             use_v=self.k2 > 0,
-            n_feat=n_feat,
+            n_feat=self.w.shape[0],
             n_sweeps=jnp.int32(self.max_iter),
         )
         self.w0 = float(w0)

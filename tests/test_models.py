@@ -262,11 +262,35 @@ def test_sansa_density(split):
     assert m.W.nnz <= 0.11 * m.W.shape[0] * m.W.shape[1]
 
 
-def test_fm_mcmc_warns(split):
+def test_fm_mcmc_gibbs_learns(split):
+    """method='mcmc' is a real Gibbs sampler (libFM fm_learn_mcmc.h
+    semantics): seeded draws are reproducible and the final sample fits the
+    training signal far better than the init."""
     from cornac_tpu.models import FM
 
-    with pytest.warns(UserWarning):
-        FM(k2=2, max_iter=1, method="mcmc", verbose=False).fit(split.train_set)
+    def rmse(m):
+        u, i, r = split.train_set.uir_tuple
+        return float(np.sqrt(np.mean((m.score_pairs(u, i) - r) ** 2)))
+
+    m0 = FM(k2=2, max_iter=0, method="mcmc", seed=42, verbose=False).fit(
+        split.train_set
+    )
+    m = FM(k2=2, max_iter=50, method="mcmc", seed=42, verbose=False).fit(
+        split.train_set
+    )
+    assert rmse(m) < 0.9 * rmse(m0)
+
+    m2 = FM(k2=2, max_iter=50, method="mcmc", seed=42, verbose=False).fit(
+        split.train_set
+    )
+    np.testing.assert_allclose(m.w, m2.w)
+    np.testing.assert_allclose(m.V, m2.V)
+
+    # distinct from the ALS point estimate (it is a posterior draw)
+    mals = FM(k2=2, max_iter=50, method="als", seed=42, verbose=False).fit(
+        split.train_set
+    )
+    assert not np.allclose(m.V, mals.V)
 
 
 class TestReferenceCompatKwargs:
