@@ -58,6 +58,14 @@ class Experiment:
         Propagates to the eval method and the models.
     save_dir: str, optional
         Where to store trained models and the log file.
+    checkpoint_dir: str, optional
+        Turn on periodic mid-training checkpoints (and resume) for every
+        model that supports them, stored under ``checkpoint_dir/<model
+        name>``. Capability beyond the reference, whose experiments always
+        retrain from scratch (reference ``experiment/experiment.py:153-154``
+        only saves finished models).
+    checkpoint_every: int, default: 10
+        Epoch interval between checkpoints.
     """
 
     def __init__(
@@ -69,6 +77,8 @@ class Experiment:
         show_validation=True,
         verbose=False,
         save_dir=None,
+        checkpoint_dir=None,
+        checkpoint_every=10,
     ):
         self.eval_method = eval_method
         self.models = _filter_instances(models, Recommender, "models")
@@ -81,6 +91,12 @@ class Experiment:
         self.save_dir = save_dir
         self.result = None
         self.val_result = None
+        if checkpoint_dir is not None:
+            for model in self.models:
+                model.enable_checkpointing(
+                    os.path.join(checkpoint_dir, model.name),
+                    every=checkpoint_every,
+                )
 
     def run(self):
         """Fit + evaluate every model; print and log the result tables."""

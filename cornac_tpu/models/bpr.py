@@ -27,6 +27,7 @@ import numpy as np
 from ..ops.accumulate import accumulate_rows
 from ..ops.membership import build_membership
 from ..utils import get_rng
+from ..utils.checkpoint import epoch_loop
 from ..utils.init_utils import uniform, zeros
 from .recommender import ANNMixin, MEASURE_DOT, Recommender
 
@@ -53,6 +54,7 @@ def _bpr_epochs(
     use_bias,
     num_items,
     n_epochs,
+    epoch_offset=0,
     variant="bpr",
 ):
     """Run ``n_epochs`` BPR epochs in one compiled program (no host
@@ -87,7 +89,9 @@ def _bpr_epochs(
 
     def epoch(e, carry):
         U, V, _, _ = carry
-        k_pos, k_neg = jax.random.split(jax.random.fold_in(key, e))
+        # fold on the GLOBAL epoch index: the random stream is invariant to
+        # how the host chunks epochs (verbose=1, checkpoint-every, resume)
+        k_pos, k_neg = jax.random.split(jax.random.fold_in(key, epoch_offset + e))
         pos_idx = jax.random.randint(k_pos, (n_total,), 0, n)
         if neg_population is None:
             neg_items = jax.random.randint(k_neg, (n_total,), 0, num_items)
@@ -249,17 +253,14 @@ class BPR(Recommender, ANNMixin):
 
         base_key = jax.random.PRNGKey(self.rng.randint(2**31))
         n = len(rid)
-        # verbose mode reports per-epoch; otherwise the whole fit is one
-        # compiled multi-epoch program (no host round-trips)
-        chunk = 1 if self.verbose else self.max_iter
-        done = 0
-        while done < self.max_iter:
-            e = min(chunk, self.max_iter - done)
+
+        def run_chunk(state, start, e):
+            U, V, Bi = state
             U, V, Bi, correct, skipped = _bpr_epochs(
                 U,
                 V,
                 Bi,
-                jax.random.fold_in(base_key, done),
+                base_key,
                 rid_d,
                 cid_d,
                 membership,
@@ -270,20 +271,35 @@ class BPR(Recommender, ANNMixin):
                 use_bias=self.use_bias,
                 num_items=train_set.num_items,
                 n_epochs=e,
+                epoch_offset=start,
                 variant=self._variant,
             )
-            done += e
-            if self.verbose:
-                correct, skipped = int(correct), int(skipped)
-                print(
-                    "Epoch %d/%d, correct: %.2f%%, skipped: %.2f%%"
-                    % (
-                        done,
-                        self.max_iter,
-                        100.0 * correct / (n - skipped + 1e-8),
-                        100.0 * skipped / n,
-                    )
+            return (U, V, Bi), (correct, skipped)
+
+        def report(done, info):
+            correct, skipped = int(info[0]), int(info[1])
+            print(
+                "Epoch %d/%d, correct: %.2f%%, skipped: %.2f%%"
+                % (
+                    done,
+                    self.max_iter,
+                    100.0 * correct / (n - skipped + 1e-8),
+                    100.0 * skipped / n,
                 )
+            )
+
+        place = None
+        if self.mesh is not None:
+            from ..parallel import shard_tables
+
+            place = lambda s: shard_tables(
+                self.mesh, *(jnp.asarray(x) for x in s)
+            )
+
+        U, V, Bi = epoch_loop(
+            self, self.max_iter, run_chunk, (U, V, Bi), on_report=report,
+            place=place,
+        )
 
         self.u_factors = np.asarray(U)[:n_u]
         self.i_factors = np.asarray(V)[:n_i]

@@ -201,6 +201,31 @@ class Recommender:
     # ------------------------------------------------------------------ #
     # training
     # ------------------------------------------------------------------ #
+    def enable_checkpointing(self, directory, every=10, resume=True, max_to_keep=3):
+        """Turn on periodic training checkpoints + mid-training resume.
+
+        The reference has no mid-training resume (``fit()`` always restarts;
+        reference ``models/recommender.py:223-304`` persists only finished
+        models). Trainers built on :func:`cornac_tpu.utils.checkpoint.epoch_loop`
+        save their training carry to ``directory`` every ``every`` epochs and,
+        when ``resume`` is true, continue from the newest checkpoint — with
+        per-epoch randomness keyed on the global epoch index, so the resumed
+        fit is bit-identical to an uninterrupted one (requires ``seed``).
+
+        Returns ``self`` for chaining.
+        """
+        self._ckpt_cfg = {
+            "dir": str(directory),
+            "every": max(1, int(every)),
+            "resume": bool(resume),
+            "max_to_keep": int(max_to_keep),
+        }
+        return self
+
+    def disable_checkpointing(self):
+        self._ckpt_cfg = None
+        return self
+
     def fit(self, train_set, val_set=None):
         """Capture train-set statistics; subclasses call super().fit() first
         and then run their training loop."""

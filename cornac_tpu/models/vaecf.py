@@ -19,6 +19,7 @@ import optax
 from ..engine.nn import ACTIVATIONS, dense, init_dense, init_mlp, mlp
 from ..exception import ScoreException
 from ..utils import get_rng
+from ..utils.checkpoint import epoch_loop
 from .recommender import ANNMixin, MEASURE_DOT, Recommender
 
 EPS = 1e-10
@@ -152,10 +153,11 @@ class VAECF(Recommender, ANNMixin):
         n_batches = X.shape[0] // bsz
 
         @partial(jax.jit, donate_argnums=(0, 1))
-        def run_epochs(params, opt_state, X_d, key, n_epochs):
+        def run_epochs(params, opt_state, X_d, key, n_epochs, epoch_offset):
             def epoch(e, carry):
                 params, opt_state, _ = carry
-                ekey = jax.random.fold_in(key, e)
+                # global epoch index: stream invariant to host chunking
+                ekey = jax.random.fold_in(key, epoch_offset + e)
 
                 def step(b, carry):
                     params, opt_state, loss_sum = carry
@@ -192,19 +194,32 @@ class VAECF(Recommender, ANNMixin):
             X_d = shard_batch(self.mesh, X_d)
             self.params, opt_state = replicate_all(self.mesh, self.params, opt_state)
         key = jax.random.PRNGKey(rng.randint(2**31))
-        chunk = 1 if self.verbose else self.n_epochs
-        done = 0
-        while done < self.n_epochs:
-            e = min(chunk, self.n_epochs - done)
-            self.params, opt_state, loss_sum = run_epochs(
-                self.params, opt_state, X_d, jax.random.fold_in(key, done), e
+
+        def run_chunk(state, start, e):
+            params, opt_state = state
+            params, opt_state, loss_sum = run_epochs(
+                params, opt_state, X_d, key, e, start
             )
-            done += e
-            if self.verbose:
-                print(
-                    "Epoch %d/%d, loss: %.4f"
-                    % (done, self.n_epochs, float(loss_sum) / n_batches)
-                )
+            return (params, opt_state), loss_sum
+
+        def report(done, loss_sum):
+            print(
+                "Epoch %d/%d, loss: %.4f"
+                % (done, self.n_epochs, float(loss_sum) / n_batches)
+            )
+
+        place = None
+        if self.mesh is not None:
+            from ..parallel import replicate_all
+
+            place = lambda s: replicate_all(
+                self.mesh, *jax.tree_util.tree_map(jnp.asarray, s)
+            )
+
+        self.params, opt_state = epoch_loop(
+            self, self.n_epochs, run_chunk, (self.params, opt_state),
+            on_report=report, place=place,
+        )
 
         return self
 

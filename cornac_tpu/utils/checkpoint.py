@@ -105,3 +105,78 @@ def tree_to_numpy(state):
     import jax
 
     return jax.tree_util.tree_map(lambda x: np.asarray(x), state)
+
+
+def epoch_loop(model, total, run_chunk, state, on_report=None, place=None):
+    """Host-side epoch driver shared by the jitted trainers: chunking for
+    verbose reporting, periodic checkpointing, and mid-training resume.
+
+    The reference restarts ``fit()`` from scratch on any interruption
+    (``models/recommender.py:223-304`` persists only finished models); this
+    is the SURVEY §5 mid-training resume that replaces that.
+
+    Parameters
+    ----------
+    model: the Recommender being fitted — supplies ``verbose`` and the
+        checkpoint config set by :meth:`Recommender.enable_checkpointing`.
+    total: total number of epochs.
+    run_chunk: ``(state, start_epoch, n_epochs) -> (state, info)`` running
+        ``n_epochs`` epochs in one compiled program. Implementations MUST
+        derive per-epoch randomness from the *global* epoch index
+        (``start_epoch + e``) so results are invariant to chunk boundaries —
+        that is what makes a resumed fit bit-identical to an uninterrupted
+        one.
+    state: pytree of device arrays (the training carry).
+    on_report: optional ``(done, info) -> None`` verbose callback, invoked
+        per chunk when ``model.verbose``.
+    place: optional ``pytree -> pytree`` re-placing a host-restored state
+        onto devices (e.g. re-applying mesh shardings). Defaults to
+        ``jnp.asarray`` per leaf.
+
+    Returns the final state.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    cfg = getattr(model, "_ckpt_cfg", None)
+    verbose = bool(getattr(model, "verbose", False))
+    mgr = None
+    done = 0
+    if cfg is not None:
+        mgr = CheckpointManager(cfg["dir"], max_to_keep=cfg["max_to_keep"])
+        if cfg["resume"]:
+            step, saved = mgr.restore_latest()
+            if step is not None:
+                done = min(int(step), total)
+                if place is None:
+                    restored = jax.tree_util.tree_map(jnp.asarray, saved)
+                else:
+                    restored = place(saved)
+                # graft restored leaves onto the live state's treedef (orbax
+                # may return plain dicts for custom nodes)
+                leaves, treedef = jax.tree_util.tree_flatten(restored)
+                state = jax.tree_util.tree_unflatten(
+                    jax.tree_util.tree_structure(state), leaves
+                )
+                if verbose:
+                    print("Resumed from checkpoint at epoch %d" % done)
+
+    chunk = total
+    if verbose:
+        chunk = 1
+    if mgr is not None:
+        chunk = min(chunk, cfg["every"])
+
+    try:
+        while done < total:
+            e = min(chunk, total - done)
+            state, info = run_chunk(state, done, e)
+            done += e
+            if verbose and on_report is not None:
+                on_report(done, info)
+            if mgr is not None and (done % cfg["every"] == 0 or done == total):
+                mgr.save(done, tree_to_numpy(state))
+    finally:
+        if mgr is not None:
+            mgr.close()
+    return state
