@@ -3,14 +3,17 @@
 Capability parity with reference ``cornac/models/mf/recom_mf.py:32`` +
 ``backend_cpu.pyx:20-120`` (Cython/OpenMP hogwild SGD), redesigned for TPU:
 
-- Training is a jit-compiled epoch: a ``lax.fori_loop`` over fixed-size
-  minibatches of observed ratings, each step = gather factor rows →
-  elementwise error → scatter-add updates. One compilation, whole epoch on
-  device, deterministic (no hogwild races; reference needed
-  ``num_threads=1`` for determinism, ``recom_mf.py`` docstring).
-- Epoch order is a fresh seeded permutation per epoch (the reference CPU
-  kernel iterates in data order; minibatch shuffling is standard SGD and
-  changes results only within seed variance).
+- Training is one jit-compiled multi-epoch program: ``lax.fori_loop`` over
+  epochs, each a ``lax.fori_loop`` over fixed-size minibatches of observed
+  ratings (gather factor rows → elementwise error → grouped row updates).
+  One compilation, whole fit on device, deterministic (no hogwild races;
+  reference needed ``num_threads=1`` for determinism, ``recom_mf.py``
+  docstring). ``verbose``/``early_stop``/checkpointing chunk the program
+  per-epoch on the host without changing results (per-epoch randomness is
+  keyed on the global epoch index).
+- Epoch order is a fresh device-side ``jax.random.permutation`` per epoch
+  (the reference CPU kernel iterates in data order; minibatch shuffling is
+  standard SGD and changes results only within seed variance).
 - ``score_batch`` is one device matmul over the item-factor table —
   this is what the batched eval harness calls.
 
@@ -27,6 +30,7 @@ import numpy as np
 from ..exception import ScoreException
 from ..ops.accumulate import accumulate_rows
 from ..utils import get_rng
+from ..utils.checkpoint import epoch_loop
 from ..utils.init_utils import normal, zeros
 from .recommender import ANNMixin, MEASURE_DOT, Recommender
 
@@ -38,16 +42,23 @@ DTYPE = np.float32
     static_argnames=("batch_size", "use_bias"),
     donate_argnums=(0, 1, 2, 3),
 )
-def _mf_sgd_epoch(
-    U, V, Bu, Bi, perm, mask, rid, cid, val, lr, reg, mu, batch_size, use_bias
+def _mf_sgd_epochs(
+    U, V, Bu, Bi, key, mask, rid, cid, val, lr, reg, mu, batch_size,
+    use_bias, n_epochs, epoch_offset,
 ):
-    """One SGD epoch over all observed ratings, minibatched on device.
+    """``n_epochs`` SGD epochs over all observed ratings in one compiled
+    program. Each epoch visits every rating once in a fresh device-side
+    permutation keyed on the GLOBAL epoch index (``epoch_offset + e``), so
+    results are invariant to how the host chunks epochs (verbose /
+    early-stop / checkpoint-resume). Returns the last epoch's loss.
 
     TPU specifics (same finding as ``bpr._bpr_epochs``): biases ride as
     extra factor columns (U gains [Bu, 1], V gains [1, Bi]) so the whole
     update is two one-hot matmuls on the MXU — XLA's scatter-add lowering
     is ~2.3x slower at these narrow factor widths."""
-    n_batches = perm.shape[0] // batch_size
+    n = rid.shape[0]
+    n_total = mask.shape[0]
+    n_batches = n_total // batch_size
     n_users, n_items = U.shape[0], V.shape[0]
     k = U.shape[1]
 
@@ -62,25 +73,38 @@ def _mf_sgd_epoch(
     else:
         u_gate = v_gate = jnp.ones((1, k), U.dtype)
 
-    def body(b, carry):
-        U, V, loss = carry
-        idx = jax.lax.dynamic_slice(perm, (b * batch_size,), (batch_size,))
-        m = jax.lax.dynamic_slice(mask, (b * batch_size,), (batch_size,))
-        u, i, r = rid[idx], cid[idx], val[idx]
-        pu, qi = U[u], V[i]
-        pred = jnp.sum(pu * qi, axis=1)
-        if use_bias:
-            pred = pred + mu
-        err = (r - pred) * m
-        loss = loss + jnp.sum(err * err)
-        dU = (err[:, None] * qi - reg * pu * m[:, None]) * u_gate
-        dV = (err[:, None] * pu - reg * qi * m[:, None]) * v_gate
-        U = accumulate_rows(U, u, lr * dU)
-        V = accumulate_rows(V, i, lr * dV)
-        return U, V, loss
+    def epoch(e, carry):
+        U, V, _ = carry
+        perm = jax.random.permutation(
+            jax.random.fold_in(key, epoch_offset + e), n
+        ).astype(jnp.int32)
+        perm = jnp.concatenate(
+            [perm, jnp.zeros((n_total - n,), jnp.int32)]
+        )
+
+        def body(b, carry):
+            U, V, loss = carry
+            idx = jax.lax.dynamic_slice(perm, (b * batch_size,), (batch_size,))
+            m = jax.lax.dynamic_slice(mask, (b * batch_size,), (batch_size,))
+            u, i, r = rid[idx], cid[idx], val[idx]
+            pu, qi = U[u], V[i]
+            pred = jnp.sum(pu * qi, axis=1)
+            if use_bias:
+                pred = pred + mu
+            err = (r - pred) * m
+            loss = loss + jnp.sum(err * err)
+            dU = (err[:, None] * qi - reg * pu * m[:, None]) * u_gate
+            dV = (err[:, None] * pu - reg * qi * m[:, None]) * v_gate
+            U = accumulate_rows(U, u, lr * dU)
+            V = accumulate_rows(V, i, lr * dV)
+            return U, V, loss
+
+        return jax.lax.fori_loop(
+            0, n_batches, body, (U, V, jnp.float32(0.0))
+        )
 
     U, V, loss = jax.lax.fori_loop(
-        0, n_batches, body, (U, V, jnp.float32(0.0))
+        0, n_epochs, epoch, (U, V, jnp.float32(0.0))
     )
     if use_bias:
         Bu, Bi = U[:, k], V[:, k + 1]
@@ -109,10 +133,9 @@ def _make_optimizer(name, lr):
     static_argnames=("batch_size", "use_bias", "optimizer", "dropout", "lr"),
     donate_argnums=(0, 1),
 )
-def _mf_optax_epoch(
+def _mf_optax_epochs(
     params,
     opt_state,
-    perm,
     mask,
     rid,
     cid,
@@ -125,47 +148,63 @@ def _mf_optax_epoch(
     optimizer,
     dropout,
     lr,
+    n_epochs,
+    epoch_offset,
 ):
-    """General-optimizer SGD epoch (reference torch backend parity,
-    ``mf/backend_pt.py:29-104``): per minibatch, autodiff through the
-    gathered-row prediction (XLA turns the gather's backward into the same
-    deterministic scatter-add), optax update, optional embedding dropout."""
+    """General-optimizer multi-epoch program (reference torch backend
+    parity, ``mf/backend_pt.py:29-104``): per minibatch, autodiff through
+    the gathered-row prediction (XLA turns the gather's backward into the
+    same deterministic scatter-add), optax update, optional embedding
+    dropout. Epoch order and dropout keys derive from the global epoch
+    index so host chunking doesn't change results."""
     import optax
 
     opt = _make_optimizer(optimizer, lr)
-    n_batches = perm.shape[0] // batch_size
+    n = rid.shape[0]
+    n_total = mask.shape[0]
+    n_batches = n_total // batch_size
 
-    def body(b, carry):
-        params, opt_state, loss_sum = carry
-        idx = jax.lax.dynamic_slice(perm, (b * batch_size,), (batch_size,))
-        m = jax.lax.dynamic_slice(mask, (b * batch_size,), (batch_size,))
-        u, i, r = rid[idx], cid[idx], val[idx]
+    def epoch(e, carry):
+        params, opt_state, _ = carry
+        ekey = jax.random.fold_in(key, epoch_offset + e)
+        perm = jax.random.permutation(ekey, n).astype(jnp.int32)
+        perm = jnp.concatenate([perm, jnp.zeros((n_total - n,), jnp.int32)])
 
-        def loss_fn(p):
-            pu, qi = p["U"][u], p["V"][i]
-            if dropout > 0.0:
-                kb = jax.random.fold_in(key, b)
-                ku, ki = jax.random.split(kb)
-                keep = 1.0 - dropout
-                pu = pu * jax.random.bernoulli(ku, keep, pu.shape) / keep
-                qi = qi * jax.random.bernoulli(ki, keep, qi.shape) / keep
-            pred = jnp.sum(pu * qi, axis=1)
-            if use_bias:
-                pred = pred + mu + p["Bu"][u] + p["Bi"][i]
-            err = (r - pred) * m
-            reg_term = reg * (
-                jnp.sum(jnp.square(p["U"][u]) * m[:, None])
-                + jnp.sum(jnp.square(p["V"][i]) * m[:, None])
-            )
-            return 0.5 * jnp.sum(err * err) + 0.5 * reg_term
+        def body(b, carry):
+            params, opt_state, loss_sum = carry
+            idx = jax.lax.dynamic_slice(perm, (b * batch_size,), (batch_size,))
+            m = jax.lax.dynamic_slice(mask, (b * batch_size,), (batch_size,))
+            u, i, r = rid[idx], cid[idx], val[idx]
 
-        loss, grads = jax.value_and_grad(loss_fn)(params)
-        updates, opt_state = opt.update(grads, opt_state, params)
-        params = optax.apply_updates(params, updates)
-        return params, opt_state, loss_sum + loss
+            def loss_fn(p):
+                pu, qi = p["U"][u], p["V"][i]
+                if dropout > 0.0:
+                    kb = jax.random.fold_in(ekey, b)
+                    ku, ki = jax.random.split(kb)
+                    keep = 1.0 - dropout
+                    pu = pu * jax.random.bernoulli(ku, keep, pu.shape) / keep
+                    qi = qi * jax.random.bernoulli(ki, keep, qi.shape) / keep
+                pred = jnp.sum(pu * qi, axis=1)
+                if use_bias:
+                    pred = pred + mu + p["Bu"][u] + p["Bi"][i]
+                err = (r - pred) * m
+                reg_term = reg * (
+                    jnp.sum(jnp.square(p["U"][u]) * m[:, None])
+                    + jnp.sum(jnp.square(p["V"][i]) * m[:, None])
+                )
+                return 0.5 * jnp.sum(err * err) + 0.5 * reg_term
+
+            loss, grads = jax.value_and_grad(loss_fn)(params)
+            updates, opt_state = opt.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return params, opt_state, loss_sum + loss
+
+        return jax.lax.fori_loop(
+            0, n_batches, body, (params, opt_state, jnp.float32(0.0))
+        )
 
     return jax.lax.fori_loop(
-        0, n_batches, body, (params, opt_state, jnp.float32(0.0))
+        0, n_epochs, epoch, (params, opt_state, jnp.float32(0.0))
     )
 
 
@@ -288,16 +327,19 @@ class MF(Recommender, ANNMixin):
             self._fit_optax(rng, rid_d, cid_d, val_d, mask_h, U, V, Bu, Bi, n, bsz, n_pad, n_u, n_i)
             return
 
-        last_loss = 0.0
-        for epoch in range(self.max_iter):
-            perm = np.concatenate([rng.permutation(n), np.zeros(n_pad, np.int64)])
-            U, V, Bu, Bi, loss = _mf_sgd_epoch(
+        key = jax.random.PRNGKey(rng.randint(2**31))
+        mask_d = jnp.asarray(mask_h)
+        last = {"loss": None}
+
+        def run_chunk(state, start, e):
+            U, V, Bu, Bi = state
+            U, V, Bu, Bi, loss = _mf_sgd_epochs(
                 U,
                 V,
                 Bu,
                 Bi,
-                jnp.asarray(perm, dtype=jnp.int32),
-                jnp.asarray(mask_h),
+                key,
+                mask_d,
                 rid_d,
                 cid_d,
                 val_d,
@@ -306,20 +348,51 @@ class MF(Recommender, ANNMixin):
                 jnp.float32(self.global_mean),
                 batch_size=bsz,
                 use_bias=self.use_bias,
+                n_epochs=e,
+                epoch_offset=start,
             )
-            loss = float(loss)
-            if self.verbose:
-                print("Epoch %d/%d, loss = %.2f" % (epoch + 1, self.max_iter, loss))
-            if self.early_stop and epoch > 0 and abs(loss - last_loss) < 1e-5:
-                if self.verbose:
-                    print("Early stopping, delta_loss = %.4f" % (loss - last_loss))
-                break
-            last_loss = loss
+            return (U, V, Bu, Bi), self._epoch_info(loss, last)
+
+        place = None
+        if self.mesh is not None:
+            from ..parallel import shard_tables
+
+            place = lambda s: shard_tables(
+                self.mesh, *(jnp.asarray(x) for x in s)
+            )
+
+        U, V, Bu, Bi = epoch_loop(
+            self,
+            self.max_iter,
+            run_chunk,
+            (U, V, Bu, Bi),
+            on_report=self._report,
+            place=place,
+            max_chunk=1 if self.early_stop else None,
+        )
 
         self.u_factors = np.asarray(U)[:n_u]
         self.i_factors = np.asarray(V)[:n_i]
         self.u_biases = np.asarray(Bu)[:n_u]
         self.i_biases = np.asarray(Bi)[:n_i]
+
+    def _epoch_info(self, loss, last):
+        """Early-stop bookkeeping shared by both optimizer paths: compare
+        this chunk's loss against the previous one on the host (reference
+        ``recom_mf.py`` delta-loss rule)."""
+        info = {"loss": loss}
+        if self.early_stop:
+            l = float(loss)
+            if last["loss"] is not None and abs(l - last["loss"]) < 1e-5:
+                info["stop"] = True
+                info["delta"] = l - last["loss"]
+            last["loss"] = l
+        return info
+
+    def _report(self, done, info):
+        print("Epoch %d/%d, loss = %.2f" % (done, self.max_iter, float(info["loss"])))
+        if info.get("stop"):
+            print("Early stopping, delta_loss = %.4f" % info["delta"])
 
     def _fit_optax(
         self, rng, rid_d, cid_d, val_d, mask_h, U, V, Bu, Bi, n, bsz, n_pad, n_u, n_i
@@ -332,35 +405,47 @@ class MF(Recommender, ANNMixin):
         )
         key = jax.random.PRNGKey(rng.randint(2**31))
         mask_d = jnp.asarray(mask_h)
+        last = {"loss": None}
 
-        last_loss = 0.0
-        for epoch in range(self.max_iter):
-            perm = np.concatenate([rng.permutation(n), np.zeros(n_pad, np.int64)])
-            params, opt_state, loss = _mf_optax_epoch(
+        def run_chunk(state, start, e):
+            params, opt_state = state
+            params, opt_state, loss = _mf_optax_epochs(
                 params,
                 opt_state,
-                jnp.asarray(perm, dtype=jnp.int32),
                 mask_d,
                 rid_d,
                 cid_d,
                 val_d,
                 jnp.float32(self.lambda_reg),
                 jnp.float32(self.global_mean),
-                jax.random.fold_in(key, epoch),
+                key,
                 batch_size=bsz,
                 use_bias=self.use_bias,
                 optimizer=self.optimizer,
                 dropout=float(self.dropout),
                 lr=float(self.learning_rate),
+                n_epochs=e,
+                epoch_offset=start,
             )
-            loss = float(loss)
-            if self.verbose:
-                print("Epoch %d/%d, loss = %.2f" % (epoch + 1, self.max_iter, loss))
-            if self.early_stop and epoch > 0 and abs(loss - last_loss) < 1e-5:
-                if self.verbose:
-                    print("Early stopping, delta_loss = %.4f" % (loss - last_loss))
-                break
-            last_loss = loss
+            return (params, opt_state), self._epoch_info(loss, last)
+
+        place = None
+        if self.mesh is not None:
+            from ..parallel import replicate_all
+
+            place = lambda s: replicate_all(
+                self.mesh, *jax.tree_util.tree_map(jnp.asarray, s)
+            )
+
+        params, opt_state = epoch_loop(
+            self,
+            self.max_iter,
+            run_chunk,
+            (params, opt_state),
+            on_report=self._report,
+            place=place,
+            max_chunk=1 if self.early_stop else None,
+        )
 
         self.u_factors = np.asarray(params["U"])[:n_u]
         self.i_factors = np.asarray(params["V"])[:n_i]

@@ -107,7 +107,8 @@ def tree_to_numpy(state):
     return jax.tree_util.tree_map(lambda x: np.asarray(x), state)
 
 
-def epoch_loop(model, total, run_chunk, state, on_report=None, place=None):
+def epoch_loop(model, total, run_chunk, state, on_report=None, place=None,
+               max_chunk=None):
     """Host-side epoch driver shared by the jitted trainers: chunking for
     verbose reporting, periodic checkpointing, and mid-training resume.
 
@@ -132,6 +133,12 @@ def epoch_loop(model, total, run_chunk, state, on_report=None, place=None):
     place: optional ``pytree -> pytree`` re-placing a host-restored state
         onto devices (e.g. re-applying mesh shardings). Defaults to
         ``jnp.asarray`` per leaf.
+    max_chunk: optional upper bound on epochs per compiled chunk — set to 1
+        by trainers that must observe per-epoch info on the host (e.g.
+        early stopping on delta-loss).
+
+    ``run_chunk`` may signal early stopping by returning an info dict with
+    a truthy ``"stop"`` key; a final checkpoint is written before exiting.
 
     Returns the final state.
     """
@@ -166,16 +173,23 @@ def epoch_loop(model, total, run_chunk, state, on_report=None, place=None):
         chunk = 1
     if mgr is not None:
         chunk = min(chunk, cfg["every"])
+    if max_chunk is not None:
+        chunk = min(chunk, max_chunk)
 
     try:
         while done < total:
             e = min(chunk, total - done)
             state, info = run_chunk(state, done, e)
             done += e
+            stop = isinstance(info, dict) and bool(info.get("stop"))
             if verbose and on_report is not None:
                 on_report(done, info)
-            if mgr is not None and (done % cfg["every"] == 0 or done == total):
+            if mgr is not None and (
+                done % cfg["every"] == 0 or done == total or stop
+            ):
                 mgr.save(done, tree_to_numpy(state))
+            if stop:
+                break
     finally:
         if mgr is not None:
             mgr.close()

@@ -68,6 +68,35 @@ class TestBPRCheckpoint:
         np.testing.assert_array_equal(a.i_factors, b.i_factors)
 
 
+class TestMFCheckpoint:
+    @pytest.mark.parametrize("optimizer", ["sgd", "adam"])
+    def test_resume_bit_identical(self, tmp_path, train_set, optimizer):
+        from cornac_tpu.models import MF
+
+        kw = dict(k=4, max_iter=8, optimizer=optimizer, seed=3)
+        straight = MF(**kw).fit(train_set)
+
+        MF(**{**kw, "max_iter": 3}).enable_checkpointing(
+            tmp_path / optimizer, every=3
+        ).fit(train_set)
+        resumed = MF(**kw).enable_checkpointing(
+            tmp_path / optimizer, every=3
+        ).fit(train_set)
+
+        np.testing.assert_array_equal(straight.u_factors, resumed.u_factors)
+        np.testing.assert_array_equal(straight.i_factors, resumed.i_factors)
+        np.testing.assert_array_equal(straight.u_biases, resumed.u_biases)
+
+    def test_early_stop_still_works(self, train_set, capsys):
+        from cornac_tpu.models import MF
+
+        m = MF(k=4, max_iter=50, learning_rate=0.0, early_stop=True,
+               seed=3, verbose=True)
+        m.fit(train_set)
+        out = capsys.readouterr().out
+        assert "Early stopping" in out
+
+
 class TestVAECFCheckpoint:
     def test_resume_bit_identical(self, tmp_path, train_set):
         from cornac_tpu.models import VAECF
