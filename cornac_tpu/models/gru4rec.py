@@ -30,6 +30,7 @@ import numpy as np
 import optax
 
 from ..utils import get_rng
+from ..utils.checkpoint import epoch_loop
 from ..utils.init_utils import xavier_uniform
 from .recommender import NextItemRecommender
 from .seq_utils import (
@@ -322,10 +323,11 @@ class GRU4Rec(NextItemRecommender):
         mask_d = jnp.asarray(mask)
 
         @partial(jax.jit, donate_argnums=(0, 1))
-        def run_epochs(params, opt_state, key, n_epochs):
+        def run_epochs(params, opt_state, key, n_epochs, epoch_offset):
             def epoch(e, carry):
                 params, opt_state, _ = carry
-                ekey = jax.random.fold_in(key, e)
+                # global epoch index: stream invariant to host chunking
+                ekey = jax.random.fold_in(key, epoch_offset + e)
                 order = jax.random.permutation(ekey, inputs_d.shape[0])
 
                 def step(b, carry):
@@ -352,37 +354,55 @@ class GRU4Rec(NextItemRecommender):
 
         key = jax.random.PRNGKey(self.rng.randint(2**31))
         select_best = self.model_selection == "best" and val_set is not None
-        chunk = (
-            self.val_eval_every
-            if select_best
-            else (1 if self.verbose else self.n_epochs)
-        )
-        best_score, best_params = -np.inf, None
-        done = 0
-        while done < self.n_epochs:
-            e = min(chunk, self.n_epochs - done)
-            self.params, opt_state, loss_sum = run_epochs(
-                self.params, opt_state, jax.random.fold_in(key, done), e
+
+        def run_chunk(state, start, e):
+            params, opt_state, best_params, best_score = state
+            params, opt_state, loss_sum = run_epochs(
+                params, opt_state, key, e, start
             )
-            done += e
-            if self.verbose:
-                print(
-                    "Epoch %d/%d, loss: %.4f"
-                    % (done, self.n_epochs, float(loss_sum) / n_batches)
-                )
+            info = {"loss": loss_sum}
             if select_best:
+                self.params = params
                 score = val_score(
                     self, train_set, val_set, self.val_metric, self.val_k
                 )
-                if self.verbose:
-                    print(
-                        "  val %s@%d = %.4f" % (self.val_metric, self.val_k, score)
-                    )
-                if score > best_score:
-                    best_score = score
-                    best_params = jax.tree_util.tree_map(np.asarray, self.params)
-        if select_best and best_params is not None:
-            self.params = jax.tree_util.tree_map(jnp.asarray, best_params)
+                info["val"] = score
+                if score > float(best_score):
+                    # deep copy: params buffers are donated to the next
+                    # run_epochs call and would be invalidated
+                    best_params = jax.tree_util.tree_map(jnp.array, params)
+                    best_score = jnp.float32(score)
+            return (params, opt_state, best_params, best_score), info
+
+        def report(done, info):
+            print(
+                "Epoch %d/%d, loss: %.4f"
+                % (done, self.n_epochs, float(info["loss"]) / n_batches)
+            )
+            if "val" in info:
+                print(
+                    "  val %s@%d = %.4f"
+                    % (self.val_metric, self.val_k, info["val"])
+                )
+
+        # best-so-far rides in the training state so checkpoint/resume
+        # preserves model selection across interruptions
+        state = (
+            self.params,
+            opt_state,
+            jax.tree_util.tree_map(jnp.array, self.params),
+            jnp.float32(-np.inf),
+        )
+        self.params, opt_state, best_params, best_score = epoch_loop(
+            self,
+            self.n_epochs,
+            run_chunk,
+            state,
+            on_report=report,
+            max_chunk=self.val_eval_every if select_best else None,
+        )
+        if select_best and np.isfinite(float(best_score)):
+            self.params = best_params
         return self
 
     def _history_states(self, histories):

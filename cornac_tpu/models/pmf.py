@@ -15,6 +15,7 @@ import numpy as np
 
 from ..exception import ScoreException
 from ..utils import get_rng
+from ..utils.checkpoint import epoch_loop
 from ..utils.common import scale, sigmoid
 from ..utils.init_utils import normal
 from .recommender import ANNMixin, MEASURE_DOT, Recommender
@@ -25,14 +26,19 @@ from .recommender import ANNMixin, MEASURE_DOT, Recommender
     static_argnames=("batch_size", "non_linear"),
     donate_argnums=(0, 1, 2, 3),
 )
-def _pmf_epoch(
-    U, V, cache_u, cache_v, perm, mask, rid, cid, val, lr, reg, gamma, batch_size, non_linear
+def _pmf_epochs(
+    U, V, cache_u, cache_v, key, mask, rid, cid, val, lr, reg, gamma,
+    batch_size, non_linear, n_epochs, epoch_offset,
 ):
-    """One RMSProp SGD epoch over observed ratings."""
+    """``n_epochs`` RMSProp SGD epochs over observed ratings in one compiled
+    program; per-epoch shuffles are device-side permutations keyed on the
+    global epoch index (chunk-invariant -> checkpoint/resume safe)."""
     eps = 1e-8
-    n_batches = perm.shape[0] // batch_size
+    n = rid.shape[0]
+    n_total = mask.shape[0]
+    n_batches = n_total // batch_size
 
-    def body(b, carry):
+    def body(perm, b, carry):
         U, V, cache_u, cache_v, loss = carry
         idx = jax.lax.dynamic_slice(perm, (b * batch_size,), (batch_size,))
         m = jax.lax.dynamic_slice(mask, (b * batch_size,), (batch_size,))
@@ -63,10 +69,22 @@ def _pmf_epoch(
         V = V.at[i].add(lr * gv / (jnp.sqrt(cv) + eps) * m[:, None])
         return U, V, cache_u, cache_v, loss
 
-    U, V, cache_u, cache_v, loss = jax.lax.fori_loop(
-        0, n_batches, body, (U, V, cache_u, cache_v, jnp.float32(0.0))
+    def epoch(e, carry):
+        U, V, cache_u, cache_v, _ = carry
+        perm = jax.random.permutation(
+            jax.random.fold_in(key, epoch_offset + e), n
+        ).astype(jnp.int32)
+        perm = jnp.concatenate([perm, jnp.zeros((n_total - n,), jnp.int32)])
+        return jax.lax.fori_loop(
+            0,
+            n_batches,
+            partial(body, perm),
+            (U, V, cache_u, cache_v, jnp.float32(0.0)),
+        )
+
+    return jax.lax.fori_loop(
+        0, n_epochs, epoch, (U, V, cache_u, cache_v, jnp.float32(0.0))
     )
-    return U, V, cache_u, cache_v, loss
 
 
 @jax.jit
@@ -162,15 +180,12 @@ class PMF(Recommender, ANNMixin):
             )
         cache_u = jnp.zeros_like(U)
         cache_v = jnp.zeros_like(V)
+        key = jax.random.PRNGKey(rng.randint(2**31))
 
-        for epoch in range(self.max_iter):
-            perm = np.concatenate([rng.permutation(n), np.zeros(n_pad, np.int64)])
-            U, V, cache_u, cache_v, loss = _pmf_epoch(
-                U,
-                V,
-                cache_u,
-                cache_v,
-                jnp.asarray(perm, dtype=jnp.int32),
+        def run_chunk(state, start, e):
+            U, V, cache_u, cache_v, loss = _pmf_epochs(
+                *state,
+                key,
                 mask_h,
                 rid_d,
                 cid_d,
@@ -180,9 +195,29 @@ class PMF(Recommender, ANNMixin):
                 jnp.float32(self.gamma),
                 batch_size=bsz,
                 non_linear=(self.variant == "non_linear"),
+                n_epochs=e,
+                epoch_offset=start,
             )
-            if self.verbose:
-                print("epoch %i, loss: %f" % (epoch, float(loss)))
+            return (U, V, cache_u, cache_v), loss
+
+        place = None
+        if self.mesh is not None:
+            from ..parallel import shard_tables
+
+            place = lambda s: shard_tables(
+                self.mesh, *(jnp.asarray(x) for x in s)
+            )
+
+        U, V, cache_u, cache_v = epoch_loop(
+            self,
+            self.max_iter,
+            run_chunk,
+            (U, V, cache_u, cache_v),
+            on_report=lambda done, loss: print(
+                "epoch %i, loss: %f" % (done - 1, float(loss))
+            ),
+            place=place,
+        )
 
         self.U = np.asarray(U, dtype=np.float64)[:n_u]
         self.V = np.asarray(V, dtype=np.float64)[:n_i]

@@ -25,6 +25,7 @@ import numpy as np
 
 from ..exception import ScoreException
 from ..utils import get_rng
+from ..utils.checkpoint import epoch_loop
 from ..utils.init_utils import xavier_uniform
 from .recommender import ANNMixin, MEASURE_DOT, Recommender
 
@@ -152,17 +153,30 @@ class WMF(Recommender, ANNMixin):
         u_idx, u_val, u_mask = _padded_csr(csr, chunk)
         i_idx, i_val, i_mask = _padded_csr(csc, chunk)
 
-        U, V = _als_fit(
-            jnp.asarray(self.U),
-            jnp.asarray(self.V),
-            u_idx, u_val, u_mask,
-            i_idx, i_val, i_mask,
-            jnp.float32(self.a),
-            jnp.float32(self.b),
-            jnp.float32(self.lambda_u),
-            jnp.float32(self.lambda_v),
-            k=self.k,
-            n_sweeps=self.max_iter,
+        def run_chunk(state, start, e):
+            # ALS is deterministic and memoryless across sweeps, so any
+            # chunking (verbose / checkpoint / resume) is exact by nature
+            U, V = _als_fit(
+                state[0], state[1],
+                u_idx, u_val, u_mask,
+                i_idx, i_val, i_mask,
+                jnp.float32(self.a),
+                jnp.float32(self.b),
+                jnp.float32(self.lambda_u),
+                jnp.float32(self.lambda_v),
+                k=self.k,
+                n_sweeps=e,
+            )
+            return (U, V), None
+
+        U, V = epoch_loop(
+            self,
+            self.max_iter,
+            run_chunk,
+            (jnp.asarray(self.U), jnp.asarray(self.V)),
+            on_report=lambda done, _: print(
+                "ALS sweep %d/%d" % (done, self.max_iter)
+            ),
         )
         self.U = np.asarray(U)
         self.V = np.asarray(V)

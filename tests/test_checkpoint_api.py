@@ -136,6 +136,78 @@ class TestVAECFCheckpoint:
             np.testing.assert_array_equal(np.asarray(ls), np.asarray(lr))
 
 
+class TestMoreFamilies:
+    def test_pmf_resume_bit_identical(self, tmp_path, train_set):
+        from cornac_tpu.models import PMF
+
+        kw = dict(k=3, max_iter=6, seed=9)
+        straight = PMF(**kw).fit(train_set)
+        PMF(**{**kw, "max_iter": 2}).enable_checkpointing(
+            tmp_path / "p", every=2
+        ).fit(train_set)
+        resumed = PMF(**kw).enable_checkpointing(tmp_path / "p", every=2).fit(
+            train_set
+        )
+        np.testing.assert_array_equal(straight.U, resumed.U)
+        np.testing.assert_array_equal(straight.V, resumed.V)
+
+    def test_wmf_resume_bit_identical(self, tmp_path, train_set):
+        from cornac_tpu.models import WMF
+
+        kw = dict(k=3, max_iter=6, seed=9)
+        straight = WMF(**kw).fit(train_set)
+        WMF(**{**kw, "max_iter": 2}).enable_checkpointing(
+            tmp_path / "w", every=2
+        ).fit(train_set)
+        resumed = WMF(**kw).enable_checkpointing(tmp_path / "w", every=2).fit(
+            train_set
+        )
+        np.testing.assert_array_equal(straight.U, resumed.U)
+        np.testing.assert_array_equal(straight.V, resumed.V)
+
+
+class TestSequentialCheckpoint:
+    @pytest.fixture(scope="class")
+    def seq_sets(self):
+        from cornac_tpu.eval_methods import NextItemEvaluation
+
+        data = Reader().read(os.path.join(DATA_DIR, "sequence.txt"), fmt="USIT")
+        sids = sorted({t[1] for t in data})
+        cut = sids[int(len(sids) * 0.7)]
+        ev = NextItemEvaluation.from_splits(
+            train_data=[t for t in data if t[1] <= cut],
+            test_data=[t for t in data if t[1] > cut],
+            fmt="USIT", exclude_unknowns=True, seed=3, mode="next",
+        )
+        return ev.train_set
+
+    @pytest.mark.parametrize("model_name", ["GRU4Rec", "SASRec"])
+    def test_resume_bit_identical(self, tmp_path, seq_sets, model_name):
+        import cornac_tpu.models as M
+
+        kw = dict(
+            GRU4Rec=dict(layers=[8], n_epochs=4, batch_size=8, seed=5),
+            SASRec=dict(embedding_dim=8, n_epochs=4, batch_size=8, seed=5),
+        )[model_name]
+        cls = getattr(M, model_name)
+        straight = cls(**kw).fit(seq_sets)
+
+        cls(**{**kw, "n_epochs": 2}).enable_checkpointing(
+            tmp_path / model_name, every=2
+        ).fit(seq_sets)
+        resumed = cls(**kw).enable_checkpointing(
+            tmp_path / model_name, every=2
+        ).fit(seq_sets)
+
+        import jax
+
+        for ls, lr in zip(
+            jax.tree_util.tree_leaves(straight.params),
+            jax.tree_util.tree_leaves(resumed.params),
+        ):
+            np.testing.assert_array_equal(np.asarray(ls), np.asarray(lr))
+
+
 class TestExperimentCheckpoint:
     def test_experiment_checkpoint_dir(self, tmp_path, train_set):
         from cornac_tpu.eval_methods import RatioSplit
