@@ -216,6 +216,10 @@ def main():
 
     for name in args.models.split(","):
         rec = {"model": name, "scale": args.scale}
+        prior = os.path.join(args.outdir, f"{args.scale}_{name}.json")
+        if os.path.exists(prior):  # merge: re-running one side keeps the other
+            with open(prior) as f:
+                rec.update(json.load(f))
         for side in args.sides.split(","):
             print(f"[{name}] {side} ...", flush=True)
             try:

