@@ -95,6 +95,92 @@ def make_epochs_fn_matmul(n, n_users, n_items):
     return run
 
 
+def make_epochs_fn_hybrid(n, n_users, n_items, pack_pos=True, u_matmul=True,
+                          merge_v=False):
+    """Hybrid epoch: (u,i) positives packed into ONE int32 gather + decode;
+    U-row fetch + membership fused into one OH matmul; V rows native."""
+    n_words = (n_items + 15) // 16
+    shift = 11  # 1682 < 2048
+
+    @partial(jax.jit, static_argnames=("batch_size",), donate_argnums=(0, 1))
+    def run(U, V, key, uic, rid, cid, W16, bitmap, batch_size, n_epochs):
+        n_pad = (-n) % batch_size
+        n_total = n + n_pad
+        n_batches = n_total // batch_size
+        pad_mask = jnp.arange(n_total) < n
+        k = U.shape[1]
+        if u_matmul:
+            UT = jnp.concatenate([U, W16], axis=1)
+        else:
+            UT = U
+
+        def epoch(e, carry):
+            UT, V = carry
+            k_pos, k_neg = jax.random.split(jax.random.fold_in(key, e))
+            pos_idx = jax.random.randint(k_pos, (n_total,), 0, n)
+            neg_items = jax.random.randint(k_neg, (n_total,), 0, n_items)
+            if pack_pos:
+                code = uic[pos_idx]
+                users = code >> shift
+                pos_items = code & ((1 << shift) - 1)
+            else:
+                users = rid[pos_idx]
+                pos_items = cid[pos_idx]
+
+            def body(b, carry):
+                UT, V = carry
+                sl = lambda a: jax.lax.dynamic_slice(a, (b * batch_size,), (batch_size,))
+                u, i, j = sl(users), sl(pos_items), sl(neg_items)
+                pm = sl(pad_mask)
+
+                ohu = jax.nn.one_hot(u, n_users, dtype=UT.dtype)
+                if u_matmul:
+                    row = ohu @ UT
+                    wu, hw = row[:, :k], row[:, k:]
+                    sel = jax.nn.one_hot(j >> 4, n_words, dtype=UT.dtype)
+                    word = jnp.sum(hw * sel, axis=1)
+                    bit = jnp.floor(word * jnp.exp2(-(j & 15).astype(UT.dtype)))
+                    observed = (bit % 2.0) >= 1.0
+                else:
+                    wu = UT[u]
+                    kk = u * jnp.int32(n_items) + j
+                    word = bitmap[jax.lax.shift_right_logical(kk, 5)]
+                    bitu = jax.lax.shift_right_logical(
+                        word, (kk & 31).astype(jnp.uint32)) & jnp.uint32(1)
+                    observed = bitu != 0
+                m = ~observed & (i != j) & pm
+                mf = m.astype(UT.dtype)
+
+                if merge_v:
+                    vij = V[jnp.concatenate([i, j])]
+                    vi, vj = vij[:batch_size], vij[batch_size:]
+                else:
+                    vi, vj = V[i], V[j]
+
+                x_uij = jnp.sum(wu * (vi - vj), axis=1)
+                z = mf / (1.0 + jnp.exp(x_uij))
+                dU = z[:, None] * (vi - vj) - 0.01 * wu * mf[:, None]
+                dVi = z[:, None] * wu - 0.01 * vi * mf[:, None]
+                dVj = -z[:, None] * wu - 0.01 * vj * mf[:, None]
+                if u_matmul:
+                    dUT = jnp.pad(dU, ((0, 0), (0, n_words)))
+                else:
+                    dUT = dU
+                UT = UT + 0.001 * jnp.tensordot(ohu, dUT, axes=((0,), (0,)))
+                ohij = jax.nn.one_hot(
+                    jnp.concatenate([i, j]), n_items, dtype=V.dtype)
+                V = V + 0.001 * jnp.tensordot(
+                    ohij, jnp.concatenate([dVi, dVj]), axes=((0,), (0,)))
+                return UT, V
+
+            return jax.lax.fori_loop(0, n_batches, body, (UT, V))
+
+        UT, V = jax.lax.fori_loop(0, n_epochs, epoch, (UT, V))
+        return UT[:, :k], V
+
+    return run
+
+
 def make_epochs_fn(n, n_users, n_items, ablate=()):
     @partial(jax.jit, static_argnames=("batch_size",), donate_argnums=(0, 1))
     def run(U, V, key, rid, cid, bitmap, batch_size, n_epochs):
@@ -208,6 +294,25 @@ def main():
 
         t = timeit(make_args, fn)
         print(f"matmul_gather_b{bs:<6d} {t / E * 1e3:8.3f} ms/epoch   ({t:.3f}s / {E} epochs)",
+              flush=True)
+
+    uic = jnp.asarray(
+        (np.asarray(rid) << 11) | np.asarray(cid), jnp.int32
+    )
+    for name, kw in [
+        ("hybrid_pack_only", dict(pack_pos=True, u_matmul=False)),
+        ("hybrid_pack_umm", dict(pack_pos=True, u_matmul=True)),
+        ("hybrid_pack_umm_mv", dict(pack_pos=True, u_matmul=True, merge_v=True)),
+    ]:
+        fn = make_epochs_fn_hybrid(n, n_users, n_items, **kw)
+
+        def make_args():
+            return (jax.random.normal(key, (n_users, k), jnp.float32),
+                    jax.random.normal(key, (n_items, k), jnp.float32),
+                    key, uic, rid, cid, W16, bitmap, 4096, E)
+
+        t = timeit(make_args, fn)
+        print(f"{name:22s} {t / E * 1e3:8.3f} ms/epoch   ({t:.3f}s / {E} epochs)",
               flush=True)
 
 

@@ -47,6 +47,75 @@ def init_mlp(rng, sizes):
     return [init_dense(rng, sizes[i], sizes[i + 1]) for i in range(len(sizes) - 1)]
 
 
+# ---------------------------------------------------------------------- #
+# transformer building blocks (shared by SASRec / BERT4Rec /
+# TransformerRec / TIGER — the reference carries a separate torch module
+# per model, e.g. sasrec/sasrec.py vs bert4rec's transformer)
+# ---------------------------------------------------------------------- #
+def layer_norm(x, g, b, eps=1e-8):
+    mu = jnp.mean(x, axis=-1, keepdims=True)
+    var = jnp.var(x, axis=-1, keepdims=True)
+    return (x - mu) * jax.lax.rsqrt(var + eps) * g + b
+
+
+def make_drop(dropout, drop_key):
+    """Inverted-dropout closure: ``drop(x, i)`` folds ``i`` into the key so
+    each call site draws an independent mask; identity when rate is 0 or no
+    key is given (inference)."""
+
+    def drop(x, i):
+        if dropout <= 0.0 or drop_key is None:
+            return x
+        keep = 1.0 - dropout
+        k = jax.random.fold_in(drop_key, i)
+        return x * jax.random.bernoulli(k, keep, x.shape) / keep
+
+    return drop
+
+
+def init_transformer_block(xav, d, ffn_mult=1):
+    """Pre-LN transformer block params. ``xav`` is the caller's
+    xavier-init closure so the rng consumption order stays owned by the
+    model (frozen quality goldens pin it)."""
+    return {
+        "Wq": xav((d, d)),
+        "Wk": xav((d, d)),
+        "Wv": xav((d, d)),
+        "Wo": xav((d, d)),
+        "ln1_g": jnp.ones(d, jnp.float32),
+        "ln1_b": jnp.zeros(d, jnp.float32),
+        "ff1": xav((d, ffn_mult * d)),
+        "ff1_b": jnp.zeros(ffn_mult * d, jnp.float32),
+        "ff2": xav((ffn_mult * d, d)),
+        "ff2_b": jnp.zeros(d, jnp.float32),
+        "ln2_g": jnp.ones(d, jnp.float32),
+        "ln2_b": jnp.zeros(d, jnp.float32),
+    }
+
+
+def block_attention(blk, q_in, kv_in, attn_mask, n_heads, drop, di):
+    """One multi-head attention sub-layer: queries from ``q_in``, keys/
+    values from ``kv_in`` (two-stream and SASRec's LN-on-queries-only both
+    fall out of this asymmetry). ``attn_mask``: (B, Lq, Lk) bool."""
+    B, L, d = kv_in.shape
+    head_dim = d // n_heads
+    Q = (q_in @ blk["Wq"]).reshape(B, -1, n_heads, head_dim)
+    K = (kv_in @ blk["Wk"]).reshape(B, L, n_heads, head_dim)
+    V = (kv_in @ blk["Wv"]).reshape(B, L, n_heads, head_dim)
+    logits = jnp.einsum("blhd,bmhd->bhlm", Q, K) / np.sqrt(head_dim)
+    logits = jnp.where(attn_mask[:, None, :, :], logits, -1e9)
+    attn = jax.nn.softmax(logits, axis=-1)
+    ctx = jnp.einsum("bhlm,bmhd->blhd", attn, V).reshape(B, -1, d)
+    return drop(ctx @ blk["Wo"], di)
+
+
+def block_ffn(blk, h, drop, di, act=jax.nn.gelu):
+    """Pre-LN feed-forward sub-layer."""
+    f = layer_norm(h, blk["ln2_g"], blk["ln2_b"])
+    f = act(f @ blk["ff1"] + blk["ff1_b"])
+    return drop(f @ blk["ff2"] + blk["ff2_b"], di)
+
+
 def mlp(params, x, act, final_act=None):
     """Apply the stack; ``act`` between layers, ``final_act`` after the last
     (None = linear head)."""

@@ -36,7 +36,7 @@ DTYPE = np.float32
 
 @partial(
     jax.jit,
-    static_argnames=("batch_size", "use_bias", "num_items", "variant"),
+    static_argnames=("batch_size", "use_bias", "num_items", "variant", "pack_shift"),
     donate_argnums=(0, 1, 2),
 )
 def _bpr_epochs(
@@ -56,6 +56,9 @@ def _bpr_epochs(
     n_epochs,
     epoch_offset=0,
     variant="bpr",
+    uic=None,
+    W16=None,
+    pack_shift=None,
 ):
     """Run ``n_epochs`` BPR epochs in one compiled program (no host
     round-trips between epochs). Each epoch: sample |R| triplets, reject
@@ -64,13 +67,32 @@ def _bpr_epochs(
     parity with the reference progress stats. ``n_epochs`` is a traced
     scalar so one compilation serves any epoch count.
 
-    TPU specifics (measured on v5e): the item bias rides as an extra
-    column of V (a user column of ones pairs with it), so the whole update
-    is two table writes instead of six — and those writes are one-hot
-    matmuls on the MXU rather than scatter-adds, which XLA lowers to a
-    serialized update loop at these narrow factor widths (~2.3x slower
-    than the matmul form)."""
-    n = rid.shape[0]
+    TPU specifics (measured on v5e, benchmarks/micro_bpr_epoch.py):
+
+    - the item bias rides as an extra column of V (a user column of ones
+      pairs with it), so the whole update is two table writes instead of
+      six — and those writes are one-hot matmuls on the MXU rather than
+      scatter-adds, which XLA lowers to a serialized update loop at these
+      narrow factor widths (~2.3x slower than the matmul form).
+    - the epoch cost is dominated by per-element dynamic gathers, not by
+      dispatch or MXU work (batch-size invariant: 2.6ms/epoch at ML-100K
+      shape for any batch in 2k..16k). Two gather eliminations cut it to
+      1.48ms/epoch:
+
+      * ``uic``/``pack_shift``: the positive (user, item) pair is packed
+        into one int32 (``u << shift | i``) so sampling positives costs ONE
+        gather instead of two (``rid``/``cid`` stay for the unpacked path).
+      * ``W16``: the user->item membership bitmap stored as 16-bit
+        halfwords in exact-f32 columns riding on the user table — the
+        user-factor fetch and the membership-row fetch become ONE one-hot
+        matmul on the MXU (the factor width pads to 128 lanes anyway, so
+        the extra columns are free at recommender scale), replacing both
+        the per-row U gather and the per-sample bitmap gather. The bit
+        test is then pure VPU math: select halfword ``j >> 4``, extract
+        bit ``j & 15`` via exp2/floor/mod (exact: halfwords <= 65535 are
+        exact f32, and the one-hot matmul moves each value untouched).
+    """
+    n = (uic if uic is not None else rid).shape[0]
     n_pad = (-n) % batch_size
     n_total = n + n_pad
     n_batches = n_total // batch_size
@@ -82,6 +104,9 @@ def _bpr_epochs(
         U = jnp.concatenate([U, jnp.ones((n_users, 1), U.dtype)], axis=1)
         V = jnp.concatenate([V, Bi[:, None]], axis=1)
     k_ext = U.shape[1]
+    fused = W16 is not None
+    if fused:
+        n_words = W16.shape[1]
     # gradient gate: the ones column of U must stay fixed
     u_col_gate = (
         jnp.arange(k_ext) < (k_ext - 1 if use_bias else k_ext)
@@ -101,18 +126,40 @@ def _bpr_epochs(
             )
             neg_items = neg_population[neg_pos]
 
-        users = rid[pos_idx]
-        pos_items = cid[pos_idx]
-        observed = membership.query(users, neg_items)
-        valid = ~observed & (pos_items != neg_items) & pad_mask
+        if uic is not None:
+            code = uic[pos_idx]
+            users = jax.lax.shift_right_logical(code, pack_shift)
+            pos_items = code & jnp.int32((1 << pack_shift) - 1)
+        else:
+            users = rid[pos_idx]
+            pos_items = cid[pos_idx]
+        base_valid = (pos_items != neg_items) & pad_mask
+        if not fused:
+            observed = membership.query(users, neg_items)
+            base_valid = ~observed & base_valid
 
         def body(b, carry):
             U, V, correct, skipped = carry
             sl = lambda a: jax.lax.dynamic_slice(a, (b * batch_size,), (batch_size,))
-            u, i, j, m = sl(users), sl(pos_items), sl(neg_items), sl(valid)
+            u, i, j, m = sl(users), sl(pos_items), sl(neg_items), sl(base_valid)
+
+            if fused:
+                # the concat is rebuilt per step (W16 is frozen) so the U
+                # update below stays the exact same matmul as the general
+                # path — bit-identical results either way
+                UT = jnp.concatenate([U, W16], axis=1)
+                ohu = jax.nn.one_hot(u, n_users, dtype=U.dtype)
+                row = ohu @ UT  # one MXU op: factors + membership halfwords
+                wu, hw = row[:, :k_ext], row[:, k_ext:]
+                selw = jax.nn.one_hot(j >> 4, n_words, dtype=U.dtype)
+                word = jnp.sum(hw * selw, axis=1)
+                bit = jnp.floor(word * jnp.exp2(-(j & 15).astype(U.dtype)))
+                m = m & ((bit % 2.0) < 1.0)
+            else:
+                wu = U[u]
             mf = m.astype(U.dtype)
 
-            wu, vi, vj = U[u], V[i], V[j]
+            vi, vj = V[i], V[j]
             x_uij = jnp.sum(wu * (vi - vj), axis=1)  # bias rides in col k
             if variant == "hinge":
                 # max-margin (MMMF, recom_mmmf.pyx:144-159): update only
@@ -149,6 +196,21 @@ def _bpr_epochs(
         Bi = V[:, -1]
         U, V = U[:, :-1], V[:, :-1]
     return U, V, Bi, correct, skipped
+
+
+def _membership_halfwords(csr_matrix, n_words):
+    """(n_users, n_words) f32 table of 16-bit membership bitmap halfwords
+    (values <= 65535, exact in f32) — columns for the fused fetch."""
+    n_users = csr_matrix.shape[0]
+    rows = np.repeat(
+        np.arange(n_users, dtype=np.int64), np.diff(csr_matrix.indptr)
+    )
+    cols = csr_matrix.indices
+    words = np.zeros((n_users, n_words), np.int32)
+    np.bitwise_or.at(
+        words, (rows, cols >> 4), np.int32(1) << (cols & 15).astype(np.int32)
+    )
+    return words.astype(np.float32)
 
 
 @jax.jit
@@ -238,6 +300,32 @@ class BPR(Recommender, ANNMixin):
         membership = build_membership(train_set.csr_matrix)
         neg_pop = self._neg_population(train_set)
 
+        # gather-elimination gates (single-device only; the mesh path keeps
+        # the general form). See _bpr_epochs docstring for the measured win.
+        # Results are deterministic either way but the two program shapes
+        # are not bit-identical (XLA reassociates fused reductions);
+        # ``fused_fetch=False`` forces the general form for exact
+        # comparisons (e.g. the mesh-equals-single-device tests).
+        uic = W16 = None
+        pack_shift = None
+        if self.mesh is None and getattr(self, "fused_fetch", True):
+            shift = max(1, int(np.ceil(np.log2(max(train_set.num_items, 2)))))
+            if (train_set.num_users - 1) < (1 << (31 - shift)):
+                pack_shift = shift
+                uic = jnp.asarray(
+                    (np.asarray(rid, np.int64) << shift) | np.asarray(cid, np.int64),
+                    dtype=jnp.int32,
+                )
+            n_words = (train_set.num_items + 15) // 16
+            k_cols = self.k + (1 if self.use_bias else 0)
+            if (
+                k_cols + n_words <= 256
+                and train_set.num_users * n_words * 4 <= 128 * 1024 * 1024
+            ):
+                W16 = jnp.asarray(
+                    _membership_halfwords(train_set.csr_matrix, n_words)
+                )
+
         U = jnp.asarray(self.u_factors)
         V = jnp.asarray(self.i_factors)
         Bi = jnp.asarray(self.i_biases)
@@ -273,6 +361,9 @@ class BPR(Recommender, ANNMixin):
                 n_epochs=e,
                 epoch_offset=start,
                 variant=self._variant,
+                uic=uic,
+                W16=W16,
+                pack_shift=pack_shift,
             )
             return (U, V, Bi), (correct, skipped)
 

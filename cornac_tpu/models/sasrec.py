@@ -19,6 +19,13 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 
+from ..engine.nn import (
+    block_attention,
+    block_ffn,
+    init_transformer_block,
+    layer_norm,
+    make_drop,
+)
 from ..utils import get_rng
 from ..utils.checkpoint import epoch_loop
 from ..utils.init_utils import xavier_uniform
@@ -39,24 +46,7 @@ def _init_sasrec(rng, vocab, d, n_layers, max_len, use_pos_emb, use_biases):
     def xav(shape):
         return jnp.asarray(xavier_uniform(shape, rng))
 
-    blocks = []
-    for _ in range(n_layers):
-        blocks.append(
-            {
-                "Wq": xav((d, d)),
-                "Wk": xav((d, d)),
-                "Wv": xav((d, d)),
-                "Wo": xav((d, d)),
-                "ln1_g": jnp.ones(d, jnp.float32),
-                "ln1_b": jnp.zeros(d, jnp.float32),
-                "ff1": xav((d, d)),
-                "ff1_b": jnp.zeros(d, jnp.float32),
-                "ff2": xav((d, d)),
-                "ff2_b": jnp.zeros(d, jnp.float32),
-                "ln2_g": jnp.ones(d, jnp.float32),
-                "ln2_b": jnp.zeros(d, jnp.float32),
-            }
-        )
+    blocks = [init_transformer_block(xav, d, ffn_mult=1) for _ in range(n_layers)]
     params = {
         # + 1 row: index `vocab` is the padding id
         "emb": jnp.asarray(
@@ -75,10 +65,8 @@ def _init_sasrec(rng, vocab, d, n_layers, max_len, use_pos_emb, use_biases):
     return params
 
 
-def _layernorm(x, g, b):
-    mu = jnp.mean(x, axis=-1, keepdims=True)
-    var = jnp.var(x, axis=-1, keepdims=True)
-    return (x - mu) * jax.lax.rsqrt(var + 1e-8) * g + b
+# back-compat alias: transformer_rec historically imported this from here
+_layernorm = layer_norm
 
 
 @partial(jax.jit, static_argnames=("pad_id", "n_heads", "n_items"))
@@ -108,36 +96,21 @@ def _sasrec_states(params, seq, pad_id, n_heads, dropout=0.0, drop_key=None):
         h = h + params["pos"][None, :, :]
     h = h * key_mask[:, :, None]
 
-    def drop(x, i):
-        if dropout <= 0.0 or drop_key is None:
-            return x
-        keep = 1.0 - dropout
-        k = jax.random.fold_in(drop_key, i)
-        return x * jax.random.bernoulli(k, keep, x.shape) / keep
-
+    drop = make_drop(dropout, drop_key)
     h = drop(h, 0)
 
     causal = jnp.tril(jnp.ones((L, L), bool))
     attn_mask = causal[None, :, :] & key_mask[:, None, :]  # (B, L, L)
 
-    head_dim = d // n_heads
     for bi, blk in enumerate(params["blocks"]):
-        q = _layernorm(h, blk["ln1_g"], blk["ln1_b"])
-        Q = (q @ blk["Wq"]).reshape(B, L, n_heads, head_dim)
-        K = (h @ blk["Wk"]).reshape(B, L, n_heads, head_dim)
-        V = (h @ blk["Wv"]).reshape(B, L, n_heads, head_dim)
-        logits = jnp.einsum("blhd,bmhd->bhlm", Q, K) / np.sqrt(head_dim)
-        logits = jnp.where(attn_mask[:, None, :, :], logits, -1e9)
-        attn = jax.nn.softmax(logits, axis=-1)
-        ctx = jnp.einsum("bhlm,bmhd->blhd", attn, V).reshape(B, L, d)
-        h = h + drop(ctx @ blk["Wo"], 2 * bi + 1)
-
-        f = _layernorm(h, blk["ln2_g"], blk["ln2_b"])
-        f = jax.nn.relu(f @ blk["ff1"] + blk["ff1_b"])
-        h = h + drop(f @ blk["ff2"] + blk["ff2_b"], 2 * bi + 2)
+        # SASRec quirk kept from the original implementation: queries are
+        # layer-normed, keys/values come from the raw residual stream
+        q = layer_norm(h, blk["ln1_g"], blk["ln1_b"])
+        h = h + block_attention(blk, q, h, attn_mask, n_heads, drop, 2 * bi + 1)
+        h = h + block_ffn(blk, h, drop, 2 * bi + 2, act=jax.nn.relu)
         h = h * key_mask[:, :, None]
 
-    return _layernorm(h, params["ln_f_g"], params["ln_f_b"])
+    return layer_norm(h, params["ln_f_g"], params["ln_f_b"])
 
 
 class SASRec(NextItemRecommender):

@@ -41,7 +41,13 @@ import optax
 from ..utils import get_rng
 from ..utils.init_utils import xavier_uniform
 from .recommender import NextItemRecommender
-from .sasrec import _layernorm
+from ..engine.nn import (
+    block_attention as _block_attention,
+    block_ffn as _block_ffn,
+    init_transformer_block,
+    layer_norm as _layernorm,
+    make_drop as _make_drop,
+)
 from .seq_utils import (
     SUPPORTED_LOSSES,
     batch_loss,
@@ -64,24 +70,9 @@ def _init_transformer(
     def xav(shape):
         return jnp.asarray(xavier_uniform(shape, rng))
 
-    blocks = []
-    for _ in range(n_layers):
-        blocks.append(
-            {
-                "Wq": xav((d, d)),
-                "Wk": xav((d, d)),
-                "Wv": xav((d, d)),
-                "Wo": xav((d, d)),
-                "ln1_g": jnp.ones(d, jnp.float32),
-                "ln1_b": jnp.zeros(d, jnp.float32),
-                "ff1": xav((d, ffn_mult * d)),
-                "ff1_b": jnp.zeros(ffn_mult * d, jnp.float32),
-                "ff2": xav((ffn_mult * d, d)),
-                "ff2_b": jnp.zeros(d, jnp.float32),
-                "ln2_g": jnp.ones(d, jnp.float32),
-                "ln2_b": jnp.zeros(d, jnp.float32),
-            }
-        )
+    blocks = [
+        init_transformer_block(xav, d, ffn_mult=ffn_mult) for _ in range(n_layers)
+    ]
     params = {
         "emb": jnp.asarray(
             rng.normal(0, 0.02, (vocab_with_special, d)).astype(np.float32)
@@ -112,35 +103,8 @@ def _encode_scores(params, seq, pad_id, n_heads, causal, n_items):
     return last @ params["emb"][:n_items].T + params["out_b"][:n_items]
 
 
-def _block_attention(blk, q_in, kv_in, attn_mask, n_heads, drop, di):
-    """One attention sub-layer: queries from q_in, keys/values from kv_in."""
-    B, L, d = kv_in.shape
-    head_dim = d // n_heads
-    Q = (q_in @ blk["Wq"]).reshape(B, -1, n_heads, head_dim)
-    K = (kv_in @ blk["Wk"]).reshape(B, L, n_heads, head_dim)
-    V = (kv_in @ blk["Wv"]).reshape(B, L, n_heads, head_dim)
-    logits = jnp.einsum("blhd,bmhd->bhlm", Q, K) / np.sqrt(head_dim)
-    logits = jnp.where(attn_mask[:, None, :, :], logits, -1e9)
-    attn = jax.nn.softmax(logits, axis=-1)
-    ctx = jnp.einsum("bhlm,bmhd->blhd", attn, V).reshape(B, -1, d)
-    return drop(ctx @ blk["Wo"], di)
-
-
-def _block_ffn(blk, h, drop, di):
-    f = _layernorm(h, blk["ln2_g"], blk["ln2_b"])
-    f = jax.nn.gelu(f @ blk["ff1"] + blk["ff1_b"])
-    return drop(f @ blk["ff2"] + blk["ff2_b"], di)
-
-
-def _make_drop(dropout, drop_key):
-    def drop(x, i):
-        if dropout <= 0.0 or drop_key is None:
-            return x
-        keep = 1.0 - dropout
-        k = jax.random.fold_in(drop_key, i)
-        return x * jax.random.bernoulli(k, keep, x.shape) / keep
-
-    return drop
+# attention / ffn / dropout sub-layers are the shared engine blocks
+# (engine/nn.py); imported under their historical private names above
 
 
 def _encode(params, seq, pad_id, n_heads, causal, dropout=0.0, drop_key=None):

@@ -211,7 +211,9 @@ def test_bpr_mesh_training_matches_single_device():
     ]
     rs = RatioSplit(data=data, test_size=0.2, rating_threshold=0.5, seed=123)
 
-    plain = BPR(k=4, max_iter=10, seed=123).fit(rs.train_set)
+    plain = BPR(k=4, max_iter=10, seed=123)
+    plain.fused_fetch = False  # same program shape as the mesh path
+    plain.fit(rs.train_set)
     mesh = make_mesh(data_parallel=1)
     sharded = BPR(k=4, max_iter=10, seed=123, mesh=mesh).fit(rs.train_set)
 
@@ -385,7 +387,9 @@ def test_mesh_training_matches_single_device_family(make):
     else:
         train = rs.train_set
 
-    plain = make(None).fit(train)
+    plain = make(None)
+    plain.fused_fetch = False  # same program shape as the mesh path (BPR family)
+    plain.fit(train)
     sharded = make(make_mesh(data_parallel=1)).fit(train)
 
     batch = np.arange(min(8, train.num_users))
