@@ -107,6 +107,10 @@ def _bpr_epochs(
     fused = W16 is not None
     if fused:
         n_words = W16.shape[1]
+        # membership halfwords ride the loop carry as frozen extra columns
+        # of U: one fetch matmul AND one update matmul per step (both pad
+        # to the same 128-lane width as the factors alone at rec scale)
+        U = jnp.concatenate([U, W16], axis=1)
     # gradient gate: the ones column of U must stay fixed
     u_col_gate = (
         jnp.arange(k_ext) < (k_ext - 1 if use_bias else k_ext)
@@ -144,12 +148,8 @@ def _bpr_epochs(
             u, i, j, m = sl(users), sl(pos_items), sl(neg_items), sl(base_valid)
 
             if fused:
-                # the concat is rebuilt per step (W16 is frozen) so the U
-                # update below stays the exact same matmul as the general
-                # path — bit-identical results either way
-                UT = jnp.concatenate([U, W16], axis=1)
                 ohu = jax.nn.one_hot(u, n_users, dtype=U.dtype)
-                row = ohu @ UT  # one MXU op: factors + membership halfwords
+                row = ohu @ U  # one MXU op: factors + membership halfwords
                 wu, hw = row[:, :k_ext], row[:, k_ext:]
                 selw = jax.nn.one_hot(j >> 4, n_words, dtype=U.dtype)
                 word = jnp.sum(hw * selw, axis=1)
@@ -177,9 +177,15 @@ def _bpr_epochs(
             dVi = z[:, None] * wu - reg * vi * upd[:, None]
             dVj = -z[:, None] * wu - reg * vj * upd[:, None]
 
-            # deterministic grouped accumulation; strategy picked by
-            # table-vs-batch shape (ops/accumulate.py)
-            U = accumulate_rows(U, u, lr * dU)
+            if fused:
+                # zero columns keep the membership halfwords frozen; the
+                # fetch's one-hot is reused for the update
+                dUT = jnp.pad(dU, ((0, 0), (0, n_words)))
+                U = U + jnp.tensordot(ohu, lr * dUT, axes=((0,), (0,)))
+            else:
+                # deterministic grouped accumulation; strategy picked by
+                # table-vs-batch shape (ops/accumulate.py)
+                U = accumulate_rows(U, u, lr * dU)
             ij = jnp.concatenate([i, j])
             dV = jnp.concatenate([dVi, dVj])
             V = accumulate_rows(V, ij, lr * dV)
@@ -192,6 +198,8 @@ def _bpr_epochs(
     U, V, correct, skipped = jax.lax.fori_loop(
         0, n_epochs, epoch, (U, V, jnp.int32(0), jnp.int32(0))
     )
+    if fused:
+        U = U[:, :k_ext]
     if use_bias:
         Bi = V[:, -1]
         U, V = U[:, :-1], V[:, :-1]

@@ -296,10 +296,11 @@ class DMRL(Recommender):
         opt_state = opt.init(params)
 
         @partial(jax.jit, donate_argnums=(0, 1))
-        def run_epochs(params, opt_state, key, n_epochs):
+        def run_epochs(params, opt_state, key, n_epochs, epoch_offset):
             def epoch(e, carry):
                 params, opt_state, _ = carry
-                ekey = jax.random.fold_in(key, e)
+                # global epoch index: stream invariant to host chunking
+                ekey = jax.random.fold_in(key, epoch_offset + e)
                 perm = jax.random.permutation(ekey, n_total) % n
 
                 def step(b, carry):
@@ -321,16 +322,17 @@ class DMRL(Recommender):
             )
 
         key = jax.random.PRNGKey(rng.randint(2**31))
-        chunk = 1 if self.verbose else self.epochs
-        done = 0
-        while done < self.epochs:
-            e = min(chunk, self.epochs - done)
-            params, opt_state, loss = run_epochs(
-                params, opt_state, jax.random.fold_in(key, done), e
-            )
-            done += e
-            if self.verbose:
-                print("Epoch %d/%d, loss: %.4f" % (done, self.epochs, loss))
+
+        def run_chunk(state, start, e):
+            params, opt_state, loss = run_epochs(state[0], state[1], key, e, start)
+            return (params, opt_state), loss
+
+        params, opt_state = epoch_loop(
+            self, self.epochs, run_chunk, (params, opt_state),
+            on_report=lambda done, loss: print(
+                "Epoch %d/%d, loss: %.4f" % (done, self.epochs, loss)
+            ),
+        )
 
         self.params = params
         return self

@@ -118,11 +118,12 @@ class VMF(Recommender):
             return loss + reg
 
         @partial(jax.jit, donate_argnums=(0, 1))
-        def run_epochs(params, opt_state, key, n_epochs):
+        def run_epochs(params, opt_state, key, n_epochs, epoch_offset):
             def epoch(e, carry):
                 params, opt_state, _ = carry
+                # global epoch index: stream invariant to host chunking
                 perm = jax.random.permutation(
-                    jax.random.fold_in(key, e), n_batches * bsz
+                    jax.random.fold_in(key, epoch_offset + e), n_batches * bsz
                 ) % n
 
                 def step(b, carry):
@@ -143,19 +144,18 @@ class VMF(Recommender):
             )
 
         key = jax.random.PRNGKey(rng.randint(2**31))
-        chunk = 1 if self.verbose else self.n_epochs
-        done = 0
-        while done < self.n_epochs:
-            e = min(chunk, self.n_epochs - done)
-            params, opt_state, loss_sum = run_epochs(
-                params, opt_state, jax.random.fold_in(key, done), e
-            )
-            done += e
-            if self.verbose:
-                print(
-                    "Epoch %d/%d, loss: %.4f"
-                    % (done, self.n_epochs, float(loss_sum) / n_batches)
-                )
+
+        def run_chunk(state, start, e):
+            params, opt_state, loss_sum = run_epochs(state[0], state[1], key, e, start)
+            return (params, opt_state), loss_sum
+
+        params, opt_state = epoch_loop(
+            self, self.n_epochs, run_chunk, (params, opt_state),
+            on_report=lambda done, loss: print(
+                "Epoch %d/%d, loss: %.4f"
+                % (done, self.n_epochs, float(loss) / n_batches)
+            ),
+        )
 
         self._store(params, F)
         return self
