@@ -17,6 +17,7 @@ import optax
 from ..exception import CornacException, ScoreException
 from ..ops.membership import build_membership
 from ..utils import get_rng
+from ..utils.checkpoint import epoch_loop
 from ..utils.init_utils import xavier_uniform, zeros
 from .recommender import Recommender
 
@@ -184,10 +185,11 @@ class CausalRec(Recommender):
         opt_state = optimizer.init(params)
 
         @partial(jax.jit, donate_argnums=(0, 1))
-        def run_epochs(params, opt_state, key, n_epochs):
+        def run_epochs(params, opt_state, key, n_epochs, epoch_offset):
             def epoch(e, carry):
                 params, opt_state, _ = carry
-                ekey = jax.random.fold_in(key, e)
+                # global epoch index: stream invariant to host chunking
+                ekey = jax.random.fold_in(key, epoch_offset + e)
                 k_pos, k_neg = jax.random.split(ekey)
                 pos_idx = jax.random.randint(k_pos, (n_batches * bsz,), 0, n)
                 negs = jax.random.randint(k_neg, (n_batches * bsz,), 0, num_items)
@@ -214,19 +216,18 @@ class CausalRec(Recommender):
             )
 
         key = jax.random.PRNGKey(rng.randint(2**31))
-        chunk = 1 if self.verbose else self.n_epochs
-        done = 0
-        while done < self.n_epochs:
-            e = min(chunk, self.n_epochs - done)
-            params, opt_state, loss_sum = run_epochs(
-                params, opt_state, jax.random.fold_in(key, done), e
-            )
-            done += e
-            if self.verbose:
-                print(
-                    "Epoch %d/%d, loss: %.4f"
-                    % (done, self.n_epochs, float(loss_sum) / n_batches)
-                )
+
+        def run_chunk(state, start, e):
+            params, opt_state, loss_sum = run_epochs(state[0], state[1], key, e, start)
+            return (params, opt_state), loss_sum
+
+        params, opt_state = epoch_loop(
+            self, self.n_epochs, run_chunk, (params, opt_state),
+            on_report=lambda done, loss: print(
+                "Epoch %d/%d, loss: %.4f"
+                % (done, self.n_epochs, float(loss) / n_batches)
+            ),
+        )
 
         self._store(params, F, mean_feat)
         return self

@@ -23,6 +23,7 @@ from ..engine.nn import ACTIVATIONS, dense, init_dense, init_mlp
 from ..exception import ScoreException
 from ..ops.membership import build_membership
 from ..utils import get_rng
+from ..utils.checkpoint import epoch_loop
 from ..utils.init_utils import xavier_uniform
 from .recommender import ANNMixin, MEASURE_DOT, Recommender
 
@@ -406,10 +407,11 @@ class CDR(Recommender, ANNMixin):
             return loss
 
         @partial(jax.jit, donate_argnums=(0, 1))
-        def run_epochs(params, opt_state, key, n_epochs):
+        def run_epochs(params, opt_state, key, n_epochs, epoch_offset):
             def epoch(e, carry):
                 params, opt_state, _ = carry
-                ekey = jax.random.fold_in(key, e)
+                # global epoch index: stream invariant to host chunking
+                ekey = jax.random.fold_in(key, epoch_offset + e)
                 k_pos, k_neg = jax.random.split(ekey)
                 pos_idx = jax.random.randint(k_pos, (n_batches * bsz,), 0, n)
                 negs = jax.random.randint(k_neg, (n_batches * bsz,), 0, num_items)
@@ -438,19 +440,18 @@ class CDR(Recommender, ANNMixin):
             )
 
         key = jax.random.PRNGKey(rng.randint(2**31))
-        chunk = 1 if self.verbose else self.max_iter
-        done = 0
-        while done < self.max_iter:
-            e = min(chunk, self.max_iter - done)
-            params, opt_state, loss_sum = run_epochs(
-                params, opt_state, jax.random.fold_in(key, done), e
-            )
-            done += e
-            if self.verbose:
-                print(
-                    "Iter %d/%d, loss: %.2f"
-                    % (done, self.max_iter, float(loss_sum) / n_batches)
-                )
+
+        def run_chunk(state, start, e):
+            params, opt_state, loss_sum = run_epochs(state[0], state[1], key, e, start)
+            return (params, opt_state), loss_sum
+
+        params, opt_state = epoch_loop(
+            self, self.max_iter, run_chunk, (params, opt_state),
+            on_report=lambda done, loss: print(
+                "Iter %d/%d, loss: %.2f"
+                % (done, self.max_iter, float(loss) / n_batches)
+            ),
+        )
 
         self.U = np.asarray(params["U"], dtype=np.float64)
         self.V = np.asarray(params["V"], dtype=np.float64)

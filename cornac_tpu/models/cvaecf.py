@@ -29,6 +29,7 @@ import optax
 from ..engine.nn import ACTIVATIONS, dense, init_dense, init_mlp
 from ..exception import ScoreException
 from ..utils import get_rng
+from ..utils.checkpoint import epoch_loop
 from .recommender import Recommender
 
 EPS = 1e-10
@@ -208,10 +209,11 @@ class CVAECF(Recommender):
         n_batches = Y.shape[0] // bsz
 
         @partial(jax.jit, donate_argnums=(0, 1))
-        def run_epochs(params, opt_state, Y_d, X_d, key, n_epochs):
+        def run_epochs(params, opt_state, Y_d, X_d, key, n_epochs, epoch_offset):
             def epoch(e, carry):
                 params, opt_state, _ = carry
-                ekey = jax.random.fold_in(key, e)
+                # global epoch index: stream invariant to host chunking
+                ekey = jax.random.fold_in(key, epoch_offset + e)
 
                 def step(b, carry):
                     params, opt_state, loss_sum = carry
@@ -234,20 +236,21 @@ class CVAECF(Recommender):
             )
 
         key = jax.random.PRNGKey(rng.randint(2**31))
-        chunk = 1 if self.verbose else self.n_epochs
-        done = 0
         Y_d, X_d = jnp.asarray(Y), jnp.asarray(Xs)
-        while done < self.n_epochs:
-            e = min(chunk, self.n_epochs - done)
-            self.params, opt_state, loss_sum = run_epochs(
-                self.params, opt_state, Y_d, X_d, jax.random.fold_in(key, done), e
+
+        def run_chunk(state, start, e):
+            params, opt_state, loss_sum = run_epochs(
+                state[0], state[1], Y_d, X_d, key, e, start
             )
-            done += e
-            if self.verbose:
-                print(
-                    "Epoch %d/%d, loss: %.4f"
-                    % (done, self.n_epochs, float(loss_sum) / n_batches)
-                )
+            return (params, opt_state), loss_sum
+
+        self.params, opt_state = epoch_loop(
+            self, self.n_epochs, run_chunk, (self.params, opt_state),
+            on_report=lambda done, loss: print(
+                "Epoch %d/%d, loss: %.4f"
+                % (done, self.n_epochs, float(loss) / n_batches)
+            ),
+        )
         return self
 
     def _decode_users(self, y_rows, x_rows):

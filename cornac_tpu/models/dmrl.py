@@ -31,6 +31,7 @@ import optax
 
 from ..exception import ScoreException
 from ..utils import get_rng
+from ..utils.checkpoint import epoch_loop
 from .recommender import Recommender
 
 EPS = 1e-5

@@ -24,6 +24,7 @@ import optax
 from ..exception import ScoreException
 from ..ops.membership import build_membership
 from ..utils import get_rng
+from ..utils.checkpoint import epoch_loop
 from .recommender import ANNMixin, MEASURE_DOT, MEASURE_L2, Recommender
 
 

@@ -14,6 +14,7 @@ import optax
 
 from ..exception import CornacException, ScoreException
 from ..utils import get_rng
+from ..utils.checkpoint import epoch_loop
 from ..utils.common import scale
 from .recommender import Recommender
 
