@@ -27,6 +27,7 @@ from ..utils.init_utils import normal
 from .recommender import NextItemRecommender
 from .seq_utils import (
     SUPPORTED_LOSSES,
+    adagrad_m,
     batch_loss,
     neg_sampling_table,
     pad_histories,
@@ -234,13 +235,8 @@ class FPMC(NextItemRecommender):
         )
         n_batches = u_arr.shape[0] // bsz
 
-        optimizer = optax.chain(
-            optax.scale_by_rss(),
-            optax.trace(decay=self.momentum)
-            if self.momentum > 0
-            else optax.identity(),
-            optax.scale(-self.learning_rate),
-        )
+        # reference IndexedAdagradM semantics (zero-init accumulator)
+        optimizer = adagrad_m(self.learning_rate, self.momentum)
         opt_state = optimizer.init(params)
 
         loss_kind = self.loss

@@ -16,10 +16,13 @@ IndexedAdagradM optimizer, best-on-val model selection). TPU redesign:
   the reference's (B, B+n_sample) score matrix generalized over steps. The
   shared negative draw serves all L steps of a batch (same distribution,
   fewer gathers).
-- ``IndexedAdagradM`` (adagrad + momentum over touched rows) maps to an
-  optax ``scale_by_rss -> trace(momentum)`` chain; on TPU the dense-table
-  update is a matmul-class op, so the "indexed" sparsity trick isn't
-  needed.
+- ``IndexedAdagradM`` (adagrad + momentum over touched rows) maps to
+  :func:`cornac_tpu.models.seq_utils.adagrad_m` with the reference's exact
+  semantics (zero-initialized accumulator, eps inside the sqrt); on TPU
+  the dense-table update is a matmul-class op, so the "indexed" sparsity
+  trick isn't needed. ``batch_size`` counts events, so row batches hold
+  ``batch_size / avg_session_len`` sessions — keeping the reference's
+  optimizer-updates-per-epoch (adagrad stalls with ~30x fewer updates).
 """
 
 from functools import partial
@@ -35,12 +38,14 @@ from ..utils.init_utils import xavier_uniform
 from .recommender import NextItemRecommender
 from .seq_utils import (
     SUPPORTED_LOSSES,
+    adagrad_m,
     batch_loss,
     build_session_examples,
     neg_sampling_table,
     pad_batch_rows,
     pad_histories,
     sample_negatives,
+    sessions_per_batch,
     val_score,
 )
 
@@ -237,7 +242,10 @@ class GRU4Rec(NextItemRecommender):
             train_set, self.max_len
         )
         n = len(users)
-        bsz = min(self.batch_size, n)
+        # batch_size counts EVENTS (reference semantics): size row batches
+        # so updates-per-epoch matches the reference's session-parallel
+        # iterator (seq_utils.sessions_per_batch)
+        bsz = sessions_per_batch(self.batch_size, mask, n)
         n_pad = (-n) % bsz
         if n_pad:
             inputs = np.concatenate([inputs, np.zeros((n_pad, self.max_len), np.int32)])
@@ -247,11 +255,7 @@ class GRU4Rec(NextItemRecommender):
             mask = np.concatenate([mask, np.zeros((n_pad, self.max_len), np.float32)])
         n_batches = inputs.shape[0] // bsz
 
-        optimizer = optax.chain(
-            optax.scale_by_rss(),
-            optax.trace(decay=self.momentum) if self.momentum > 0 else optax.identity(),
-            optax.scale(-self.learning_rate),
-        )
+        optimizer = adagrad_m(self.learning_rate, self.momentum)
         opt_state = optimizer.init(self.params)
 
         loss_kind = self.loss

@@ -13,6 +13,49 @@ import jax.numpy as jnp
 import numpy as np
 
 
+def adagrad_m(learning_rate, momentum=0.0, eps=1e-6):
+    """Reference ``IndexedAdagradM`` semantics (``seq_utils/optim.py``):
+    the squared-gradient accumulator starts at ZERO and eps sits inside the
+    sqrt, so the first update per coordinate has magnitude ~lr. (optax's
+    ``scale_by_rss`` initializes the accumulator at 0.1, which shrinks
+    early steps ~30x at these gradient scales and stalls adagrad training
+    — measured as the root cause of GRU4Rec failing to learn.) Momentum
+    accumulates the scaled step like the reference (mom = momentum*mom +
+    lr*g/sqrt(acc+eps))."""
+    import optax
+
+    def init(params):
+        acc = jax.tree_util.tree_map(jnp.zeros_like, params)
+        if momentum > 0:
+            return (acc, jax.tree_util.tree_map(jnp.zeros_like, params))
+        return (acc,)
+
+    def update(grads, state, params=None):
+        acc = jax.tree_util.tree_map(lambda a, g: a + g * g, state[0], grads)
+        scaled = jax.tree_util.tree_map(
+            lambda g, a: -learning_rate * g * jax.lax.rsqrt(a + eps), grads, acc
+        )
+        if momentum > 0:
+            mom = jax.tree_util.tree_map(
+                lambda m, s: momentum * m + s, state[1], scaled
+            )
+            return mom, (acc, mom)
+        return scaled, (acc,)
+
+    return optax.GradientTransformation(init, update)
+
+
+def sessions_per_batch(batch_size, mask, n_rows):
+    """Reference ``batch_size`` counts EVENTS (its session-parallel
+    iterator advances ``batch_size`` sessions one step per optimizer
+    update), while the padded-session layout packs a whole session per
+    row. Matching the events-per-update semantics — and, critically, the
+    reference's optimizer-updates-per-epoch — means sizing row batches at
+    ``batch_size / avg_session_len`` sessions."""
+    avg_len = float(np.asarray(mask).sum()) / max(n_rows, 1)
+    return int(min(max(1, round(batch_size / max(avg_len, 1.0))), n_rows))
+
+
 def build_session_examples(train_set, max_len):
     """Flatten a SequentialDataset into (user, input seq, target seq) padded
     arrays: inputs = session[:-1], targets = session[1:], right-padded.

@@ -267,6 +267,22 @@ def load_ref_torch_models():
     return root
 
 
+def load_ref_next_item():
+    """Extend ``refcornac`` with the reference's NextItemEvaluation (for
+    sequential head-to-head runs). Returns the refcornac root."""
+    root = load_ref_torch_models()
+    em = root.eval_methods
+    if hasattr(em, "NextItemEvaluation"):
+        return root
+    nie = _load(
+        "refcornac.eval_methods.next_item_evaluation",
+        os.path.join(REF, "eval_methods/next_item_evaluation.py"),
+    )
+    em.next_item_evaluation = nie
+    em.NextItemEvaluation = nie.NextItemEvaluation
+    return root
+
+
 class RefDuckModel:
     """Deterministic stand-in implementing the reference Recommender
     surface the eval loops call (rank/rate/score), with the exact rank()

@@ -80,7 +80,7 @@ GOLDENS_RMSE = {
 GOLDENS_HR = {
     "SPop": (0.163, 0.15),
     "FPMC": (0.765, 0.65),
-    "GRU4Rec": (0.325, 0.25),
+    "GRU4Rec": (0.916, 0.85),
     "SASRec": (0.916, 0.85),
     "BERT4Rec": (0.410, 0.30),
 }
