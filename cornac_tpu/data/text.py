@@ -429,13 +429,15 @@ class TextModality(FeatureModality):
         return self._tfidf_matrix
 
     def _realign_corpus(self, id_map):
-        new_corpus = self.corpus.copy()
-        new_ids = self.ids.copy()
+        # entities in the split without a document get an empty doc: the
+        # corpus may cover only a subset (e.g. users with trust edges)
+        n = max(len(self.corpus), 1 + max(id_map.values(), default=-1))
+        new_corpus = self.corpus.copy() + [""] * (n - len(self.corpus))
+        new_ids = self.ids.copy() + [None] * (n - len(self.ids))
         for old_idx, raw_id in enumerate(self.ids):
             new_idx = id_map.get(raw_id, None)
             if new_idx is None:
                 continue
-            assert new_idx < len(self.corpus)
             new_corpus[new_idx] = self.corpus[old_idx]
             new_ids[new_idx] = raw_id
         self.corpus = new_corpus

@@ -241,6 +241,10 @@ class GRU4Rec(NextItemRecommender):
         users, inputs, targets, mask = build_session_examples(
             train_set, self.max_len
         )
+        # trim training width to the longest real session: the GRU scan is
+        # sequential in L, so padded steps cost real wall-clock
+        L = max(1, int(mask.sum(axis=1).max()))
+        inputs, targets, mask = inputs[:, :L], targets[:, :L], mask[:, :L]
         n = len(users)
         # batch_size counts EVENTS (reference semantics): size row batches
         # so updates-per-epoch matches the reference's session-parallel
@@ -248,11 +252,9 @@ class GRU4Rec(NextItemRecommender):
         bsz = sessions_per_batch(self.batch_size, mask, n)
         n_pad = (-n) % bsz
         if n_pad:
-            inputs = np.concatenate([inputs, np.zeros((n_pad, self.max_len), np.int32)])
-            targets = np.concatenate(
-                [targets, np.zeros((n_pad, self.max_len), np.int32)]
-            )
-            mask = np.concatenate([mask, np.zeros((n_pad, self.max_len), np.float32)])
+            inputs = np.concatenate([inputs, np.zeros((n_pad, L), np.int32)])
+            targets = np.concatenate([targets, np.zeros((n_pad, L), np.int32)])
+            mask = np.concatenate([mask, np.zeros((n_pad, L), np.float32)])
         n_batches = inputs.shape[0] // bsz
 
         optimizer = adagrad_m(self.learning_rate, self.momentum)

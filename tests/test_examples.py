@@ -67,12 +67,22 @@ def _synth_uir(n_users=60, n_items=100, n=2500, seed=0, fmt="UIR", binary=False)
 
 
 def _synth_text(n_items=100, seed=1):
+    """Zipf-ish 300-word vocabulary so TextModality's min_freq/max_doc_freq
+    pruning (examples use the reference's settings) keeps a real lexicon."""
+    import itertools
+
     import numpy as np
 
     rng = np.random.RandomState(seed)
-    vocab = ["alpha", "beta", "gamma", "delta", "omega", "sigma", "theta", "kappa"]
+    # letter-only words: the tokenizer strips digits/punctuation
+    syll = ["ba", "ce", "di", "fo", "gu", "ka", "le", "mi", "no", "pu"]
+    vocab = np.array(
+        ["".join(w) for w in itertools.product(syll, syll, syll)][:300]
+    )
+    p = 1.0 / np.arange(1, 301)
+    p /= p.sum()
     return (
-        [" ".join(rng.choice(vocab, size=10)) for _ in range(n_items)],
+        [" ".join(rng.choice(vocab, size=40, p=p)) for _ in range(n_items)],
         [f"i{i}" for i in range(n_items)],
     )
 
