@@ -44,6 +44,18 @@ SAS_KW = dict(embedding_dim=64, loss="ce", batch_size=64, learning_rate=0.001,
               n_sample=128, seed=SEED, verbose=False)
 
 
+def _enable_compile_cache():
+    import jax
+
+    try:
+        os.makedirs("/tmp/jaxcache_bench", exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", "/tmp/jaxcache_bench")
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
+    except Exception:
+        pass
+
+
 def run_side(side, name, train, test):
     if side == "ref":
         from ref_loader import load_ref_next_item
@@ -76,6 +88,7 @@ def main():
     ap.add_argument("--outdir", default=os.path.join(os.path.dirname(__file__), "parity"))
     args = ap.parse_args()
 
+    _enable_compile_cache()
     os.makedirs(args.outdir, exist_ok=True)
     data = gen_sessions()
     sids = sorted({int(t[1]) for t in data})

@@ -42,6 +42,10 @@ class RuntimeConfig:
     coordinator_address: Optional[str] = None
     num_processes: Optional[int] = None
     process_id: Optional[int] = None
+    #: minimum score-matrix cells before per-user order-based metrics
+    #: offload rank/tie computation to the device (None keeps the default
+    #: tuned for remote-tunnel dispatch latency; lower it on local chips)
+    device_metrics_min_cells: Optional[int] = None
 
     def apply(self):
         """Apply to the current process. Call before the first jax use for
@@ -74,6 +78,10 @@ class RuntimeConfig:
             raise ValueError(
                 "matmul_precision must be highest/float32/bfloat16"
             )
+        if self.device_metrics_min_cells is not None:
+            from .metrics.ranking import set_device_metrics_min_cells
+
+            set_device_metrics_min_cells(self.device_metrics_min_cells)
         if self.compilation_cache_dir:
             os.makedirs(self.compilation_cache_dir, exist_ok=True)
             jax.config.update(

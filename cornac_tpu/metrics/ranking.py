@@ -26,7 +26,19 @@ from scipy.stats import rankdata
 # are faster on host); on a directly-attached TPU the device path wins far
 # earlier and the threshold can be lowered. Below the threshold the numpy
 # path also reproduces reference tie handling at float64 exactly.
+# Minimum B*N score-matrix size before the per-user rank/tie fallback
+# offloads to the device. Below this, host numpy wins: each device program
+# costs a dispatch round-trip (multi-hundred ms through a remote-TPU
+# tunnel). Tunable via RuntimeConfig(device_metrics_min_cells=...) — e.g.
+# set it low on a local (non-tunneled) backend. The batched production
+# eval path doesn't use this fallback at all (it runs the fused metric
+# kernel, eval_methods/base_method.py).
 _DEVICE_MIN_CELLS = 8_000_000
+
+
+def set_device_metrics_min_cells(n):
+    global _DEVICE_MIN_CELLS
+    _DEVICE_MIN_CELLS = int(n)
 
 
 def _device_rank_and_ties(scores, pos_mask, cand_mask):

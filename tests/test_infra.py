@@ -309,3 +309,15 @@ def test_runtime_config(tmp_path):
 
     with pytest.raises(ValueError):
         RuntimeConfig(matmul_precision="fp4").apply()
+
+
+def test_config_device_metrics_min_cells():
+    from cornac_tpu.config import RuntimeConfig
+    from cornac_tpu.metrics import ranking
+
+    old = ranking._DEVICE_MIN_CELLS
+    try:
+        RuntimeConfig(device_metrics_min_cells=123).apply()
+        assert ranking._DEVICE_MIN_CELLS == 123
+    finally:
+        ranking.set_device_metrics_min_cells(old)
