@@ -118,6 +118,27 @@ def sentiment_data(n_users=N_USERS, n_items=N_ITEMS):
     return out
 
 
+def basket_data(n_users=25, n_items=40, n_baskets=200, seed=29):
+    """Repeat-purchase structure: each user rebuys from a personal favorite
+    set most of the time (signal for GPTop/TIFUKNN/UPCF/DNNTSP/Beacon)."""
+    rng = np.random.RandomState(seed)
+    favs = {u: rng.choice(n_items, size=6, replace=False) for u in range(n_users)}
+    rows, t = [], 0
+    for b in range(n_baskets):
+        u = rng.randint(n_users)
+        size = rng.randint(2, 5)
+        items = set()
+        while len(items) < size:
+            if rng.rand() < 0.8:
+                items.add(int(rng.choice(favs[u])))
+            else:
+                items.add(int(rng.randint(n_items)))
+        for i in items:
+            rows.append((f"u{u}", str(b), f"i{i}", t))
+        t += 1
+    return rows
+
+
 def seq_data(n_sessions=120, n_items=30, seed=23):
     """Markov-chain sessions: item x is followed by (x+1) % block."""
     rng = np.random.RandomState(seed)
@@ -165,6 +186,13 @@ def next_item_hr(model, ev, k=5):
 
     res = ev.evaluate(model, [HitRatio(k=k)], user_based=False)[0]
     return float(res.metric_avg_results[f"HitRatio@{k}"])
+
+
+def next_basket_recall(model, ev, k=5):
+    from cornac_tpu.metrics import Recall
+
+    res = ev.evaluate(model, [Recall(k=k)], user_based=False)[0]
+    return float(res.metric_avg_results[f"Recall@{k}"])
 
 
 # ---------------------------------------------------------------------- #
@@ -218,6 +246,12 @@ def get_split(kind):
         )
     elif kind == "purchase_view":
         s = _PurchaseViewSplit()
+    elif kind == "basket":
+        from cornac_tpu.eval_methods import NextBasketEvaluation
+
+        s = NextBasketEvaluation(
+            data=basket_data(), test_size=0.25, fmt="UBIT", seed=SEED,
+        )
     elif kind == "seq":
         data = seq_data()
         sids = sorted({t[1] for t in data})
@@ -364,6 +398,14 @@ def builders():
             n_factors=4, max_iter=30, seed=1)),
         # TriRank predicts ratings (propagation toward observed levels)
         "TriRank": ("sentiment", "rmse", lambda: M.TriRank(max_iter=30, seed=1)),
+        # --- next-basket ---
+        "GPTop": ("basket", "nb_recall", lambda: M.GPTop()),
+        "TIFUKNN": ("basket", "nb_recall", lambda: M.TIFUKNN(n_neighbors=5)),
+        "UPCF": ("basket", "nb_recall", lambda: M.UPCF(recency=2, locality=1)),
+        "DNNTSP": ("basket", "nb_recall", lambda: M.DNNTSP(
+            emb_dim=16, n_epochs=10, batch_size=16, seed=1)),
+        "Beacon": ("basket", "nb_recall", lambda: M.Beacon(
+            emb_dim=16, rnn_unit=16, n_epochs=10, batch_size=16, seed=1)),
         # --- sequential ---
         "SPop": ("seq", "hr", lambda: M.SPop()),
         "FPMC": ("seq", "hr", lambda: M.FPMC(embedding_dim=8, n_epochs=15, seed=1)),
@@ -385,6 +427,8 @@ def measure(name):
     model = build()
     if metric == "hr":
         return next_item_hr(model, split)
+    if metric == "nb_recall":
+        return next_basket_recall(model, split)
     model.fit(split.train_set)
     if metric == "auc":
         return train_auc(model, split.train_set)

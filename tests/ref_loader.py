@@ -229,6 +229,13 @@ TORCH_MODELS = {
     "SASRec": ("sasrec", "recom_sasrec", "SASRec"),
 }
 
+#: transformer_rec family (loaded after TORCH_MODELS; TransformerRec first
+#: since BERT4Rec subclasses it)
+TRANSFORMER_MODELS = [
+    ("TransformerRec", "transformer_rec", "recom_transformer_rec", "TransformerRec"),
+    ("BERT4Rec", "bert4rec", "recom_bert4rec", "BERT4Rec"),
+]
+
 
 def load_ref_torch_models():
     """Extend ``refcornac`` with the reference's torch-backed model zoo.
@@ -262,6 +269,17 @@ def load_ref_torch_models():
             _real_pkg_no_init(pkg_name, os.path.join(REF, "models", pkg))
         mod = importlib.import_module(pkg_name + "." + recom_mod)
         setattr(models, attr, getattr(mod, cls))
+
+    # transformer family: bert4rec does `from ..transformer_rec import
+    # TransformerRec`, which needs the real package __init__ executed
+    try:
+        for attr, pkg, recom_mod, cls in TRANSFORMER_MODELS:
+            pkg_name = "refcornac.models." + pkg
+            if pkg_name not in sys.modules:
+                _load_pkg(pkg_name, os.path.join(REF, "models", pkg))
+            setattr(models, attr, getattr(sys.modules[pkg_name], cls))
+    except Exception:  # transformer extras are best-effort
+        pass
 
     models._torch_loaded = True
     return root

@@ -85,6 +85,14 @@ GOLDENS_HR = {
     "BERT4Rec": (0.410, 0.30),
 }
 
+GOLDENS_NB_RECALL = {
+    "GPTop": (0.631, 0.60),
+    "TIFUKNN": (0.476, 0.40),
+    "UPCF": (0.357, 0.30),
+    "DNNTSP": (0.417, 0.33),
+    "Beacon": (0.143, 0.12),
+}
+
 
 def _ids(d):
     return sorted(d)
@@ -120,8 +128,21 @@ def test_hitratio_floor(name):
     )
 
 
+@pytest.mark.parametrize("name", _ids(GOLDENS_NB_RECALL))
+def test_next_basket_recall_floor(name):
+    measured, floor = GOLDENS_NB_RECALL[name]
+    v = G.measure(name)
+    assert v >= floor, (
+        f"{name}: next-basket Recall@5 {v:.4f} < golden floor {floor} "
+        f"(frozen measurement {measured})"
+    )
+
+
 def test_every_builder_has_a_golden():
-    covered = set(GOLDENS_AUC) | set(GOLDENS_RMSE) | set(GOLDENS_HR)
+    covered = (
+        set(GOLDENS_AUC) | set(GOLDENS_RMSE) | set(GOLDENS_HR)
+        | set(GOLDENS_NB_RECALL)
+    )
     assert covered == set(G.builders()), (
         "golden table out of sync with builders: "
         f"missing={set(G.builders()) - covered} extra={covered - set(G.builders())}"
