@@ -2,40 +2,56 @@
 (Spišák et al., RecSys 2023).
 
 Capability parity with reference ``cornac/models/sansa/recom_sansa.py:9``,
-which wraps the external ``sansa`` package (sparse approximate Cholesky
-inverse of the Gramian). In-house approach (SURVEY §7's planned fallback):
-compute the exact EASE weight matrix with a dense device solve — exact at
-reference scales where the item-item Gram fits HBM — then sparsify W to the
-requested ``weight_matrix_density`` by global magnitude thresholding, which
-preserves SANSA's deployment benefit (a sparse scoring matrix) while being
-exact-before-truncation. The approximate-Cholesky construction for
-beyond-HBM catalogs is a documented future escalation, not silently
-dropped.
+which wraps the external ``sansa`` package. This is an in-house
+implementation of the actual algorithm, not the exact-EASE stopgap:
+
+1. (ICF only) equilibrate the Gramian by fourth-root column norms
+   (reference ``recom_sansa.py:163-170``),
+2. fill-reducing permutation + LDL^T factorization pruned to
+   ``weight_matrix_density`` — incomplete with on-the-fly pruning
+   (``factorizer_class="ICF"``, with the diagonal-shift breakdown
+   escalation) or exact-then-pruned (``"CHOLMOD"`` semantics)
+   (reference ``recom_sansa.py:181-190``),
+3. UMR approximate inverse of the unit lower-triangular factor
+   (``inverter_scans`` full passes + ``inverter_finetune_steps``
+   worst-column repairs, reference ``recom_sansa.py:152-156,195-197``),
+4. assemble the factored EASE weights ``W1 = W.T``, ``W2 = -W/d/diag``
+   exactly as reference ``recom_sansa.py:199-221``.
+
+The factorization/inversion are host float64 setup ops (sequential
+dependency chains, same placement as the reference's CHOLMOD/ICF);
+scoring flows through the sparse factored weights.
 """
 
 import numpy as np
 import scipy.sparse as sp
 
-from .ease import EASE, _ease_B
-import jax.numpy as jnp
-
 from ..exception import ScoreException
+from ..ops.sparse_chol import (
+    equilibrate_columns,
+    exact_ldlt_pruned,
+    icf_ldlt,
+    rcm_permutation,
+    umr_inverse,
+)
 from .recommender import ANNMixin, MEASURE_DOT, Recommender
 
 
 class SANSA(Recommender, ANNMixin):
-    """Sparse item-item linear autoencoder."""
+    """Sparse item-item linear autoencoder with factored weights
+    ``score(X) = X @ W1 @ W2`` where ``W1 @ W2 = B_EASE - I`` approximately
+    (the -I only shifts already-seen items, which ranking excludes)."""
 
     def __init__(
         self,
         name="SANSA",
-        l2=500.0,
-        weight_matrix_density=1e-2,
+        l2=1.0,
+        weight_matrix_density=1e-3,
         compute_gramian=True,
         factorizer_class="ICF",
         factorizer_shift_step=1e-3,
         factorizer_shift_multiplier=2.0,
-        inverter_scans=1,
+        inverter_scans=3,
         inverter_finetune_steps=10,
         use_absolute_value_scores=False,
         trainable=True,
@@ -49,7 +65,6 @@ class SANSA(Recommender, ANNMixin):
         self.l2 = l2
         self.weight_matrix_density = weight_matrix_density
         self.compute_gramian = compute_gramian
-        # factorizer/inverter knobs kept for API parity with the reference
         self.factorizer_class = factorizer_class
         self.factorizer_shift_step = factorizer_shift_step
         self.factorizer_shift_multiplier = factorizer_shift_multiplier
@@ -63,9 +78,17 @@ class SANSA(Recommender, ANNMixin):
             X.astype(np.float32) if X is not None and X.dtype != np.float32 else X
         )
         self.weights = (W1, W2)
+        self._W_cache = None
         if W1 is not None and W2 is not None:
             self.U = self.X
-            self.W = (W1 @ W2).tocsr()
+
+    @property
+    def W(self):
+        """Materialized item-item weight matrix (lazy; only needed by the
+        ANN item-vector API — scoring stays in the factored form)."""
+        if self._W_cache is None and self.weights[0] is not None:
+            self._W_cache = (self.weights[0] @ self.weights[1]).tocsr()
+        return self._W_cache
 
     def forward(self, X):
         """Sparse forward pass through the factored weights
@@ -76,19 +99,69 @@ class SANSA(Recommender, ANNMixin):
         Recommender.fit(self, train_set, val_set)
         self.U = train_set.matrix
         self.X = train_set.matrix.astype(np.float32)
+        self._W_cache = None
 
-        X = jnp.asarray(self.U.toarray(), dtype=jnp.float32)
-        B = np.asarray(_ease_B(X, jnp.float32(self.l2)), dtype=np.float64)
-
-        # sparsify to the requested density by global magnitude threshold
+        X = self.X
         density = float(np.clip(self.weight_matrix_density, 0.0, 1.0))
-        keep = max(1, int(density * B.size))
-        if keep < B.size:
-            thresh = np.partition(np.abs(B).ravel(), B.size - keep)[B.size - keep]
-            B = np.where(np.abs(B) >= thresh, B, 0.0)
-        self.W = sp.csr_matrix(B)
-        # factored form for reference-API parity (W = weights[0] @ weights[1])
-        self.weights = (self.W, sp.identity(self.W.shape[0], format="csr"))
+        icf = str(self.factorizer_class).upper() != "CHOLMOD"
+
+        # Gramian (or the item-item matrix itself when compute_gramian=False),
+        # with the ICF equilibration applied in X-space like the reference
+        if self.compute_gramian:
+            if icf:
+                gram = (X.T @ X).tocsr()
+                da = equilibrate_columns(
+                    np.asarray(gram.multiply(gram).sum(axis=1)).ravel()
+                )
+                X = X @ sp.diags(1.0 / da)
+            A_sp = (X.T @ X).tocsr()
+        else:
+            A_sp = X.tocsr()
+            if icf:
+                da = equilibrate_columns(
+                    np.asarray(A_sp.multiply(A_sp).sum(axis=1)).ravel()
+                )
+                scale = sp.diags(1.0 / da)
+                A_sp = (scale @ A_sp @ scale).tocsr()
+
+        n = A_sp.shape[0]
+        p = rcm_permutation(A_sp)
+        A = A_sp[p][:, p].toarray().astype(np.float64)
+        A[np.diag_indices(n)] += float(self.l2)
+
+        if self.verbose:
+            print("Computing LDL^T decomposition of permuted item-item matrix...")
+        if icf:
+            L, d = icf_ldlt(
+                A,
+                density,
+                shift_step=self.factorizer_shift_step,
+                shift_multiplier=self.factorizer_shift_multiplier,
+                verbose=self.verbose,
+            )
+        else:
+            L, d = exact_ldlt_pruned(A, density)
+
+        if self.verbose:
+            print("Computing approximate inverse of L...")
+        L_inv = umr_inverse(
+            L,
+            density,
+            scans=self.inverter_scans,
+            finetune_steps=self.inverter_finetune_steps,
+        )
+
+        # assemble W1/W2 exactly as reference recom_sansa.py:199-221:
+        # A^{-1} = W.T @ diag(1/d) @ W with W = L_inv column-unpermuted
+        inv_p = np.argsort(p)
+        W = L_inv[:, inv_p].tocsc()
+        W_r = W.copy()
+        W_r.data = W_r.data / d[W_r.indices]  # row scale by 1/d
+        diag = np.asarray(W.multiply(W_r).sum(axis=0)).ravel()  # diag(A^{-1})
+        diag[diag == 0] = 1.0
+        # column scale by -1/diag: columns of B = -A^{-1} diagMat(1/diag)
+        W_r = (W_r @ sp.diags(-1.0 / diag)).tocsc()
+        self.weights = (W.T.tocsr(), W_r.tocsr())
         return self
 
     def score(self, user_idx, item_idx=None):
@@ -96,7 +169,7 @@ class SANSA(Recommender, ANNMixin):
             raise ScoreException("Can't make score prediction for user %d" % user_idx)
         if item_idx is not None and self.is_unknown_item(item_idx):
             raise ScoreException("Can't make score prediction for item %d" % item_idx)
-        row = np.asarray((self.U[user_idx, :] @ self.W).todense()).ravel()
+        row = np.asarray(self.forward(self.U[user_idx, :]).todense()).ravel()
         if self.use_absolute_value_scores:
             row = np.abs(row)
         return row if item_idx is None else row[item_idx]
@@ -105,7 +178,8 @@ class SANSA(Recommender, ANNMixin):
         users = np.asarray(user_indices)
         known = (users >= 0) & (users < self.num_users)
         scores = np.asarray(
-            (self.U[np.where(known, users, 0)] @ self.W).todense(), dtype=np.float64
+            self.forward(self.U[np.where(known, users, 0)]).todense(),
+            dtype=np.float64,
         )
         if self.use_absolute_value_scores:
             scores = np.abs(scores)
