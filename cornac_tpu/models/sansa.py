@@ -125,6 +125,14 @@ class SANSA(Recommender, ANNMixin):
                 A_sp = (scale @ A_sp @ scale).tocsr()
 
         n = A_sp.shape[0]
+        if n > 32768:
+            raise ValueError(
+                "SANSA's host factorization densifies the permuted Gramian "
+                f"(O(n_items^2) float64): {n} items would need "
+                f"~{8 * n * n / 2**30:.1f} GiB. This implementation is "
+                "gated to catalogs <= 32768 items; use EASE or a factor "
+                "model for larger catalogs."
+            )
         p = rcm_permutation(A_sp)
         A = A_sp[p][:, p].toarray().astype(np.float64)
         A[np.diag_indices(n)] += float(self.l2)
@@ -169,7 +177,12 @@ class SANSA(Recommender, ANNMixin):
             raise ScoreException("Can't make score prediction for user %d" % user_idx)
         if item_idx is not None and self.is_unknown_item(item_idx):
             raise ScoreException("Can't make score prediction for item %d" % item_idx)
-        row = np.asarray(self.forward(self.U[user_idx, :]).todense()).ravel()
+        x = self.U[user_idx, :]
+        # W1 @ W2 factors B_EASE - I; add the interaction row back so seen
+        # items score under EASE semantics (unseen items have x == 0, so the
+        # ranking over candidates is bit-identical to reference
+        # recom_sansa.py:254, which scores X @ (B - I))
+        row = np.asarray((self.forward(x) + x).todense()).ravel()
         if self.use_absolute_value_scores:
             row = np.abs(row)
         return row if item_idx is None else row[item_idx]
@@ -177,9 +190,9 @@ class SANSA(Recommender, ANNMixin):
     def score_batch(self, user_indices):
         users = np.asarray(user_indices)
         known = (users >= 0) & (users < self.num_users)
+        rows = self.U[np.where(known, users, 0)]
         scores = np.asarray(
-            self.forward(self.U[np.where(known, users, 0)]).todense(),
-            dtype=np.float64,
+            (self.forward(rows) + rows).todense(), dtype=np.float64
         )
         if self.use_absolute_value_scores:
             scores = np.abs(scores)
@@ -197,7 +210,9 @@ class SANSA(Recommender, ANNMixin):
         return MEASURE_DOT
 
     def get_user_vectors(self):
-        return self.U
+        # factored form: score(u, i) = (X @ W1)[u] . W2[:, i]
+        # (reference recom_sansa.py:279; dense — ANN backends reject sparse)
+        return np.asarray((self.U @ self.weights[0]).todense(), dtype=np.float32)
 
     def get_item_vectors(self):
-        return self.W
+        return np.asarray(self.weights[1].T.todense(), dtype=np.float32)

@@ -12,6 +12,10 @@ Design notes (TPU-first framework, host-side setup op):
   sequential dependency chain (column k depends on columns < k), so they run
   on the host in float64 — exactly where the reference's CHOLMOD/ICF run —
   while the resulting sparse factors feed the device scoring path.
+- **Scale ceiling**: the factorization works on a dense permuted Gramian
+  (O(n_items^2) host memory — ~20 GB at 50K items in float64). This differs
+  from the reference's fully-sparse ICF and bounds this implementation to
+  catalogs of roughly <=30K items; ``models/sansa.py`` enforces the gate.
 - ``icf_ldlt`` is a blocked left-looking LDL^T that prunes each computed
   column to the per-column budget before it is ever used by later columns
   ("pruning on-the-fly", the ICF semantics). Breakdown (non-positive pivot)
@@ -57,7 +61,9 @@ def equilibrate_columns(gram_diag_norms):
 def _prune_column(w, keep):
     """Zero all but the ``keep`` largest-magnitude entries of ``w`` in
     place."""
-    if keep < w.size:
+    if keep <= 0:
+        w[:] = 0.0
+    elif keep < w.size:
         drop = np.argpartition(np.abs(w), w.size - keep)[: w.size - keep]
         w[drop] = 0.0
     return w
@@ -109,16 +115,19 @@ def icf_ldlt(A, density, shift_step=1e-3, shift_multiplier=2.0, max_retries=30,
     """
     n = A.shape[0]
     keep = max(1, int(np.ceil(density * n)))
-    shift = 0.0
+    work = np.array(A, dtype=np.float64)  # single working copy; retries only
+    applied = 0.0                         # touch its diagonal in place
+    diag_idx = np.diag_indices(n)
     for attempt in range(max_retries + 1):
         try:
-            work = A if shift == 0.0 else A + shift * np.eye(n)
             L, d = _icf_attempt(work, keep)
             return sp.csc_matrix(L), d
         except CholeskyBreakdown:
             if attempt == max_retries:
                 raise
             shift = shift_step * (shift_multiplier ** attempt)
+            work[diag_idx] += shift - applied
+            applied = shift
             if verbose:
                 print(f"ICF breakdown; retrying with diagonal shift {shift:g}")
 
@@ -150,7 +159,7 @@ def _prune_csc_columns(M, keep, cols=None):
     for j in range(n):
         lo, hi = indptr[j], indptr[j + 1]
         dj, ij = data[lo:hi], indices[lo:hi]
-        if (col_set is None or j in col_set) and dj.size > keep:
+        if (col_set is None or j in col_set) and dj.size > keep and keep > 0:
             mag = np.abs(dj)
             mag = np.where(ij == j, np.inf, mag)  # protect the diagonal
             sel = np.argpartition(mag, dj.size - keep)[dj.size - keep :]
@@ -197,9 +206,12 @@ def umr_inverse(L, density, scans=3, finetune_steps=10, finetune_frac=0.1):
     def mr_step(M, cols=None):
         R = (eye - L @ M).tocsc()
         if cols is not None:
+            # restrict the residual to the selected COLUMNS: CSC indices are
+            # row ids, so derive each nonzero's column from indptr
             mask = np.zeros(n, dtype=bool)
             mask[cols] = True
-            keep_cols = np.where(mask[R.indices], R.data, 0.0)
+            col_of = np.repeat(np.arange(n), np.diff(R.indptr))
+            keep_cols = np.where(mask[col_of], R.data, 0.0)
             R = sp.csc_matrix((keep_cols, R.indices.copy(), R.indptr.copy()),
                               shape=R.shape)
             R.eliminate_zeros()

@@ -311,8 +311,15 @@ def builders():
         "RecVAE": ("implicit", "auc", lambda: M.RecVAE(
             hidden_dim=32, latent_dim=8, batch_size=16, n_epochs=15, lr=5e-3, seed=1)),
         "EASE": ("implicit", "auc", lambda: M.EASE(lamb=5.0)),
+        # CHOLMOD (exact-then-prune) at a density where the factored
+        # approximation recovers EASE quality; the ICF entry exercises the
+        # equilibrated incomplete path whose approximation error at
+        # density=0.5 is intrinsic (pruned-representation floor)
         "SANSA": ("implicit", "auc", lambda: M.SANSA(
-            l2=0.5, weight_matrix_density=0.5)),
+            l2=0.5, weight_matrix_density=0.8, factorizer_class="CHOLMOD",
+            verbose=False)),
+        "SANSA-ICF": ("implicit", "auc", lambda: M.SANSA(
+            l2=0.5, weight_matrix_density=0.5, verbose=False)),
         # KNN models are rating predictors (constant scores on all-5
         # implicit data), so their goldens are RMSE floors
         "ItemKNN": ("rating", "rmse", lambda: M.ItemKNN(k=10)),

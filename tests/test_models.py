@@ -256,10 +256,45 @@ def test_fm_sansa(split, make_model):
 
 
 def test_sansa_density(split):
+    """SANSA's density budget applies to the stored factors (the reference
+    keeps weights[0]/weights[1] factored and never materializes their
+    product): every column of each factor holds at most
+    ceil(density * n_items) nonzeros."""
     from cornac_tpu.models import SANSA
 
-    m = SANSA(l2=10.0, weight_matrix_density=0.1, verbose=False).fit(split.train_set)
-    assert m.W.nnz <= 0.11 * m.W.shape[0] * m.W.shape[1]
+    density = 0.1
+    m = SANSA(l2=10.0, weight_matrix_density=density, verbose=False).fit(
+        split.train_set
+    )
+    n = m.num_items
+    budget = int(np.ceil(density * n))
+    # pruning bounds each column of L_inv: that is each ROW of
+    # weights[0] (= W.T) and each COLUMN of weights[1] (= scaled W)
+    per_row_w1 = np.diff(m.weights[0].tocsr().indptr)
+    per_col_w2 = np.diff(m.weights[1].tocsc().indptr)
+    assert per_row_w1.max() <= budget
+    assert per_col_w2.max() <= budget
+    for w in m.weights:
+        assert w.nnz <= budget * n
+
+
+def test_sansa_tiny_catalog_sparse_budget(split):
+    """Regression: ceil(density*n) == 1 leaves zero off-diagonal slots per
+    column (keep=0); _prune_column used to crash in np.argpartition
+    (sansa_movielens.py config: density=0.01 on catalogs <= 100 items)."""
+    from cornac_tpu.models import SANSA
+
+    for fc in ("ICF", "CHOLMOD"):
+        m = SANSA(
+            l2=10.0,
+            weight_matrix_density=0.01,
+            factorizer_class=fc,
+            verbose=False,
+        ).fit(split.train_set)
+        row = np.asarray(m.score(0))
+        assert row.shape[0] == m.num_items and np.isfinite(row).all()
+        # with keep=1, both factors degenerate to (scaled) diagonals
+        assert np.diff(m.weights[1].tocsc().indptr).max() <= 1
 
 
 def test_fm_mcmc_gibbs_learns(split):

@@ -29,6 +29,7 @@ GOLDENS_AUC = {
     "RecVAE": (0.838, 0.74),
     "EASE": (0.882, 0.86),
     "SANSA": (0.999, 0.97),
+    "SANSA-ICF": (0.957, 0.90),
     "HPF": (0.866, 0.78),
     "NeuMF": (0.997, 0.93),
     "GMF": (0.969, 0.89),
