@@ -188,6 +188,7 @@ class GRU4Rec(NextItemRecommender):
         trainable=True,
         verbose=False,
         seed=None,
+        mesh=None,
     ):
         super().__init__(name=name, trainable=trainable, verbose=verbose)
         if loss not in SUPPORTED_LOSSES:
@@ -221,6 +222,7 @@ class GRU4Rec(NextItemRecommender):
         self.val_metric = val_metric
         self.max_len = max_len
         self.seed = seed
+        self.mesh = mesh
         self.rng = get_rng(seed)
 
     def fit(self, train_set, val_set=None):
@@ -328,6 +330,21 @@ class GRU4Rec(NextItemRecommender):
         targets_d = jnp.asarray(targets)
         mask_d = jnp.asarray(mask)
 
+        # data-parallel over the mesh: params/opt replicated, minibatches
+        # sharded across every device (GSPMD psums the grads)
+        batch_shard = None
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            from ..parallel import replicate_all
+
+            batch_shard = NamedSharding(
+                self.mesh, P(tuple(self.mesh.axis_names), None)
+            )
+            self.params, opt_state, inputs_d, targets_d, mask_d = replicate_all(
+                self.mesh, self.params, opt_state, inputs_d, targets_d, mask_d
+            )
+
         @partial(jax.jit, donate_argnums=(0, 1))
         def run_epochs(params, opt_state, key, n_epochs, epoch_offset):
             def epoch(e, carry):
@@ -339,11 +356,17 @@ class GRU4Rec(NextItemRecommender):
                 def step(b, carry):
                     params, opt_state, loss_sum = carry
                     idx = jax.lax.dynamic_slice(order, (b * bsz,), (bsz,))
+                    seq, tgt, m = inputs_d[idx], targets_d[idx], mask_d[idx]
+                    if batch_shard is not None:
+                        seq, tgt, m = (
+                            jax.lax.with_sharding_constraint(x, batch_shard)
+                            for x in (seq, tgt, m)
+                        )
                     loss, grads = jax.value_and_grad(loss_fn)(
                         params,
-                        inputs_d[idx],
-                        targets_d[idx],
-                        mask_d[idx],
+                        seq,
+                        tgt,
+                        m,
                         jax.random.fold_in(ekey, b),
                     )
                     updates, opt_state = optimizer.update(grads, opt_state, params)

@@ -9,6 +9,13 @@ fwd+bwd measured), flat-edge scatter-adds beyond the dense memory budget;
 no graph library, no sparse-format conversion; the full multi-epoch fit is
 one compiled program. BPR loss over sampled triplets, Adam, early stopping on
 validation Recall@20 (reference ``recom_lightgcn.py:188-227``).
+
+Multi-chip: ``mesh=`` shards the ADJACENCY across the device mesh (flat
+edge list partitioned, or dense normalized matrix row-partitioned inside
+the dense budget) while the embedding tables stay replicated — propagation
+becomes local partial aggregation + one psum/all-gather per layer on ICI,
+and results are identical to the single-device run
+(``tests/test_parallel.py::test_mesh_training_matches_single_device_neural``).
 """
 
 from functools import partial
@@ -41,6 +48,7 @@ class LightGCN(Recommender):
         trainable=True,
         verbose=False,
         seed=2020,
+        mesh=None,
     ):
         super().__init__(name=name, trainable=trainable, verbose=verbose)
         self.emb_size = emb_size
@@ -51,6 +59,7 @@ class LightGCN(Recommender):
         self.early_stopping = early_stopping
         self.lambda_reg = lambda_reg
         self.seed = seed
+        self.mesh = mesh
 
     def _init_params(self, rng):
         return {
@@ -76,7 +85,10 @@ class LightGCN(Recommender):
         if not hasattr(self, "params"):
             self.params = self._init_params(rng)
 
-        self._adj = NormAdjacency(train_set)
+        # sharded adjacency (north-star layout): the edge list / dense
+        # normalized matrix is partitioned across the mesh while the
+        # embedding towers stay data-parallel (replicated params)
+        self._adj = NormAdjacency(train_set, mesh=self.mesh)
         adj = self._adj
 
         rid, cid, _ = train_set.uir_tuple
@@ -91,6 +103,12 @@ class LightGCN(Recommender):
 
         optimizer = optax.adam(self.learning_rate)
         opt_state = optimizer.init(self.params)
+        if self.mesh is not None:
+            from ..parallel import replicate_all
+
+            self.params, opt_state, rid_d, cid_d = replicate_all(
+                self.mesh, self.params, opt_state, rid_d, cid_d
+            )
 
         def loss_fn(params, u, i, j):
             ue, ie = adj.lightgcn(
@@ -238,6 +256,7 @@ class NGCF(LightGCN):
         trainable=True,
         verbose=False,
         seed=2020,
+        mesh=None,
     ):
         layer_sizes = [64, 64, 64] if layer_sizes is None else list(layer_sizes)
         super().__init__(
@@ -252,6 +271,7 @@ class NGCF(LightGCN):
             trainable=trainable,
             verbose=verbose,
             seed=seed,
+            mesh=mesh,
         )
         self.layer_sizes = layer_sizes
         self.dropout_rates = dropout_rates  # kept for API parity
@@ -309,7 +329,7 @@ class NGCF(LightGCN):
         if not hasattr(self, "params"):
             self.params = self._init_params(rng)
 
-        self._adj = NormAdjacency(train_set)
+        self._adj = NormAdjacency(train_set, mesh=self.mesh)
 
         rid, cid, _ = train_set.uir_tuple
         rid_d = jnp.asarray(rid, dtype=jnp.int32)
@@ -322,6 +342,12 @@ class NGCF(LightGCN):
 
         optimizer = optax.adam(self.learning_rate)
         opt_state = optimizer.init(self.params)
+        if self.mesh is not None:
+            from ..parallel import replicate_all
+
+            self.params, opt_state, rid_d, cid_d = replicate_all(
+                self.mesh, self.params, opt_state, rid_d, cid_d
+            )
 
         def loss_fn(params, u, i, j):
             ue, ie = self._ngcf_embeddings(params)

@@ -51,8 +51,10 @@ class NCFBase(Recommender):
         trainable=True,
         verbose=True,
         seed=None,
+        mesh=None,
     ):
         super().__init__(name=name, trainable=trainable, verbose=verbose)
+        self.mesh = mesh
         self.num_epochs = num_epochs
         self.batch_size = batch_size
         self.num_neg = num_neg
@@ -113,6 +115,22 @@ class NCFBase(Recommender):
         rid_d = jnp.asarray(rid, dtype=jnp.int32)
         cid_d = jnp.asarray(cid, dtype=jnp.int32)
 
+        # data-parallel over the mesh (BASELINE: "dense towers stay
+        # data-parallel"): params/opt replicated, every minibatch sharded
+        # across all devices; gradient psums are inserted by GSPMD
+        batch_shard = None
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            batch_shard = NamedSharding(
+                self.mesh, P(tuple(self.mesh.axis_names))
+            )
+            from ..parallel import replicate_all
+
+            self.params, opt_state, rid_d, cid_d = replicate_all(
+                self.mesh, self.params, opt_state, rid_d, cid_d
+            )
+
         @partial(jax.jit, donate_argnums=(0, 1))
         def run_epochs(params, opt_state, key, n_epochs):
             def epoch(e, carry):
@@ -154,6 +172,11 @@ class NCFBase(Recommender):
                     u, i, y, m = sl(users), sl(items), sl(labels), sl(
                         valid.astype(jnp.float32)
                     )
+                    if batch_shard is not None:
+                        u, i, y, m = (
+                            jax.lax.with_sharding_constraint(x, batch_shard)
+                            for x in (u, i, y, m)
+                        )
                     loss, grads = jax.value_and_grad(loss_fn)(params, u, i, y, m)
                     updates, opt_state = optimizer.update(grads, opt_state, params)
                     params = optax.apply_updates(params, updates)
@@ -283,6 +306,7 @@ class GMF(NCFBase):
         trainable=True,
         verbose=True,
         seed=None,
+        mesh=None,
     ):
         super().__init__(
             name=name,
@@ -297,6 +321,7 @@ class GMF(NCFBase):
             trainable=trainable,
             verbose=verbose,
             seed=seed,
+            mesh=mesh,
         )
         self.num_factors = num_factors
 
@@ -344,6 +369,7 @@ class MLP(NCFBase):
         trainable=True,
         verbose=True,
         seed=None,
+        mesh=None,
     ):
         super().__init__(
             name=name,
@@ -358,6 +384,7 @@ class MLP(NCFBase):
             trainable=trainable,
             verbose=verbose,
             seed=seed,
+            mesh=mesh,
         )
         self.layers = list(layers)
         self.act_fn = act_fn
@@ -419,6 +446,7 @@ class NeuMF(NCFBase):
         trainable=True,
         verbose=True,
         seed=None,
+        mesh=None,
     ):
         super().__init__(
             name=name,
@@ -433,6 +461,7 @@ class NeuMF(NCFBase):
             trainable=trainable,
             verbose=verbose,
             seed=seed,
+            mesh=mesh,
         )
         layers = [64, 32, 16, 8] if layers is None else list(layers)
         num_factors = layers[-1] if num_factors is None else num_factors

@@ -44,29 +44,57 @@ def _solve_chunk(F_other, G, pad_idx, pad_val, pad_mask, a, b, lamb, k):
     return jnp.linalg.solve(A, rhs[..., None]).squeeze(-1)
 
 
-def _solve_side_all(F_other, pad_idx, pad_val, pad_mask, a, b, lamb, k):
+def _solve_side_all(F_other, pad_idx, pad_val, pad_mask, a, b, lamb, k,
+                    mesh=None):
     """Re-solve every entity of one side; entities pre-chunked on the
     leading axis ((n_chunks, C, L) inputs), mapped sequentially to bound
-    the (C, L, k) gather workspace."""
+    the (C, L, k) gather workspace. With ``mesh`` the chunk axis is
+    partitioned: every device lax.maps over only its local chunks inside
+    ``shard_map`` (a scan can't be auto-partitioned), with the opposite
+    factor table replicated — the sharded per-entity ALS solves of
+    SURVEY §2.4."""
     G = F_other.T @ F_other  # (k, k), shared across the sweep
 
-    def one(args):
-        idx, val, mask = args
-        return _solve_chunk(F_other, G, idx, val, mask, a, b, lamb, k)
+    def one_chunk(F, idx, val, mask):
+        return _solve_chunk(F, G, idx, val, mask, a, b, lamb, k)
 
-    sols = jax.lax.map(one, (pad_idx, pad_val, pad_mask))
+    if mesh is None:
+        sols = jax.lax.map(
+            lambda args: one_chunk(F_other, *args), (pad_idx, pad_val, pad_mask)
+        )
+        return sols.reshape(-1, k)
+
+    from jax.sharding import PartitionSpec as P
+
+    axes = tuple(mesh.axis_names)
+    chunk_spec = P(axes, None, None)
+
+    def local(F, idx, val, mask):
+        return jax.lax.map(lambda args: one_chunk(F, *args), (idx, val, mask))
+
+    sols = jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(), chunk_spec, chunk_spec, chunk_spec),
+        out_specs=chunk_spec,
+    )(F_other, pad_idx, pad_val, pad_mask)
     return sols.reshape(-1, k)
 
 
-@partial(jax.jit, static_argnames=("k",), donate_argnums=(0, 1))
-def _als_fit(U, V, u_idx, u_val, u_mask, i_idx, i_val, i_mask, a, b, lu, li, k, n_sweeps):
+@partial(jax.jit, static_argnames=("k", "mesh"), donate_argnums=(0, 1))
+def _als_fit(U, V, u_idx, u_val, u_mask, i_idx, i_val, i_mask, a, b, lu, li, k,
+             n_sweeps, mesh=None):
     """Run all ALS sweeps in one compiled program (zero host round-trips;
     the padded CSR tensors are built once and stay on device)."""
 
     def sweep(s, carry):
         U, V = carry
-        U = _solve_side_all(V, u_idx, u_val, u_mask, a, b, lu, k)[: U.shape[0]]
-        V = _solve_side_all(U, i_idx, i_val, i_mask, a, b, li, k)[: V.shape[0]]
+        U = _solve_side_all(V, u_idx, u_val, u_mask, a, b, lu, k, mesh)[
+            : U.shape[0]
+        ]
+        V = _solve_side_all(U, i_idx, i_val, i_mask, a, b, li, k, mesh)[
+            : V.shape[0]
+        ]
         return U, V
 
     return jax.lax.fori_loop(0, n_sweeps, sweep, (U, V))
@@ -118,8 +146,10 @@ class WMF(Recommender, ANNMixin):
         verbose=True,
         init_params=None,
         seed=None,
+        mesh=None,
     ):
         super().__init__(name=name, trainable=trainable, verbose=verbose)
+        self.mesh = mesh
         self.k = k
         self.lambda_u = lambda_u
         self.lambda_v = lambda_v
@@ -152,6 +182,32 @@ class WMF(Recommender, ANNMixin):
         chunk = min(self.batch_size, max(self.num_users, self.num_items))
         u_idx, u_val, u_mask = _padded_csr(csr, chunk)
         i_idx, i_val, i_mask = _padded_csr(csc, chunk)
+        U0, V0 = jnp.asarray(self.U), jnp.asarray(self.V)
+        if self.mesh is not None:
+            # shard the per-entity ALS solves: the chunk axis of the padded
+            # CSR tensors is partitioned over every mesh device (pad chunks
+            # solve (b*G + lamb I) x = 0 -> 0 and are sliced off), while the
+            # opposite-side factor table is replicated for the G = F^T F and
+            # row gathers; GSPMD all-gathers the solved rows between sweeps
+            import jax as _jax
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            n_dev = self.mesh.size
+            spec = NamedSharding(self.mesh, P(tuple(self.mesh.axis_names), None, None))
+
+            def shard_chunks(t):
+                pad = (-t.shape[0]) % n_dev
+                if pad:
+                    t = jnp.concatenate(
+                        [t, jnp.zeros((pad,) + t.shape[1:], t.dtype)]
+                    )
+                return _jax.device_put(t, spec)
+
+            u_idx, u_val, u_mask = map(shard_chunks, (u_idx, u_val, u_mask))
+            i_idx, i_val, i_mask = map(shard_chunks, (i_idx, i_val, i_mask))
+            from ..parallel import replicate_all
+
+            U0, V0 = replicate_all(self.mesh, U0, V0)
 
         def run_chunk(state, start, e):
             # ALS is deterministic and memoryless across sweeps, so any
@@ -166,6 +222,7 @@ class WMF(Recommender, ANNMixin):
                 jnp.float32(self.lambda_v),
                 k=self.k,
                 n_sweeps=e,
+                mesh=self.mesh,
             )
             return (U, V), None
 
@@ -173,7 +230,7 @@ class WMF(Recommender, ANNMixin):
             self,
             self.max_iter,
             run_chunk,
-            (jnp.asarray(self.U), jnp.asarray(self.V)),
+            (U0, V0),
             on_report=lambda done, _: print(
                 "ALS sweep %d/%d" % (done, self.max_iter)
             ),

@@ -425,6 +425,119 @@ def test_vaecf_mesh_training_matches_single_device():
     )
 
 
+@pytest.mark.parametrize(
+    "make",
+    [
+        lambda mesh: __import__("cornac_tpu.models", fromlist=["LightGCN"]).LightGCN(
+            emb_size=8, num_epochs=5, batch_size=64, seed=11, verbose=False,
+            mesh=mesh),
+        lambda mesh: __import__("cornac_tpu.models", fromlist=["NGCF"]).NGCF(
+            emb_size=8, layer_sizes=[8, 8], num_epochs=5, batch_size=64,
+            seed=11, verbose=False, mesh=mesh),
+        lambda mesh: __import__("cornac_tpu.models", fromlist=["WMF"]).WMF(
+            k=6, max_iter=5, batch_size=16, seed=11, verbose=False, mesh=mesh),
+        lambda mesh: __import__("cornac_tpu.models", fromlist=["GMF"]).GMF(
+            num_factors=4, num_epochs=4, batch_size=64, lr=0.01, seed=11,
+            verbose=False, mesh=mesh),
+        lambda mesh: __import__("cornac_tpu.models", fromlist=["NeuMF"]).NeuMF(
+            num_factors=4, layers=(8, 4), num_epochs=4, batch_size=64, lr=0.01,
+            seed=11, verbose=False, mesh=mesh),
+    ],
+    ids=["LightGCN", "NGCF", "WMF", "GMF", "NeuMF"],
+)
+def test_mesh_training_matches_single_device_neural(make):
+    """North-star neural families (BASELINE.json): LightGCN/NGCF with the
+    adjacency sharded across the mesh, WMF with the per-entity ALS solves
+    sharded, and the NCF towers data-parallel — all must reproduce the
+    single-device run."""
+    import numpy as np
+
+    from cornac_tpu.eval_methods import RatioSplit
+    from cornac_tpu.parallel import make_mesh
+
+    rng = np.random.RandomState(3)
+    data = [
+        (f"u{rng.randint(30)}", f"i{rng.randint(50)}", float(rng.randint(1, 6)))
+        for _ in range(500)
+    ]
+    rs = RatioSplit(data=data, test_size=0.2, rating_threshold=2.5, seed=123)
+
+    plain = make(None).fit(rs.train_set)
+    sharded = make(make_mesh(data_parallel=4)).fit(rs.train_set)
+
+    batch = np.arange(8)
+    np.testing.assert_allclose(
+        plain.score_batch(batch), sharded.score_batch(batch),
+        rtol=2e-4, atol=2e-5,
+    )
+
+
+def test_mesh_training_matches_single_device_sequential():
+    """GRU4Rec/SASRec data-parallel mesh training must reproduce the
+    single-device session scores."""
+    import numpy as np
+
+    from cornac_tpu.data import SequentialDataset
+    from cornac_tpu.models import GRU4Rec, SASRec
+    from cornac_tpu.parallel import make_mesh
+
+    rng = np.random.RandomState(5)
+    data = []
+    for s in range(40):
+        for t in range(rng.randint(3, 8)):
+            data.append((f"s{s}", f"i{rng.randint(30)}", t))
+    ds = SequentialDataset.build(data)
+    mesh = make_mesh(data_parallel=8)
+
+    for cls, kw in [
+        (GRU4Rec, dict(layers=[8], n_epochs=3, batch_size=32, n_sample=8, seed=7)),
+        (SASRec, dict(embedding_dim=8, n_epochs=3, batch_size=8, n_sample=8,
+                      max_len=10, seed=7)),
+    ]:
+        plain = cls(verbose=False, **kw).fit(ds)
+        sharded = cls(verbose=False, mesh=mesh, **kw).fit(ds)
+        a = np.asarray(plain.score(None, history_items=[1, 2, 3]))
+        b = np.asarray(sharded.score(None, history_items=[1, 2, 3]))
+        np.testing.assert_allclose(a, b, rtol=2e-4, atol=2e-5)
+
+
+def test_lightgcn_mesh_edge_representation():
+    """The sharded adjacency also works in the flat-edge (scatter) form
+    used beyond the dense memory budget."""
+    import numpy as np
+
+    from cornac_tpu.eval_methods import RatioSplit
+    from cornac_tpu.models import LightGCN
+    from cornac_tpu.ops import graph as graph_mod
+    from cornac_tpu.parallel import make_mesh
+
+    rng = np.random.RandomState(3)
+    data = [
+        (f"u{rng.randint(30)}", f"i{rng.randint(50)}", float(rng.randint(1, 6)))
+        for _ in range(500)
+    ]
+    rs = RatioSplit(data=data, test_size=0.2, rating_threshold=2.5, seed=123)
+
+    orig = graph_mod.NormAdjacency.__init__
+
+    def edge_only(self, ts, budget_elems=0, mesh=None):
+        orig(self, ts, budget_elems=0, mesh=mesh)
+
+    graph_mod.NormAdjacency.__init__ = edge_only
+    try:
+        kw = dict(emb_size=8, num_epochs=5, batch_size=64, seed=11, verbose=False)
+        plain = LightGCN(**kw).fit(rs.train_set)
+        sharded = LightGCN(mesh=make_mesh(data_parallel=4), **kw).fit(rs.train_set)
+    finally:
+        graph_mod.NormAdjacency.__init__ = orig
+
+    batch = np.arange(8)
+    np.testing.assert_allclose(
+        plain.score_batch(batch), sharded.score_batch(batch),
+        rtol=2e-4, atol=2e-5,
+    )
+
+
 def test_mesh_eval_matches_single_device(mesh):
     """RatioSplit(mesh=...) routes the fused metric kernel through the
     sharded layout (items over model axis, users over data axis); results
