@@ -85,7 +85,29 @@ def model_specs():
                    learning_rate=0.005, lambda_w=0.01, lambda_b=0.01,
                    lambda_e=0.0, seed=SEED, verbose=False)
 
+    # flagship rows: reference semantics via the native C++/OpenMP kernel
+    # (benchmarks/ref_native — this image has no Cython to build the
+    # reference's own extension), ours via cornac_tpu.BPR. README headline
+    # config (k=10, max_iter=200) plus a k=50 row.
+    bpr_kw = dict(k=10, max_iter=200, learning_rate=0.001, lambda_reg=0.01,
+                  use_bias=True, seed=SEED, verbose=False)
+    bpr50_kw = dict(k=50, max_iter=100, learning_rate=0.01, lambda_reg=0.01,
+                    use_bias=True, seed=SEED, verbose=False)
+
+    def ref_bpr(M, kw):
+        from ref_native import make_ref_bpr
+
+        return make_ref_bpr(M)(**kw)
+
     return {
+        "BPR": (
+            lambda M: ref_bpr(M, bpr_kw),
+            lambda M: M.BPR(**bpr_kw),
+        ),
+        "BPR-k50": (
+            lambda M: ref_bpr(M, dict(bpr50_kw, name="BPR-k50")),
+            lambda M: M.BPR(name="BPR-k50", **{k_: v for k_, v in bpr50_kw.items() if k_ != "name"}),
+        ),
         "MF": (
             lambda M: M.MF(backend="pytorch", optimizer="adam",
                            batch_size=512, **mf_kw),

@@ -268,10 +268,12 @@ class Dataset:
             valid_idx.append(idx)
 
         if dup_count > 0:
-            warnings.warn("%d duplicated observations are removed!" % dup_count)
+            warnings.warn(
+                "dropped %d duplicate (user, item) observations" % dup_count
+            )
 
         if len(ui_set) == 0:
-            raise ValueError("data is empty after being filtered!")
+            raise ValueError("no observations left after filtering")
 
         uir_tuple = (
             np.asarray(u_indices, dtype="int"),

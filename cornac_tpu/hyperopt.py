@@ -69,56 +69,62 @@ class BaseSearch(Recommender):
     def _build_param_set(self):
         raise NotImplementedError()
 
+    def _validation_score(self, model, train_set, val_set):
+        """Score one fitted trial on the validation set with the eval
+        function matching the metric/model type (rating, next-item, or
+        ranking — the same dispatch the composed eval_method would use)."""
+        if isinstance(self.metric, RatingMetric):
+            return rating_eval(model, [self.metric], val_set)[0][0]
+        if isinstance(model, NextItemRecommender):
+            return next_item_ranking_eval(
+                model,
+                [self.metric],
+                train_set,
+                val_set,
+                exclude_unknowns=self.eval_method.exclude_unknowns,
+                mode=self.eval_method.mode,
+                verbose=False,
+            )[0][0]
+        return ranking_eval(
+            model,
+            [self.metric],
+            train_set,
+            val_set,
+            rating_threshold=self.eval_method.rating_threshold,
+            exclude_unknowns=self.eval_method.exclude_unknowns,
+            verbose=False,
+        )[0][0]
+
     def fit(self, train_set, val_set=None):
         assert val_set is not None
         Recommender.fit(self, train_set, val_set)
 
-        param_set = self._build_param_set()
-        compare_op = np.greater if self.metric.higher_better else np.less
-        self.best_score = -np.inf if self.metric.higher_better else np.inf
+        sign = 1.0 if self.metric.higher_better else -1.0
+        self.trial_results = []  # (params, score) per evaluated point
+        self.best_score = None
         self.best_model = None
         self.best_params = None
 
-        for params in param_set:
+        for params in self._build_param_set():
             if self.verbose:
-                print("Evaluating: {}".format(params))
-
+                print("[{}] trying {}".format(self.name, params))
             model = self.model.clone(params).fit(train_set, val_set)
-
-            if isinstance(self.metric, RatingMetric):
-                score = rating_eval(model, [self.metric], val_set)[0][0]
-            elif isinstance(model, NextItemRecommender):
-                score = next_item_ranking_eval(
-                    model,
-                    [self.metric],
-                    train_set,
-                    val_set,
-                    exclude_unknowns=self.eval_method.exclude_unknowns,
-                    mode=self.eval_method.mode,
-                    verbose=False,
-                )[0][0]
+            score = self._validation_score(model, train_set, val_set)
+            self.trial_results.append((params, score))
+            if self.best_score is None or sign * score > sign * self.best_score:
+                self.best_score, self.best_model, self.best_params = (
+                    score, model, params,
+                )
             else:
-                score = ranking_eval(
-                    model,
-                    [self.metric],
-                    train_set,
-                    val_set,
-                    rating_threshold=self.eval_method.rating_threshold,
-                    exclude_unknowns=self.eval_method.exclude_unknowns,
-                    verbose=False,
-                )[0][0]
-
-            if compare_op(score, self.best_score):
-                self.best_score = score
-                self.best_model = model
-                self.best_params = params
-
-            del model
+                del model
 
         if self.verbose:
-            print("Best parameter settings: {}".format(self.best_params))
-            print("{} = {:.4f}".format(self.metric.name, self.best_score))
-
+            print(
+                "[{}] best {} = {:.4f} at {}".format(
+                    self.name, self.metric.name, self.best_score,
+                    self.best_params,
+                )
+            )
         return self
 
     def transform(self, test_set):
@@ -154,8 +160,9 @@ class GridSearch(BaseSearch):
         for domain in space:
             if not isinstance(domain, Discrete):
                 raise ValueError(
-                    "GridSearch only supports Discrete domain but {} is not!\n"
-                    "Please consider using RandomSearch instead.".format(domain.name)
+                    "GridSearch requires every domain to be Discrete; "
+                    "'{}' is not (RandomSearch handles Continuous "
+                    "domains)".format(domain.name)
                 )
         return space
 

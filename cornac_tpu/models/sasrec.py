@@ -38,6 +38,7 @@ from .seq_utils import (
     pad_batch_rows,
     pad_histories,
     sample_negatives,
+    sessions_per_batch,
     val_score,
 )
 
@@ -228,7 +229,10 @@ class SASRec(NextItemRecommender):
         inputs, targets, mask = li.astype(np.int32), lt, lm
 
         n = inputs.shape[0]
-        bsz = min(self.batch_size, n)
+        # batch_size counts EVENTS (reference semantics: session_seq_iter
+        # yields one prefix example per event, recom_sasrec.py:226-237):
+        # size session-row batches so optimizer updates per epoch match
+        bsz = sessions_per_batch(self.batch_size, mask, n)
         n_pad = (-n) % bsz
         if n_pad:
             inputs = np.concatenate(
@@ -240,7 +244,8 @@ class SASRec(NextItemRecommender):
             mask = np.concatenate([mask, np.zeros((n_pad, self.max_len), np.float32)])
         n_batches = inputs.shape[0] // bsz
 
-        optimizer = optax.adam(self.learning_rate)
+        # reference optimizer: Adam betas=(0.9, 0.98) (recom_sasrec.py:215-217)
+        optimizer = optax.adam(self.learning_rate, b1=0.9, b2=0.98)
         opt_state = optimizer.init(self.params)
         n_heads = self.num_heads
         l2 = self.l2_reg

@@ -64,6 +64,47 @@ class TestHyperopt:
         assert rs.best_params is not None
         assert np.isfinite(rs.best_score)
 
+    def test_grid_search_next_item(self):
+        """Search over a NextItemRecommender drives the next-item eval
+        branch (hyperopt _validation_score -> next_item_ranking_eval) and
+        picks the best-scoring point (reference
+        tests/cornac/test_hyperopt.py next-item coverage)."""
+        import numpy as np
+
+        from cornac_tpu.eval_methods import NextItemEvaluation
+        from cornac_tpu.metrics import HitRatio
+        from cornac_tpu.models import SPop
+
+        rng = np.random.RandomState(8)
+
+        def sessions(n0, n1):
+            rows = []
+            for s in range(n0, n1):
+                for t in range(rng.randint(3, 7)):
+                    rows.append((f"s{s}", f"i{rng.randint(20)}", t))
+            return rows
+
+        nie = NextItemEvaluation.from_splits(
+            train_data=sessions(0, 40),
+            test_data=sessions(40, 50),
+            val_data=sessions(50, 60),
+            seed=42, verbose=False, fmt="SIT",
+        )
+        gs = GridSearch(
+            model=SPop(),
+            space=[Discrete("use_session_popularity", [True, False])],
+            metric=HitRatio(k=5),
+            eval_method=nie,
+        )
+        gs.fit(nie.train_set, nie.val_set)
+        assert gs.best_params is not None
+        assert "use_session_popularity" in gs.best_params
+        assert np.isfinite(gs.best_score)
+        # every trial was scored through the next-item branch
+        assert len(gs.trial_results) == 2
+        scores = [s for _, s in gs.trial_results]
+        assert gs.best_score == max(scores)
+
     def test_search_in_experiment(self, split, tmp_path, monkeypatch):
         from cornac_tpu import Experiment
 
