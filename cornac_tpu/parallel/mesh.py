@@ -77,13 +77,24 @@ def make_mesh(devices=None, data_parallel=None):
     if n_proc > 1 and len(devices) == len(jax.devices()):
         # hybrid ICI x DCN layout: hosts partition the data axis
         if data_parallel % n_proc == 0 and (n // n_proc) % model_parallel == 0:
-            from jax.experimental import mesh_utils
+            try:
+                from jax.experimental import mesh_utils
 
-            dev_array = mesh_utils.create_hybrid_device_mesh(
-                (data_parallel // n_proc, model_parallel),
-                (n_proc, 1),
-                devices=devices,
-            )
+                dev_array = mesh_utils.create_hybrid_device_mesh(
+                    (data_parallel // n_proc, model_parallel),
+                    (n_proc, 1),
+                    devices=devices,
+                )
+            except ValueError:
+                # no slice metadata (e.g. multi-process CPU simulation):
+                # group process-major so the model axis stays inside one
+                # process (ICI) and the data axis crosses processes (DCN)
+                by_proc = sorted(
+                    devices, key=lambda d: (d.process_index, d.id)
+                )
+                dev_array = np.asarray(by_proc).reshape(
+                    data_parallel, model_parallel
+                )
             return Mesh(dev_array, (DATA_AXIS, MODEL_AXIS))
 
     dev_array = np.asarray(devices).reshape(data_parallel, model_parallel)
