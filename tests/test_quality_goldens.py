@@ -30,6 +30,11 @@ GOLDENS_AUC = {
     "EASE": (0.882, 0.86),
     "SANSA": (0.999, 0.97),
     "SANSA-ICF": (0.957, 0.90),
+    # r3 additions: previously smoke-only families (VERDICT r2 #4)
+    "CVAECF": (0.843, 0.75),
+    "DMRL": (0.697, 0.61),
+    "HypAR": (0.827, 0.74),
+    "Companion": (0.866, 0.78),
     "HPF": (0.866, 0.78),
     "NeuMF": (0.997, 0.93),
     "GMF": (0.969, 0.89),
@@ -63,6 +68,12 @@ GOLDENS_RMSE = {
     "PMF": (0.638, 0.75),
     "BaselineOnly": (1.288, 1.40),
     "GlobalAvg": (1.233, 1.26),
+    # r3 additions (regression guards; the explainable family is not a
+    # calibrated rating predictor — cf. MTER/LRPPM above)
+    "HRDR": (1.110, 1.26),
+    "NARRE": (1.142, 1.30),
+    "ComparERObj": (0.918, 1.08),
+    "ComparERSub": (1.191, 1.35),
     "FM": (0.883, 1.00),
     "FM_als": (0.579, 0.68),
     "FM_mcmc": (0.672, 0.80),
@@ -82,8 +93,13 @@ GOLDENS_HR = {
     "SPop": (0.163, 0.15),
     "FPMC": (0.765, 0.65),
     "GRU4Rec": (0.916, 0.85),
-    "SASRec": (0.916, 0.85),
+    "SASRec": (0.910, 0.85),
     "BERT4Rec": (0.410, 0.30),
+    # r3 additions
+    "TIGER": (0.910, 0.80),
+    "TransformerRec_clm": (0.910, 0.80),
+    "TransformerRec_plm": (0.488, 0.38),
+    "TransformerRec_rtd": (0.578, 0.47),
 }
 
 GOLDENS_NB_RECALL = {
