@@ -1,0 +1,169 @@
+"""Netflix-shape scale run: 480k users x 17.7k items x ~100M interactions
+(the largest dataset the reference ships loaders for,
+``cornac/datasets/README.md``; the reference itself tops out here on CPU).
+
+Measures, on the single v5e chip:
+  - BPR sampled-SGD training throughput (samples/s) + achieved HBM
+    bandwidth vs the v5e peak (embedding SGD is bandwidth-bound: ~3 factor
+    rows read+written per sample; MXU utilization is near zero by design),
+  - WMF blocked-ALS sweep time + an MXU MFU estimate from the analytic
+    FLOP count (2*nnz*k^2 per side + k^3/3 per entity solve),
+  - VAECF dense-tower epoch time + MFU (encoder/decoder matmuls dominate:
+    ~4*nnz_dense*h per epoch where the user batch matrix is dense),
+  - HBM occupancy after each model (device memory_stats).
+
+Prints one JSON line per model. v5e peaks used: 197 TFLOP/s bf16 /
+~49 TFLOP/s f32 (4:1), 819 GB/s HBM.
+"""
+
+import json
+import os
+import sys
+import time
+from collections import OrderedDict
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import bench  # noqa: E402
+
+V5E_HBM_GBS = 819.0
+V5E_F32_TFLOPS = 49.0
+
+N_USERS, N_ITEMS, N_RATINGS = 480_000, 17_700, 100_000_000
+
+
+def hbm_bytes():
+    import jax
+
+    try:
+        stats = jax.local_devices()[0].memory_stats()
+        return int(stats.get("bytes_in_use", 0))
+    except Exception:
+        return 0
+
+
+def build_dataset(n_r=N_RATINGS):
+    from cornac_tpu.data import Dataset
+
+    rng = np.random.RandomState(0)
+    u = rng.randint(N_USERS, size=n_r).astype(np.int64)
+    i = rng.randint(N_ITEMS, size=n_r).astype(np.int64)
+    key = u * N_ITEMS + i
+    _, first = np.unique(key, return_index=True)
+    u, i = u[first], i[first]
+    return Dataset(
+        num_users=N_USERS,
+        num_items=N_ITEMS,
+        uid_map=OrderedDict((x, x) for x in range(N_USERS)),
+        iid_map=OrderedDict((x, x) for x in range(N_ITEMS)),
+        uir_tuple=(u, i, np.ones(len(u), dtype=np.float64)),
+        seed=0,
+    )
+
+
+def emit(metric, value, unit, **detail):
+    print(
+        json.dumps(
+            {"metric": metric, "value": value, "unit": unit, "detail": detail}
+        ),
+        flush=True,
+    )
+
+
+def run_bpr(ds, k=32, epochs=3, batch_size=65536):
+    from cornac_tpu.models import BPR
+
+    nnz = len(ds.uir_tuple[0])
+    BPR(k=k, max_iter=1, seed=1, batch_size=batch_size).fit(ds)  # warm
+    t0 = time.time()
+    BPR(k=k, max_iter=epochs, seed=1, batch_size=batch_size).fit(ds)
+    dt = time.time() - t0
+    sps = epochs * nnz / dt
+    # bytes per SGD sample: 3 factor rows (u, i, j) read + written in f32,
+    # plus the sampled-id reads (negligible); membership check reads CSR
+    bytes_per_sample = 3 * k * 4 * 2
+    bw = sps * bytes_per_sample / 1e9
+    emit(
+        "netflix_bpr_train_throughput",
+        round(sps / 1e6, 2),
+        "M samples/s",
+        interactions=nnz, epochs=epochs, k=k,
+        wallclock_s=round(dt, 1),
+        achieved_hbm_gbs=round(bw, 1),
+        hbm_bw_utilization=round(bw / V5E_HBM_GBS, 3),
+        hbm_bytes_in_use=hbm_bytes(),
+    )
+
+
+def run_wmf(ds, k=64, sweeps=2, batch_size=128):
+    from cornac_tpu.models import WMF
+
+    nnz = len(ds.uir_tuple[0])
+    WMF(k=k, max_iter=1, batch_size=batch_size, seed=1, verbose=False).fit(ds)
+    t0 = time.time()
+    WMF(k=k, max_iter=sweeps, batch_size=batch_size, seed=1, verbose=False).fit(ds)
+    dt = time.time() - t0
+    # analytic FLOPs per sweep: both half-sweeps accumulate sum(v v^T) over
+    # observed entries (2*nnz*k^2 each) + one k^3/3 Cholesky-ish solve per
+    # entity; rhs/gather terms are lower order
+    flops_per_sweep = 2 * 2 * nnz * k * k + (N_USERS + N_ITEMS) * (k ** 3) / 3
+    tflops = sweeps * flops_per_sweep / dt / 1e12
+    emit(
+        "netflix_wmf_als_sweep",
+        round(dt / sweeps, 1),
+        "s/sweep",
+        interactions=nnz, k=k, sweeps=sweeps,
+        wallclock_s=round(dt, 1),
+        achieved_tflops=round(tflops, 2),
+        mfu_vs_f32_peak=round(tflops / V5E_F32_TFLOPS, 3),
+        hbm_bytes_in_use=hbm_bytes(),
+    )
+
+
+def run_vaecf(ds, k=32, h=100, epochs=1, batch_size=1024):
+    from cornac_tpu.models import VAECF
+
+    t0 = time.time()
+    VAECF(
+        k=k, autoencoder_structure=[h], n_epochs=epochs,
+        batch_size=batch_size, learning_rate=0.001, seed=1, verbose=False,
+    ).fit(ds)
+    dt = time.time() - t0
+    # encoder+decoder fwd+bwd over the dense user-batch matrix:
+    # ~3 matmul passes x 2 layers x (n_items*h) per user per epoch
+    flops = epochs * N_USERS * (6 * N_ITEMS * h + 6 * h * 2 * k)
+    tflops = flops / dt / 1e12
+    emit(
+        "netflix_vaecf_epoch",
+        round(dt / epochs, 1),
+        "s/epoch",
+        epochs=epochs, h=h, k=k,
+        wallclock_s=round(dt, 1),
+        achieved_tflops=round(tflops, 2),
+        mfu_vs_f32_peak=round(tflops / V5E_F32_TFLOPS, 3),
+        hbm_bytes_in_use=hbm_bytes(),
+    )
+
+
+def main():
+    bench._enable_compile_cache()
+    which = set((sys.argv[1] if len(sys.argv) > 1 else "bpr,wmf,vaecf").split(","))
+    t0 = time.time()
+    ds = build_dataset()
+    print(
+        f"[data] {len(ds.uir_tuple[0])} unique interactions, "
+        f"{N_USERS}x{N_ITEMS}, built in {time.time()-t0:.0f}s",
+        file=sys.stderr, flush=True,
+    )
+    if "bpr" in which:
+        run_bpr(ds)
+    if "wmf" in which:
+        run_wmf(ds)
+    if "vaecf" in which:
+        run_vaecf(ds)
+
+
+if __name__ == "__main__":
+    main()

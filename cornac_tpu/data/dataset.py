@@ -140,7 +140,9 @@ class Dataset:
     def chrono_user_data(self):
         """Dict: user -> ([items], [ratings], [timestamps]) sorted by time."""
         if self.timestamps is None:
-            raise ValueError("Timestamps are required but None!")
+            raise ValueError(
+                "this view needs timestamps, but the data has none"
+            )
         return self._cached(
             "chrono_user_data",
             lambda: self._group_by(self.uir_tuple[0], with_time=True),
@@ -150,7 +152,9 @@ class Dataset:
     def chrono_item_data(self):
         """Dict: item -> ([users], [ratings], [timestamps]) sorted by time."""
         if self.timestamps is None:
-            raise ValueError("Timestamps are required but None!")
+            raise ValueError(
+                "this view needs timestamps, but the data has none"
+            )
         return self._cached(
             "chrono_item_data",
             lambda: self._group_by(self.uir_tuple[1], with_time=True),

@@ -473,7 +473,7 @@ class TextModality(FeatureModality):
         """Zero-padded (batch, max_length) matrix of token-id sequences —
         static-width output ready for device transfer."""
         if self.sequences is None:
-            raise ValueError("self.sequences is required but None!")
+            raise ValueError("sequences have not been built yet")
 
         if max_length is None:
             max_length = max(len(self.sequences[mapped_id]) for mapped_id in batch_ids)
@@ -488,7 +488,7 @@ class TextModality(FeatureModality):
     def batch_bow(self, batch_ids, binary=False, keep_sparse=False):
         """Bag-of-words rows for a batch of entity indices."""
         if self.count_matrix is None:
-            raise ValueError("self.count_matrix is required but None!")
+            raise ValueError("count_matrix has not been built yet")
         bow_mat = self.count_matrix[batch_ids]
         if binary:
             bow_mat.data.fill(1)

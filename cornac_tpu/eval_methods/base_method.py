@@ -463,7 +463,7 @@ class BaseMethod:
                 else:
                     ranking_metrics.append(mt)
         else:
-            raise ValueError("Type of metrics has to be either dict or list!")
+            raise ValueError("metrics must be a list (or a dict of metric lists)")
 
         rating_metrics = sorted(rating_metrics, key=lambda mt: mt.name)
         ranking_metrics = sorted(ranking_metrics, key=lambda mt: mt.name)
@@ -620,9 +620,9 @@ class BaseMethod:
     def build(self, train_data, test_data, val_data=None):
         """Build datasets over fresh global ID maps, then modalities."""
         if train_data is None or len(train_data) == 0:
-            raise ValueError("train_data is required but None or empty!")
+            raise ValueError("train_data must be a non-empty collection")
         if test_data is None or len(test_data) == 0:
-            raise ValueError("test_data is required but None or empty!")
+            raise ValueError("test_data must be a non-empty collection")
 
         self.global_uid_map.clear()
         self.global_iid_map.clear()
@@ -681,9 +681,9 @@ class BaseMethod:
     def evaluate(self, model, metrics, user_based, show_validation=True):
         """Timed fit + eval of one model; returns (test_result, val_result)."""
         if self.train_set is None:
-            raise ValueError("train_set is required but None!")
+            raise ValueError("no train_set available — build/split the data first")
         if self.test_set is None:
-            raise ValueError("test_set is required but None!")
+            raise ValueError("no test_set available — build/split the data first")
 
         self._reset()
 
@@ -695,7 +695,7 @@ class BaseMethod:
         train_time = time.time() - start
 
         if self.verbose:
-            print("\n[{}] Evaluation started!".format(model.name))
+            print("\n[{}] evaluating...".format(model.name))
 
         rating_metrics, ranking_metrics = self.organize_metrics(metrics)
 

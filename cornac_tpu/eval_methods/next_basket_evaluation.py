@@ -267,9 +267,9 @@ class NextBasketEvaluation(RatioSplit):
             )
 
         if self.train_set is None:
-            raise ValueError("train_set is required but None!")
+            raise ValueError("no train_set available — build/split the data first")
         if self.test_set is None:
-            raise ValueError("test_set is required but None!")
+            raise ValueError("no test_set available — build/split the data first")
 
         self._reset()
 

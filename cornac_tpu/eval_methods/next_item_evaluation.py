@@ -261,9 +261,9 @@ class NextItemEvaluation(BaseMethod):
             )
 
         if self.train_set is None:
-            raise ValueError("train_set is required but None!")
+            raise ValueError("no train_set available — build/split the data first")
         if self.test_set is None:
-            raise ValueError("test_set is required but None!")
+            raise ValueError("no test_set available — build/split the data first")
 
         self._reset()
 
@@ -274,7 +274,7 @@ class NextItemEvaluation(BaseMethod):
         train_time = time.time() - start
 
         if self.verbose:
-            print("\n[{}] Evaluation started!".format(model.name))
+            print("\n[{}] evaluating...".format(model.name))
         rating_metrics, ranking_metrics = self.organize_metrics(metrics)
         if len(rating_metrics) > 0:
             warnings.warn(

@@ -268,9 +268,9 @@ class PropensityStratifiedEvaluation(BaseMethod):
         result = PSTResult(model.name)
 
         if self.train_set is None:
-            raise ValueError("train_set is required but None!")
+            raise ValueError("no train_set available — build/split the data first")
         if self.test_set is None:
-            raise ValueError("test_set is required but None!")
+            raise ValueError("no test_set available — build/split the data first")
 
         self._reset()
         self.rating_metrics, self.ranking_metrics = self.organize_metrics(metrics)
@@ -283,7 +283,7 @@ class PropensityStratifiedEvaluation(BaseMethod):
         train_time = time.time() - start  # noqa: F841 (reported via rows)
 
         if self.verbose:
-            print("\n[{}] Evaluation started!".format(model.name))
+            print("\n[{}] evaluating...".format(model.name))
 
         # closed-loop evaluation on the sampled test set
         test_result = self._eval(

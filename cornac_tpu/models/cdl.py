@@ -75,7 +75,7 @@ class CDL(Recommender, ANNMixin):
     def fit(self, train_set, val_set=None):
         Recommender.fit(self, train_set, val_set)
         if train_set.item_text is None:
-            raise ValueError("item_text modality is required but None.")
+            raise ValueError("this model needs the item_text modality attached to the eval method")
         rng = self.rng
         if self.U is None:
             self.U = xavier_uniform((self.num_users, self.k), rng).astype(np.float32)

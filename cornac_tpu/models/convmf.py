@@ -132,7 +132,7 @@ class ConvMF(Recommender):
     def fit(self, train_set, val_set=None):
         Recommender.fit(self, train_set, val_set)
         if train_set.item_text is None:
-            raise ValueError("item_text modality is required but None.")
+            raise ValueError("this model needs the item_text modality attached to the eval method")
         rng = get_rng(self.seed)
         if self.U is None:
             self.U = rng.uniform(size=(self.num_users, self.k)).astype(np.float32)

@@ -71,7 +71,7 @@ class HFT(Recommender, ANNMixin):
     def fit(self, train_set, val_set=None):
         Recommender.fit(self, train_set, val_set)
         if train_set.item_text is None:
-            raise ValueError("item_text modality is required but None.")
+            raise ValueError("this model needs the item_text modality attached to the eval method")
         self._init()
         if self.trainable:
             self._fit_hft(train_set)

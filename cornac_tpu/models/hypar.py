@@ -543,7 +543,7 @@ class HypAR(Recommender):
     def fit(self, train_set, val_set=None):
         Recommender.fit(self, train_set, val_set)
         if train_set.sentiment is None:
-            raise ValueError("sentiment modality is required but None.")
+            raise ValueError("this model needs the sentiment modality attached to the eval method")
         rng = get_rng(self.seed)
 
         self._create_graphs(train_set)

@@ -158,7 +158,7 @@ class LRPPM(Recommender):
     def fit(self, train_set, val_set=None):
         Recommender.fit(self, train_set, val_set)
         if train_set.sentiment is None:
-            raise ValueError("sentiment modality is required but None.")
+            raise ValueError("this model needs the sentiment modality attached to the eval method")
         sentiment = train_set.sentiment
         self.num_aspects = sentiment.num_aspects
         rng = self.rng

@@ -193,7 +193,7 @@ class SBPR(BPR):
             return self
 
         if train_set.user_graph is None:
-            raise ValueError("user_graph modality is required but None.")
+            raise ValueError("this model needs the user_graph modality attached to the eval method")
 
         soc_ids, soc_counts, soc_indptr = self._prepare_social_data(train_set)
         if len(soc_ids) == 0:  # degenerate: no social signal at all

@@ -106,7 +106,7 @@ class TriRank(Recommender):
     def fit(self, train_set, val_set=None):
         Recommender.fit(self, train_set, val_set)
         if train_set.sentiment is None:
-            raise ValueError("sentiment modality is required but None.")
+            raise ValueError("this model needs the sentiment modality attached to the eval method")
         self._init(train_set)
         self.r_mat = train_set.csr_matrix
         if not self.trainable:

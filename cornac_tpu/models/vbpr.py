@@ -86,7 +86,7 @@ class VBPR(Recommender, ANNMixin):
         Recommender.fit(self, train_set, val_set)
 
         if train_set.item_image is None:
-            raise CornacException("item_image modality is required but None.")
+            raise CornacException("this model needs the item_image modality attached to the eval method")
 
         features = np.asarray(
             train_set.item_image.features[: self.total_items], dtype=np.float32

@@ -60,7 +60,7 @@ class VMF(Recommender):
     def fit(self, train_set, val_set=None):
         Recommender.fit(self, train_set, val_set)
         if train_set.item_image is None:
-            raise CornacException("item_image modality is required but None.")
+            raise CornacException("this model needs the item_image modality attached to the eval method")
 
         rng = get_rng(self.seed)
         F = np.asarray(
