@@ -440,9 +440,17 @@ class GRU4Rec(NextItemRecommender):
             np.arange(self.max_len)[None, :] >= (self.max_len - lengths)[:, None]
         ).astype(np.float32)
         (padded, step_mask), B = pad_batch_rows([padded, step_mask])
-        states = _gru_last_state(
-            self.params, jnp.asarray(padded), jnp.asarray(step_mask)
-        )
+        seq, m = jnp.asarray(padded), jnp.asarray(step_mask)
+        if self.mesh is not None and padded.shape[0] % self.mesh.size == 0:
+            # data-parallel inference: histories sharded across the mesh
+            import jax as _jax
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            spec = NamedSharding(
+                self.mesh, P(tuple(self.mesh.axis_names), None)
+            )
+            seq, m = _jax.device_put(seq, spec), _jax.device_put(m, spec)
+        states = _gru_last_state(self.params, seq, m)
         return states[:B]  # last state (histories are left-padded)
 
     def score(self, user_idx, history_items, **kwargs):

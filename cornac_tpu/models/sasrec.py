@@ -398,7 +398,18 @@ class SASRec(NextItemRecommender):
         pad_id = self.num_items
         padded, lengths = pad_histories(histories, self.max_len, pad_value=pad_id)
         (padded,), B = pad_batch_rows([padded])
+        seq = jnp.asarray(padded)
+        if self.mesh is not None and padded.shape[0] % self.mesh.size == 0:
+            # data-parallel inference: histories sharded across the mesh
+            # (params are replicated by the mesh fit path)
+            import jax as _jax
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            seq = _jax.device_put(
+                seq,
+                NamedSharding(self.mesh, P(tuple(self.mesh.axis_names), None)),
+            )
         logits = _sasrec_scores(
-            self.params, jnp.asarray(padded), pad_id, self.num_heads, self.num_items
+            self.params, seq, pad_id, self.num_heads, self.num_items
         )
         return np.asarray(logits, dtype=np.float64)[:B]

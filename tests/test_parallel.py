@@ -499,6 +499,11 @@ def test_mesh_training_matches_single_device_sequential():
         a = np.asarray(plain.score(None, history_items=[1, 2, 3]))
         b = np.asarray(sharded.score(None, history_items=[1, 2, 3]))
         np.testing.assert_allclose(a, b, rtol=2e-4, atol=2e-5)
+        # eval path: score_history_batch shards histories across the mesh
+        hs = [[1, 2], [3], [4, 5, 6], [7]] * 4
+        pa = plain.score_history_batch(np.zeros(len(hs), int), hs)
+        sh = sharded.score_history_batch(np.zeros(len(hs), int), hs)
+        np.testing.assert_allclose(pa, sh, rtol=2e-4, atol=2e-5)
 
 
 def test_two_process_dcn_training_matches_single_process(tmp_path):
