@@ -76,8 +76,10 @@ class BiVAECF(Recommender, ANNMixin):
         verbose=False,
         seed=None,
         use_gpu=True,
+        mesh=None,
     ):
         Recommender.__init__(self, name=name, trainable=trainable, verbose=verbose)
+        self.mesh = mesh
         self.k = k
         self.encoder_structure = (
             [20] if encoder_structure is None else list(encoder_structure)
@@ -150,6 +152,23 @@ class BiVAECF(Recommender, ANNMixin):
         opt_i = optax.adam(self.learning_rate)
         state_u = opt_u.init(user_side)
         state_i = opt_i.init(item_side)
+
+        if self.mesh is not None:
+            # data parallelism on BOTH sweeps: user rows (X) and item rows
+            # (X^T) sharded over the data axis, encoder/optimizer pytrees
+            # and the opposing latent table replicated; GSPMD inserts the
+            # per-batch gradient psum — identical math to single-device
+            from ..parallel import replicate_all, shard_batch
+
+            X_d = shard_batch(self.mesh, X_d)
+            XT_d = shard_batch(self.mesh, XT_d)
+            user_side, item_side, state_u, state_i, theta, beta = replicate_all(
+                self.mesh, user_side, item_side, state_u, state_i, theta, beta
+            )
+            if uf_d is not None:
+                uf_d = shard_batch(self.mesh, uf_d)
+            if if_d is not None:
+                if_d = shard_batch(self.mesh, if_d)
 
         likelihood, kl_beta = self.likelihood, self.beta_kl
 

@@ -82,8 +82,10 @@ class RecVAE(Recommender):
         verbose=False,
         seed=None,
         use_gpu=True,
+        mesh=None,
     ):
         Recommender.__init__(self, name=name, trainable=trainable, verbose=verbose)
+        self.mesh = mesh
         self.hidden_dim = hidden_dim
         self.latent_dim = latent_dim
         self.batch_size = batch_size
@@ -155,6 +157,17 @@ class RecVAE(Recommender):
         opt_dec = optax.adam(self.lr)
         enc_state = opt_enc.init(self.enc)
         dec_state = opt_dec.init(self.dec)
+
+        if self.mesh is not None:
+            # data parallelism: user rows sharded over the data axis,
+            # parameters/optimizer states replicated; GSPMD inserts the
+            # gradient psum — same math, same result as single-device
+            from ..parallel import replicate_all, shard_batch
+
+            X_d = shard_batch(self.mesh, X_d)
+            self.enc, self.dec, enc_state, dec_state, enc_old = replicate_all(
+                self.mesh, self.enc, self.dec, enc_state, dec_state, enc_old
+            )
 
         @partial(jax.jit, static_argnames=("dropout_rate",))
         def enc_epoch(enc, enc_state, dec, enc_old, key, dropout_rate):

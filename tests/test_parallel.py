@@ -425,6 +425,37 @@ def test_vaecf_mesh_training_matches_single_device():
     )
 
 
+def test_vae_family_mesh_training_matches_single_device():
+    """RecVAE and BiVAECF data-parallel mesh training must reproduce the
+    single-device scores (same GSPMD program as VAECF's path)."""
+    import numpy as np
+
+    from cornac_tpu.eval_methods import RatioSplit
+    from cornac_tpu.models import BiVAECF, RecVAE
+    from cornac_tpu.parallel import make_mesh
+
+    rng = np.random.RandomState(4)
+    data = [
+        (f"u{rng.randint(24)}", f"i{rng.randint(40)}", 1.0) for _ in range(400)
+    ]
+    rs = RatioSplit(data=data, test_size=0.2, rating_threshold=0.5, seed=123)
+    mesh = make_mesh()
+
+    for cls, kw in [
+        (RecVAE, dict(hidden_dim=8, latent_dim=4, n_epochs=3, batch_size=8,
+                      seed=11)),
+        (BiVAECF, dict(k=4, encoder_structure=[8], n_epochs=3, batch_size=8,
+                       seed=11)),
+    ]:
+        plain = cls(**kw).fit(rs.train_set)
+        sharded = cls(mesh=mesh, **kw).fit(rs.train_set)
+        batch = np.arange(8)
+        np.testing.assert_allclose(
+            plain.score_batch(batch), sharded.score_batch(batch),
+            rtol=5e-4, atol=5e-5,
+        )
+
+
 @pytest.mark.parametrize(
     "make",
     [
