@@ -120,8 +120,10 @@ class Beacon(NextBasketRecommender):
         trainable=True,
         verbose=False,
         seed=None,
+        mesh=None,
     ):
         super().__init__(name=name, trainable=trainable, verbose=verbose)
+        self.mesh = mesh
         self.emb_dim = emb_dim
         self.rnn_unit = rnn_unit
         self.alpha = alpha
@@ -329,6 +331,22 @@ class Beacon(NextBasketRecommender):
             logits = self._forward(params, ids_d[idx], len_d[idx], key)
             return self._loss(logits, y_d[idx])
 
+        # data-parallel over the mesh: params/opt/data replicated, each
+        # minibatch's id vector sharded so the gathered sequences (and the
+        # gradient psum) split along the batch dimension
+        batch_shard = None
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            from ..parallel import replicate_all
+
+            batch_shard = NamedSharding(
+                self.mesh, P(tuple(self.mesh.axis_names))
+            )
+            params, opt_state, ids_d, len_d, y_d = replicate_all(
+                self.mesh, params, opt_state, ids_d, len_d, y_d
+            )
+
         @partial(jax.jit, donate_argnums=(0, 1))
         def run_epoch(params, opt_state, key):
             perm = jax.random.permutation(key, n_total) % N
@@ -336,6 +354,8 @@ class Beacon(NextBasketRecommender):
             def step(b, carry):
                 params, opt_state, loss_sum = carry
                 idx = jax.lax.dynamic_slice(perm, (b * bsz,), (bsz,))
+                if batch_shard is not None:
+                    idx = jax.lax.with_sharding_constraint(idx, batch_shard)
                 loss, grads = jax.value_and_grad(loss_fn)(
                     params, idx, jax.random.fold_in(key, b)
                 )
@@ -383,7 +403,15 @@ class Beacon(NextBasketRecommender):
                 lambda p, i, l: jax.nn.sigmoid(self._forward(p, i, l, None))
             )
             self.ignored_attrs.append("_jit_score")  # not picklable
-        logits = self._jit_score(
-            self.params, jnp.asarray(ids), jnp.asarray(lengths)
-        )
+        ids_d, len_d = jnp.asarray(ids), jnp.asarray(lengths)
+        if self.mesh is not None and ids.shape[0] % self.mesh.size == 0:
+            # data-parallel inference: basket sequences sharded over the mesh
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            axes = tuple(self.mesh.axis_names)
+            ids_d = jax.device_put(
+                ids_d, NamedSharding(self.mesh, P(axes, None, None))
+            )
+            len_d = jax.device_put(len_d, NamedSharding(self.mesh, P(axes)))
+        logits = self._jit_score(self.params, ids_d, len_d)
         return np.asarray(logits, np.float64)[:B]

@@ -136,8 +136,10 @@ class DNNTSP(NextBasketRecommender):
         trainable=True,
         verbose=False,
         seed=None,
+        mesh=None,
     ):
         super().__init__(name=name, trainable=trainable, verbose=verbose)
+        self.mesh = mesh
         self.emb_dim = emb_dim
         self.loss_type = loss_type
         self.optimizer = optimizer
@@ -268,6 +270,24 @@ class DNNTSP(NextBasketRecommender):
             opt = make_opt(self.lr)
         opt_state = opt.init(params)
 
+        # data-parallel over the mesh: params/opt/data replicated, each
+        # minibatch's id vector sharded across every device so the graph
+        # blocks it gathers (and the gradient psum) split along the batch
+        batch_shard = None
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            from ..parallel import replicate_all
+
+            batch_shard = NamedSharding(
+                self.mesh, P(tuple(self.mesh.axis_names))
+            )
+            (params, opt_state, node_ids, node_mask, W, lengths, y_d,
+             cls_w) = replicate_all(
+                self.mesh, params, opt_state, node_ids, node_mask, W,
+                lengths, y_d, cls_w,
+            )
+
         @partial(jax.jit, donate_argnums=(0, 1))
         def run_epoch(params, opt_state, key):
             perm = jax.random.permutation(key, n_total) % B_all
@@ -275,6 +295,8 @@ class DNNTSP(NextBasketRecommender):
             def step(b, carry):
                 params, opt_state, loss_sum = carry
                 idx = jax.lax.dynamic_slice(perm, (b * bsz,), (bsz,))
+                if batch_shard is not None:
+                    idx = jax.lax.with_sharding_constraint(idx, batch_shard)
                 loss, grads = jax.value_and_grad(loss_fn)(
                     params, idx, jax.random.fold_in(key, b)
                 )
@@ -317,8 +339,20 @@ class DNNTSP(NextBasketRecommender):
             [np.asarray(node_ids), np.asarray(node_mask), np.asarray(W),
              np.asarray(lengths)]
         )
-        scores = _forward_jit(
-            self.params, jnp.asarray(node_ids), jnp.asarray(node_mask),
-            jnp.asarray(W), jnp.asarray(lengths), self.total_items,
-        )
+        blocks = [
+            jnp.asarray(node_ids), jnp.asarray(node_mask), jnp.asarray(W),
+            jnp.asarray(lengths),
+        ]
+        if self.mesh is not None and node_ids.shape[0] % self.mesh.size == 0:
+            # data-parallel inference: graph blocks sharded across the mesh
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            axes = tuple(self.mesh.axis_names)
+            blocks = [
+                jax.device_put(
+                    x, NamedSharding(self.mesh, P(axes, *([None] * (x.ndim - 1))))
+                )
+                for x in blocks
+            ]
+        scores = _forward_jit(self.params, *blocks, self.total_items)
         return np.asarray(scores, np.float64)[:B]

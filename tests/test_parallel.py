@@ -537,6 +537,42 @@ def test_mesh_training_matches_single_device_sequential():
         np.testing.assert_allclose(pa, sh, rtol=2e-4, atol=2e-5)
 
 
+def test_mesh_training_matches_single_device_basket():
+    """DNNTSP/Beacon data-parallel mesh training + inference must reproduce
+    the single-device basket scores."""
+    import numpy as np
+
+    from cornac_tpu.data import BasketDataset
+    from cornac_tpu.models import Beacon, DNNTSP
+    from cornac_tpu.parallel import make_mesh
+
+    rng = np.random.RandomState(6)
+    data = []
+    for u in range(24):
+        for b in range(rng.randint(3, 6)):
+            bid = u * 10 + b
+            for i in rng.choice(20, size=rng.randint(1, 4), replace=False):
+                data.append((f"u{u}", f"b{bid}", f"i{i}"))
+    ds = BasketDataset.build(data)
+    mesh = make_mesh(data_parallel=8)
+
+    # DNNTSP runs under sgd here: the sharded program is identical (float
+    # ulps), but adam's 1/(sqrt(v)+eps) amplifies the benign psum
+    # reassociation noise (~3e-8) into ~5e-3 early-step drift, which would
+    # need a meaninglessly loose tolerance to assert against
+    for cls, kw in [
+        (DNNTSP, dict(emb_dim=8, n_epochs=2, batch_size=8, seed=7,
+                      optimizer="sgd")),
+        (Beacon, dict(emb_dim=4, rnn_unit=4, n_epochs=2, batch_size=8, seed=7)),
+    ]:
+        plain = cls(verbose=False, **kw).fit(ds)
+        sharded = cls(verbose=False, mesh=mesh, **kw).fit(ds)
+        hs = [[[1, 2], [3, 4]], [[5]], [[6, 7], [8]], [[9]]] * 2
+        pa = plain.score_baskets_batch(np.zeros(len(hs), int), hs)
+        sh = sharded.score_baskets_batch(np.zeros(len(hs), int), hs)
+        np.testing.assert_allclose(pa, sh, rtol=2e-4, atol=2e-5)
+
+
 def test_two_process_dcn_training_matches_single_process(tmp_path):
     """Two spawned processes x 4 virtual CPU devices each form a 2x4
     (data, model) mesh through jax.distributed + make_mesh's DCN-aware
