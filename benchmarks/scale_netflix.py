@@ -150,8 +150,11 @@ def run_vaecf(ds, k=32, h=100, epochs=1, batch_size=1024):
 def main():
     bench._enable_compile_cache()
     which = set((sys.argv[1] if len(sys.argv) > 1 else "bpr,wmf,vaecf").split(","))
+    # optional 2nd arg: interactions drawn, in millions (default the full
+    # Netflix ~100M) — lets a crashed/flaky tunnel session bisect the scale
+    n_r = int(float(sys.argv[2]) * 1e6) if len(sys.argv) > 2 else N_RATINGS
     t0 = time.time()
-    ds = build_dataset()
+    ds = build_dataset(n_r)
     print(
         f"[data] {len(ds.uir_tuple[0])} unique interactions, "
         f"{N_USERS}x{N_ITEMS}, built in {time.time()-t0:.0f}s",

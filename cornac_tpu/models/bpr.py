@@ -33,6 +33,13 @@ from .recommender import ANNMixin, MEASURE_DOT, Recommender
 
 DTYPE = np.float32
 
+# Above this many samples per epoch, triplets are drawn per-minibatch inside
+# the compiled loop instead of in one per-epoch bulk tensor — bounds HBM
+# temporaries by batch_size instead of |R| (see _bpr_epochs). NOTE: read at
+# trace time; tests that lower it must use a fresh (shape, batch_size) so
+# the jit cache cannot serve the old branch.
+_BULK_SAMPLING_MAX = 1 << 24
+
 
 @partial(
     jax.jit,
@@ -96,8 +103,17 @@ def _bpr_epochs(
     n_pad = (-n) % batch_size
     n_total = n + n_pad
     n_batches = n_total // batch_size
-    pad_mask = jnp.arange(n_total) < n
     n_users = U.shape[0]
+    # At huge interaction counts the per-epoch bulk sampling tensors
+    # (pos_idx/neg/users/items/valid, each n_total-sized, plus the
+    # membership search's lo/hi carries) dominate HBM — ~4 GB of
+    # temporaries at Netflix scale (100M) on top of the data arrays, which
+    # overflows a 16 GB chip. Past this threshold each minibatch samples
+    # its own triplets inside the loop body instead: same marginal
+    # distribution, HBM bounded by batch_size regardless of |R|.
+    batched_sampling = n_total > _BULK_SAMPLING_MAX
+    if not batched_sampling:
+        pad_mask = jnp.arange(n_total) < n
 
     # bias as an extra factor column: U gains a frozen ones column
     if use_bias:
@@ -116,20 +132,15 @@ def _bpr_epochs(
         jnp.arange(k_ext) < (k_ext - 1 if use_bias else k_ext)
     ).astype(U.dtype)[None, :]
 
-    def epoch(e, carry):
-        U, V, _, _ = carry
-        # fold on the GLOBAL epoch index: the random stream is invariant to
-        # how the host chunks epochs (verbose=1, checkpoint-every, resume)
-        k_pos, k_neg = jax.random.split(jax.random.fold_in(key, epoch_offset + e))
-        pos_idx = jax.random.randint(k_pos, (n_total,), 0, n)
+    def sample(k_pos, k_neg, shape):
+        pos_idx = jax.random.randint(k_pos, shape, 0, n)
         if neg_population is None:
-            neg_items = jax.random.randint(k_neg, (n_total,), 0, num_items)
+            neg_items = jax.random.randint(k_neg, shape, 0, num_items)
         else:
             neg_pos = jax.random.randint(
-                k_neg, (n_total,), 0, neg_population.shape[0]
+                k_neg, shape, 0, neg_population.shape[0]
             )
             neg_items = neg_population[neg_pos]
-
         if uic is not None:
             code = uic[pos_idx]
             users = jax.lax.shift_right_logical(code, pack_shift)
@@ -137,15 +148,38 @@ def _bpr_epochs(
         else:
             users = rid[pos_idx]
             pos_items = cid[pos_idx]
-        base_valid = (pos_items != neg_items) & pad_mask
-        if not fused:
-            observed = membership.query(users, neg_items)
-            base_valid = ~observed & base_valid
+        return users, pos_items, neg_items
+
+    def epoch(e, carry):
+        U, V, _, _ = carry
+        # fold on the GLOBAL epoch index: the random stream is invariant to
+        # how the host chunks epochs (verbose=1, checkpoint-every, resume)
+        k_pos, k_neg = jax.random.split(jax.random.fold_in(key, epoch_offset + e))
+        if not batched_sampling:
+            users_e, pos_e, neg_e = sample(k_pos, k_neg, (n_total,))
+            base_valid = (pos_e != neg_e) & pad_mask
+            if not fused:
+                observed = membership.query(users_e, neg_e)
+                base_valid = ~observed & base_valid
 
         def body(b, carry):
             U, V, correct, skipped = carry
-            sl = lambda a: jax.lax.dynamic_slice(a, (b * batch_size,), (batch_size,))
-            u, i, j, m = sl(users), sl(pos_items), sl(neg_items), sl(base_valid)
+            if batched_sampling:
+                u, i, j = sample(
+                    jax.random.fold_in(k_pos, b),
+                    jax.random.fold_in(k_neg, b),
+                    (batch_size,),
+                )
+                padm = b * batch_size + jnp.arange(batch_size) < n
+                m = (i != j) & padm
+                if not fused:
+                    m = ~membership.query(u, j) & m
+            else:
+                sl = lambda a: jax.lax.dynamic_slice(
+                    a, (b * batch_size,), (batch_size,)
+                )
+                u, i, j, m = sl(users_e), sl(pos_e), sl(neg_e), sl(base_valid)
+                padm = sl(pad_mask)
 
             if fused:
                 ohu = jax.nn.one_hot(u, n_users, dtype=U.dtype)
@@ -171,7 +205,7 @@ def _bpr_epochs(
                 z = mf / (1.0 + jnp.exp(x_uij))  # d(-ln sigma(x))/dx
 
             correct = correct + jnp.sum((x_uij > 0) & m)
-            skipped = skipped + jnp.sum(sl(pad_mask) & ~m)
+            skipped = skipped + jnp.sum(padm & ~m)
 
             dU = (z[:, None] * (vi - vj) - reg * wu * upd[:, None]) * u_col_gate
             dVi = z[:, None] * wu - reg * vi * upd[:, None]

@@ -228,6 +228,26 @@ class TestModelQuality:
         neg = m.score_pairs(u[ok], j[ok])
         assert (pos > neg).mean() > 0.8
 
+    def test_bpr_batched_sampling_path_learns(self, split, monkeypatch):
+        """The big-|R| per-minibatch sampling mode (HBM-bounded; kicks in
+        above _BULK_SAMPLING_MAX samples/epoch) must train as well as the
+        bulk path. Forced on by lowering the threshold; batch_size=24 is
+        unique to this test so the jit cache cannot serve the bulk-mode
+        trace (the gate is read at trace time)."""
+        from cornac_tpu.models import bpr as bpr_mod
+
+        monkeypatch.setattr(bpr_mod, "_BULK_SAMPLING_MAX", 1)
+        m = BPR(
+            k=8, max_iter=50, learning_rate=0.05, batch_size=24, seed=123
+        ).fit(split.train_set)
+        u, i, _ = split.train_set.uir_tuple
+        rng = np.random.RandomState(0)
+        j = rng.randint(0, split.train_set.num_items, size=len(u))
+        ok = ~split.train_set.is_observed(u, j)
+        pos = m.score_pairs(u[ok], i[ok])
+        neg = m.score_pairs(u[ok], j[ok])
+        assert (pos > neg).mean() > 0.8
+
 
 @pytest.mark.parametrize(
     "make_model",
