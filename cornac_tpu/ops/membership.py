@@ -4,9 +4,13 @@ TPU-native replacement for the reference's per-sample CSR binary search in C
 (``models/bpr/recom_bpr.pyx:47-51 has_non_zero``). Two strategies, chosen at
 build time by :func:`build_membership`:
 
-- **bitmap**: one bit per (user, item) cell packed into uint32 words — a
-  single gather + bit test per query. Used when the dense cell count fits
-  int32 indexing and a modest HBM budget (default 64 MB).
+- **bitmap**: one bit per (user, item) cell packed into uint32 words,
+  row-major with each user's row padded to whole words — a single gather +
+  bit test per query. Word indexing is ``user * words_per_row + (item>>5)``
+  so it stays within int32 far beyond 2^31 dense cells (the limit is
+  2^31 *words*, i.e. ~68G cells); used whenever that index bound and the
+  HBM budget (default 1.5 GiB) allow. At Netflix scale (480k x 17.7k) the
+  table is ~1.06 GiB and replaces a 13-step binary search per sample.
 - **binary search**: branchless vectorized search over CSR rows, with the
   step count bounded by log2(max row degree) instead of a worst-case
   constant. All arithmetic int32 (TPU-native; no emulated int64), safe at
@@ -19,7 +23,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-_BITMAP_MAX_BYTES = 64 * 1024 * 1024
+_BITMAP_MAX_BYTES = 1536 * 1024 * 1024
 
 
 class Membership:
@@ -35,6 +39,10 @@ class Membership:
         self.num_items = num_items
         self.search_steps = search_steps
 
+    @property
+    def words_per_row(self):
+        return (self.num_items + 31) // 32
+
     def query(self, users, items):
         """(n,) bool — whether each (user, item) pair is a stored entry.
         Runs under jit; pure VPU math + gathers."""
@@ -42,10 +50,12 @@ class Membership:
         items = items.astype(jnp.int32)
         if self.kind == "bitmap":
             (bitmap,) = self.arrays
-            key = users * jnp.int32(self.num_items) + items
-            word = bitmap[jax.lax.shift_right_logical(key, 5)]
+            word_idx = users * jnp.int32(self.words_per_row) + (
+                jax.lax.shift_right_logical(items, 5)
+            )
+            word = bitmap[word_idx]
             bit = jax.lax.shift_right_logical(
-                word, (key & 31).astype(jnp.uint32)
+                word, (items & 31).astype(jnp.uint32)
             ) & jnp.uint32(1)
             return bit != 0
 
@@ -71,17 +81,26 @@ class Membership:
         return found
 
 
-def build_membership(csr_matrix, bitmap_max_bytes=_BITMAP_MAX_BYTES):
-    """Host-side: build the best membership structure for a scipy CSR."""
+def build_membership(csr_matrix, bitmap_max_bytes=None):
+    """Host-side: build the best membership structure for a scipy CSR.
+    ``bitmap_max_bytes`` defaults to the module's ``_BITMAP_MAX_BYTES``
+    (read at call time so tests/benchmarks can patch the strategy)."""
+    if bitmap_max_bytes is None:
+        bitmap_max_bytes = _BITMAP_MAX_BYTES
     n_users, n_items = csr_matrix.shape
-    n_cells = n_users * n_items
-    if n_cells < 2**31 and n_cells // 8 <= bitmap_max_bytes:
-        words = np.zeros((n_cells + 31) // 32, dtype=np.uint32)
+    wpr = (n_items + 31) // 32
+    n_words = n_users * wpr
+    if n_words < 2**31 and n_words * 4 <= bitmap_max_bytes:
+        words = np.zeros(n_words, dtype=np.uint32)
         rows = np.repeat(
             np.arange(n_users, dtype=np.int64), np.diff(csr_matrix.indptr)
         )
-        keys = rows * n_items + csr_matrix.indices
-        np.bitwise_or.at(words, keys >> 5, np.uint32(1) << (keys & 31).astype(np.uint32))
+        cols = np.asarray(csr_matrix.indices, dtype=np.int64)
+        np.bitwise_or.at(
+            words,
+            rows * wpr + (cols >> 5),
+            np.uint32(1) << (cols & 31).astype(np.uint32),
+        )
         return Membership("bitmap", (jnp.asarray(words),), n_items)
 
     if not csr_matrix.has_sorted_indices:

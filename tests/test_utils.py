@@ -23,3 +23,49 @@ class TestFastDot:
         # in-place accumulation, not overwrite
         fast_dot(vec, mat, output)
         npt.assert_array_equal(np.asarray([10, 22]), output)
+
+
+class TestMembership:
+    """Bitmap (row-major packed words) and CSR binary-search strategies must
+    agree on every query, including item indices in the last partial word."""
+
+    def _check(self, n_users, n_items, density, seed):
+        import jax.numpy as jnp
+        import scipy.sparse as sp
+
+        from cornac_tpu.ops.membership import build_membership
+
+        rng = np.random.RandomState(seed)
+        nnz = int(n_users * n_items * density)
+        r = rng.randint(0, n_users, nnz)
+        c = rng.randint(0, n_items, nnz)
+        M = sp.csr_matrix(
+            (np.ones(nnz, np.float32), (r, c)), shape=(n_users, n_items)
+        )
+        M.data[:] = 1.0
+        M.sort_indices()
+        bm = build_membership(M, bitmap_max_bytes=1 << 30)
+        cs = build_membership(M, bitmap_max_bytes=0)
+        assert bm.kind == "bitmap" and cs.kind == "csr"
+        q = 5000
+        users = jnp.asarray(rng.randint(0, n_users, q), jnp.int32)
+        items = jnp.asarray(rng.randint(0, n_items, q), jnp.int32)
+        a = np.asarray(bm.query(users, items))
+        b = np.asarray(cs.query(users, items))
+        expected = np.asarray(
+            M[np.asarray(users), np.asarray(items)]
+        ).ravel().astype(bool)
+        npt.assert_array_equal(a, expected)
+        npt.assert_array_equal(b, expected)
+
+    def test_word_aligned_items(self):
+        self._check(97, 64, 0.05, 0)
+
+    def test_partial_last_word(self):
+        # n_items % 32 != 0: per-row padding bits must never read as set
+        self._check(53, 45, 0.1, 1)
+
+    def test_beyond_int32_cells(self):
+        # 80k x 33k = 2.6G dense cells (> 2^31): the flat-key bitmap would
+        # overflow int32; the row-major word index must not
+        self._check(80_000, 33_000, 1e-5, 2)
