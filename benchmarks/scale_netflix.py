@@ -76,10 +76,19 @@ def run_bpr(ds, k=32, epochs=3, batch_size=65536):
     from cornac_tpu.models import BPR
 
     nnz = len(ds.uir_tuple[0])
-    BPR(k=k, max_iter=1, seed=1, batch_size=batch_size).fit(ds)  # warm
+    # verbose=True chunks the fit per epoch: one ~minute device execution
+    # per epoch instead of a single multi-minute one, which the tunneled
+    # worker kills ("TPU worker process crashed") somewhere past ~1-2 min.
+    # Differential timing (fit(1+epochs) - fit(1)) cancels the per-fit
+    # host work + tunnel transfers and reports steady-state epoch cost.
+    BPR(k=k, max_iter=1, seed=1, batch_size=batch_size, verbose=True).fit(ds)
     t0 = time.time()
-    BPR(k=k, max_iter=epochs, seed=1, batch_size=batch_size).fit(ds)
-    dt = time.time() - t0
+    BPR(k=k, max_iter=1, seed=1, batch_size=batch_size, verbose=True).fit(ds)
+    t1 = time.time() - t0
+    t0 = time.time()
+    BPR(k=k, max_iter=1 + epochs, seed=1, batch_size=batch_size,
+        verbose=True).fit(ds)
+    dt = max(time.time() - t0 - t1, 1e-9)
     sps = epochs * nnz / dt
     # bytes per SGD sample: 3 factor rows (u, i, j) read + written in f32,
     # plus the sampled-id reads (negligible); membership check reads CSR
@@ -91,6 +100,7 @@ def run_bpr(ds, k=32, epochs=3, batch_size=65536):
         "M samples/s",
         interactions=nnz, epochs=epochs, k=k,
         wallclock_s=round(dt, 1),
+        fit_overhead_s=round(t1, 1),
         achieved_hbm_gbs=round(bw, 1),
         hbm_bw_utilization=round(bw / V5E_HBM_GBS, 3),
         hbm_bytes_in_use=hbm_bytes(),

@@ -8,9 +8,14 @@ build time by :func:`build_membership`:
   row-major with each user's row padded to whole words — a single gather +
   bit test per query. Word indexing is ``user * words_per_row + (item>>5)``
   so it stays within int32 far beyond 2^31 dense cells (the limit is
-  2^31 *words*, i.e. ~68G cells); used whenever that index bound and the
-  HBM budget (default 1.5 GiB) allow. At Netflix scale (480k x 17.7k) the
-  table is ~1.06 GiB and replaces a 13-step binary search per sample.
+  2^31 *words*, i.e. ~68G cells). Budget default 64 MB: measured at
+  Netflix shape (480k x 17.7k, benchmarks/micro_netflix_step.py), the
+  1.06 GiB giant bitmap LOSES to the binary search inside the real
+  training loop (2.74 vs 1.73 s/epoch at 8M interactions) — the isolated
+  query is 16x faster (0.05 vs 0.76 ms) but random single-word gathers
+  over a GiB-scale table thrash HBM once the rest of the step competes
+  for bandwidth, and the table costs ~19 s of extra transfer per fit
+  through this rig's tunnel. Small catalogs keep the win.
 - **binary search**: branchless vectorized search over CSR rows, with the
   step count bounded by log2(max row degree) instead of a worst-case
   constant. All arithmetic int32 (TPU-native; no emulated int64), safe at
@@ -23,7 +28,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-_BITMAP_MAX_BYTES = 1536 * 1024 * 1024
+_BITMAP_MAX_BYTES = 64 * 1024 * 1024
 
 
 class Membership:
