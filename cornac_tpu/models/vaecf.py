@@ -143,14 +143,19 @@ class VAECF(Recommender, ANNMixin):
         optimizer = optax.adam(self.learning_rate)
         opt_state = optimizer.init(self.params)
 
-        # binarized dense matrix, trailing rows padded to batch multiple
-        X = (self.r_mat > 0).astype(np.float32).toarray()
-        n_users = X.shape[0]
+        n_users = self.r_mat.shape[0]
         bsz = min(self.batch_size, n_users)
         n_pad = (-n_users) % bsz
-        if n_pad:
-            X = np.concatenate([X, np.zeros((n_pad, data_dim), np.float32)])
-        n_batches = X.shape[0] // bsz
+        n_batches = (n_users + n_pad) // bsz
+        # whole-matrix-on-device only under the HBM budget; above it the
+        # binarized rows stream from the host CSR batch by batch (the
+        # dense user matrix is 34 GB at Netflix shape — far beyond HBM)
+        resident = (n_users + n_pad) * data_dim * 4 <= _RESIDENT_BYTES
+        if resident:
+            # binarized dense matrix, trailing rows padded to batch multiple
+            X = (self.r_mat > 0).astype(np.float32).toarray()
+            if n_pad:
+                X = np.concatenate([X, np.zeros((n_pad, data_dim), np.float32)])
 
         @partial(jax.jit, donate_argnums=(0, 1))
         def run_epochs(params, opt_state, X_d, key, n_epochs, epoch_offset):
@@ -184,22 +189,59 @@ class VAECF(Recommender, ANNMixin):
                 0, n_epochs, epoch, (params, opt_state, jnp.float32(0.0))
             )
 
-        X_d = jnp.asarray(X)
+        if resident:
+            X_d = jnp.asarray(X)
         if self.mesh is not None:
             # data parallelism: user rows sharded over the data axis,
             # parameters replicated; GSPMD turns the per-batch gradient
             # reduction into a psum over the mesh (same math, same result)
             from ..parallel import replicate_all, shard_batch
 
-            X_d = shard_batch(self.mesh, X_d)
+            if resident:
+                X_d = shard_batch(self.mesh, X_d)
             self.params, opt_state = replicate_all(self.mesh, self.params, opt_state)
         key = jax.random.PRNGKey(rng.randint(2**31))
 
+        @partial(jax.jit, donate_argnums=(0, 1))
+        def stream_step(params, opt_state, x, skey):
+            loss, grads = jax.value_and_grad(_vae_loss)(
+                params, x, skey, act, likelihood, beta
+            )
+            updates, opt_state = optimizer.update(grads, opt_state, params)
+            return optax.apply_updates(params, updates), opt_state, loss
+
         def run_chunk(state, start, e):
             params, opt_state = state
-            params, opt_state, loss_sum = run_epochs(
-                params, opt_state, X_d, key, e, start
-            )
+            if resident:
+                params, opt_state, loss_sum = run_epochs(
+                    params, opt_state, X_d, key, e, start
+                )
+                return (params, opt_state), loss_sum
+            # streaming: densify one host CSR row block per step; epoch/
+            # batch keys match the resident program so chunking/resume is
+            # stream-invariant (though the two modes are distinct streams)
+            loss_sum = 0.0
+            for ei in range(e):
+                ekey = jax.random.fold_in(key, start + ei)
+                epoch_sum = 0.0
+                for b in range(n_batches):
+                    rows = self.r_mat[b * bsz : b * bsz + bsz]
+                    x = (rows > 0).astype(np.float32).toarray()
+                    if x.shape[0] < bsz:
+                        x = np.concatenate(
+                            [x, np.zeros((bsz - x.shape[0], data_dim), np.float32)]
+                        )
+                    x = jnp.asarray(x)
+                    if self.mesh is not None:
+                        from ..parallel import shard_batch
+
+                        x = shard_batch(self.mesh, x)
+                    params, opt_state, loss = stream_step(
+                        params, opt_state, x, jax.random.fold_in(ekey, b)
+                    )
+                    epoch_sum = epoch_sum + loss
+                # like the resident program, report the LAST epoch's sum
+                loss_sum = epoch_sum
             return (params, opt_state), loss_sum
 
         def report(done, loss_sum):

@@ -171,3 +171,30 @@ def test_vectorized_score_pairs_matches_loop():
         slow = Recommender.score_pairs(m, pairs_u, pairs_i)
         np.testing.assert_allclose(fast, slow, rtol=1e-5, atol=1e-6,
                                    err_msg=m.name)
+
+
+def test_vaecf_streaming_matches_resident(monkeypatch):
+    """Above the HBM budget VAECF streams host-CSR row blocks per step; the
+    random stream and batch slices match the resident whole-matrix program,
+    so the fitted scores must agree."""
+    import numpy as np
+
+    from cornac_tpu.eval_methods import RatioSplit
+    from cornac_tpu.models import vaecf as vaecf_mod
+
+    rng = np.random.RandomState(4)
+    data = [
+        (f"u{rng.randint(30)}", f"i{rng.randint(50)}", 1.0) for _ in range(500)
+    ]
+    rs = RatioSplit(data=data, test_size=0.2, rating_threshold=0.5, seed=123)
+    kw = dict(k=4, autoencoder_structure=[8], n_epochs=4, batch_size=8, seed=11)
+
+    resident = VAECF(**kw).fit(rs.train_set)
+    monkeypatch.setattr(vaecf_mod, "_RESIDENT_BYTES", 0)
+    streamed = VAECF(**kw).fit(rs.train_set)
+
+    batch = np.arange(8)
+    np.testing.assert_allclose(
+        resident.score_batch(batch), streamed.score_batch(batch),
+        rtol=5e-4, atol=5e-5,
+    )
