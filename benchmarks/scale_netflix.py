@@ -107,14 +107,21 @@ def run_bpr(ds, k=32, epochs=3, batch_size=65536):
     )
 
 
-def run_wmf(ds, k=64, sweeps=2, batch_size=128):
+def run_wmf(ds, k=64, sweeps=2, batch_size=2048):
+    """batch_size is the per-solve chunk width — a framework knob: at 128
+    the sweep is per-chunk-latency-bound (3889 sequential dispatches,
+    33 s/sweep measured); 2048 cuts the chunk count 16x."""
     from cornac_tpu.models import WMF
 
     nnz = len(ds.uir_tuple[0])
     WMF(k=k, max_iter=1, batch_size=batch_size, seed=1, verbose=False).fit(ds)
     t0 = time.time()
-    WMF(k=k, max_iter=sweeps, batch_size=batch_size, seed=1, verbose=False).fit(ds)
-    dt = time.time() - t0
+    WMF(k=k, max_iter=1, batch_size=batch_size, seed=1, verbose=False).fit(ds)
+    t1 = time.time() - t0
+    t0 = time.time()
+    WMF(k=k, max_iter=1 + sweeps, batch_size=batch_size, seed=1,
+        verbose=False).fit(ds)
+    dt = max(time.time() - t0 - t1, 1e-9)
     # analytic FLOPs per sweep: both half-sweeps accumulate sum(v v^T) over
     # observed entries (2*nnz*k^2 each) + one k^3/3 Cholesky-ish solve per
     # entity; rhs/gather terms are lower order
@@ -157,6 +164,50 @@ def run_vaecf(ds, k=32, h=100, epochs=1, batch_size=1024):
     )
 
 
+def run_ref_cpu(ds, k=32, epochs=1, threads=0):
+    """Same-host CPU baseline: the reference-semantics C++/OpenMP hogwild
+    BPR kernel (benchmarks/ref_native/bpr_ref.cpp) on the same data."""
+    import ctypes
+
+    import scipy.sparse as sp
+
+    from ref_native import load_kernel
+
+    lib = load_kernel()
+    u, i, _ = ds.uir_tuple
+    nnz = len(u)
+    csr = sp.csr_matrix(
+        (np.ones(nnz, np.float32), (u, i)), shape=(N_USERS, N_ITEMS)
+    )
+    csr.sort_indices()
+    indptr = np.asarray(csr.indptr, np.int32)
+    item_ids = np.asarray(csr.indices, np.int32)
+    user_ids = np.repeat(
+        np.arange(N_USERS, dtype=np.int32), np.diff(csr.indptr)
+    )
+    rng = np.random.RandomState(1)
+    U = rng.uniform(size=(N_USERS, k)).astype(np.float32)
+    V = rng.uniform(size=(N_ITEMS, k)).astype(np.float32)
+    B = np.zeros(N_ITEMS, np.float32)
+    p32 = ctypes.POINTER(ctypes.c_int32)
+    pf = ctypes.POINTER(ctypes.c_float)
+    t0 = time.time()
+    lib.bpr_fit_sgd(
+        indptr.ctypes.data_as(p32), item_ids.ctypes.data_as(p32),
+        user_ids.ctypes.data_as(p32), nnz, N_ITEMS,
+        U.ctypes.data_as(pf), V.ctypes.data_as(pf), B.ctypes.data_as(pf),
+        k, 0.01, 0.01, 1, 123, 456, threads, epochs,
+    )
+    dt = time.time() - t0
+    emit(
+        "netflix_refcpu_bpr_train_throughput",
+        round(epochs * nnz / dt / 1e6, 2),
+        "M samples/s",
+        interactions=nnz, epochs=epochs, k=k, threads=threads or "all",
+        wallclock_s=round(dt, 1),
+    )
+
+
 def main():
     bench._enable_compile_cache()
     which = set((sys.argv[1] if len(sys.argv) > 1 else "bpr,wmf,vaecf").split(","))
@@ -172,6 +223,8 @@ def main():
     )
     if "bpr" in which:
         run_bpr(ds)
+    if "refcpu" in which:
+        run_ref_cpu(ds)
     if "wmf" in which:
         run_wmf(ds)
     if "vaecf" in which:
