@@ -107,20 +107,24 @@ def run_bpr(ds, k=32, epochs=3, batch_size=65536):
     )
 
 
-def run_wmf(ds, k=64, sweeps=2, batch_size=2048):
+def run_wmf(ds, k=64, sweeps=2, batch_size=256):
     """batch_size is the per-solve chunk width — a framework knob: at 128
     the sweep is per-chunk-latency-bound (3889 sequential dispatches,
-    33 s/sweep measured); 2048 cuts the chunk count 16x."""
+    33 s/sweep measured); 256 halves the chunk count. Larger widths OOM at
+    this shape: the item-side gather temporary is
+    (width, max_item_degree~5900, k) f32 — 2048 needs 18 GB of HBM."""
     from cornac_tpu.models import WMF
 
     nnz = len(ds.uir_tuple[0])
-    WMF(k=k, max_iter=1, batch_size=batch_size, seed=1, verbose=False).fit(ds)
+    # verbose=True chunks per sweep (one device execution each — the
+    # tunneled worker kills executions past ~2 min)
+    kw = dict(k=k, batch_size=batch_size, seed=1, verbose=True)
+    WMF(max_iter=1, **kw).fit(ds)
     t0 = time.time()
-    WMF(k=k, max_iter=1, batch_size=batch_size, seed=1, verbose=False).fit(ds)
+    WMF(max_iter=1, **kw).fit(ds)
     t1 = time.time() - t0
     t0 = time.time()
-    WMF(k=k, max_iter=1 + sweeps, batch_size=batch_size, seed=1,
-        verbose=False).fit(ds)
+    WMF(max_iter=1 + sweeps, **kw).fit(ds)
     dt = max(time.time() - t0 - t1, 1e-9)
     # analytic FLOPs per sweep: both half-sweeps accumulate sum(v v^T) over
     # observed entries (2*nnz*k^2 each) + one k^3/3 Cholesky-ish solve per

@@ -100,6 +100,106 @@ def _als_fit(U, V, u_idx, u_val, u_mask, i_idx, i_val, i_mask, a, b, lu, li, k,
     return jax.lax.fori_loop(0, n_sweeps, sweep, (U, V))
 
 
+_BUCKET_WORKSPACE_BYTES = 256 * 1024 * 1024
+_BUCKET_MAX_WIDTH = 8192
+
+
+def _bucketed_csr(csr, k, budget=None):
+    """Degree-aware chunking: entities sorted by degree, bucketed to
+    power-of-2 padded widths, chunk width auto-sized so the (width, L, k)
+    gather workspace stays under ``budget`` bytes.
+
+    The per-entity ALS solves are independent, so regrouping/padding
+    changes nothing about the math — but it removes both failure modes of
+    uniform chunking at scale: a fixed small width is dispatch-bound
+    (3889 sequential chunks at Netflix shape = 33 s/sweep) and a fixed
+    large width OOMs when padded to the global max degree (width 2048 x
+    max_deg 5900 x k 64 needs 18 GB). Buckets bound padding waste to 2x
+    and the auto width keeps the workspace constant per chunk.
+
+    Returns a list of (idx, val, mask, ids) tuples with shapes
+    ((n_chunks, w, L), ..., (n_chunks * w,)); pad rows carry ``ids == n``
+    (callers scatter into an (n+1, k) table and slice).
+    """
+    if budget is None:
+        budget = _BUCKET_WORKSPACE_BYTES
+    n = csr.shape[0]
+    deg = np.diff(csr.indptr).astype(np.int64)
+    order = np.argsort(-deg, kind="stable")
+    degs_sorted = deg[order]
+    groups = []
+    start = 0
+    while start < n:
+        L = max(int(degs_sorted[start]), 1)
+        L2 = 1 << (L - 1).bit_length()  # power-of-2 bucket boundary
+        # this bucket takes every entity with degree > L2 // 2; pad width
+        # is the bucket's ACTUAL max degree (= L, entities arrive sorted)
+        # rounded to a lane multiple — a pow2 pad can waste up to 2x when
+        # the degree distribution is tight
+        if L2 == 1:
+            end = n  # remaining degrees are 1 or 0: one final bucket
+        else:
+            end = start + int(
+                np.searchsorted(-degs_sorted[start:], -(L2 // 2))
+            )
+            end = max(end, start + 1)
+        L2 = -(-L // 8) * 8
+        w = int(max(8, min(_BUCKET_MAX_WIDTH, budget // (L2 * k * 4))))
+        ids = order[start:end]
+        m = len(ids)
+        w = min(w, m + (-m) % 8)
+        n_pad = -(-m // w) * w
+        d = deg[ids]
+        rows = np.repeat(np.arange(m), d)
+        cols = np.arange(len(rows)) - np.repeat(np.cumsum(d) - d, d)
+        flat = np.repeat(csr.indptr[ids].astype(np.int64), d) + cols
+        idx = np.zeros((n_pad, L2), np.int32)
+        val = np.zeros((n_pad, L2), np.float32)
+        mask = np.zeros((n_pad, L2), np.float32)
+        idx[rows, cols] = csr.indices[flat]
+        val[rows, cols] = csr.data[flat]
+        mask[rows, cols] = 1.0
+        out_ids = np.full(n_pad, n, np.int32)
+        out_ids[:m] = ids
+        shape = (n_pad // w, w, L2)
+        groups.append(
+            (
+                jnp.asarray(idx.reshape(shape)),
+                jnp.asarray(val.reshape(shape)),
+                jnp.asarray(mask.reshape(shape)),
+                jnp.asarray(out_ids),
+            )
+        )
+        start = end
+    return groups
+
+
+def _solve_side_bucketed(F_other, groups, a, b, lamb, k, n_out):
+    G = F_other.T @ F_other
+    out = jnp.zeros((n_out + 1, k), F_other.dtype)
+    for idx, val, mask, ids in groups:
+        sols = jax.lax.map(
+            lambda args: _solve_chunk(F_other, G, *args, a=a, b=b,
+                                      lamb=lamb, k=k),
+            (idx, val, mask),
+        )
+        out = out.at[ids].set(sols.reshape(-1, k))
+    return out[:n_out]
+
+
+@partial(jax.jit, static_argnames=("k",), donate_argnums=(0, 1))
+def _als_fit_bucketed(U, V, u_groups, i_groups, a, b, lu, li, k, n_sweeps):
+    """Degree-bucketed ALS sweeps in one compiled program (single device)."""
+
+    def sweep(s, carry):
+        U, V = carry
+        U = _solve_side_bucketed(V, u_groups, a, b, lu, k, U.shape[0])
+        V = _solve_side_bucketed(U, i_groups, a, b, li, k, V.shape[0])
+        return U, V
+
+    return jax.lax.fori_loop(0, n_sweeps, sweep, (U, V))
+
+
 @jax.jit
 def _wmf_scores(U, V, users, known_mask):
     return (U[users] * known_mask[:, None]) @ V.T
@@ -178,11 +278,39 @@ class WMF(Recommender, ANNMixin):
 
         csr = train_set.csr_matrix
         csc = csr.T.tocsr()
+        U0, V0 = jnp.asarray(self.U), jnp.asarray(self.V)
+
+        if self.mesh is None:
+            # single device: degree-bucketed chunks with auto-sized widths
+            # (batch_size is not a constraint here — the workspace budget
+            # is; see _bucketed_csr)
+            u_groups = _bucketed_csr(csr, self.k)
+            i_groups = _bucketed_csr(csc, self.k)
+
+            def run_chunk(state, start, e):
+                U, V = _als_fit_bucketed(
+                    state[0], state[1], u_groups, i_groups,
+                    jnp.float32(self.a), jnp.float32(self.b),
+                    jnp.float32(self.lambda_u), jnp.float32(self.lambda_v),
+                    k=self.k, n_sweeps=e,
+                )
+                return (U, V), None
+
+            U, V = epoch_loop(
+                self, self.max_iter, run_chunk, (U0, V0),
+                on_report=lambda done, _: print(
+                    "ALS sweep %d/%d" % (done, self.max_iter)
+                ),
+            )
+            self.U = np.asarray(U)
+            self.V = np.asarray(V)
+            if self.verbose:
+                print("ALS finished (%d sweeps)" % self.max_iter)
+            return self
 
         chunk = min(self.batch_size, max(self.num_users, self.num_items))
         u_idx, u_val, u_mask = _padded_csr(csr, chunk)
         i_idx, i_val, i_mask = _padded_csr(csc, chunk)
-        U0, V0 = jnp.asarray(self.U), jnp.asarray(self.V)
         if self.mesh is not None:
             # shard the per-entity ALS solves: the chunk axis of the padded
             # CSR tensors is partitioned over every mesh device (pad chunks
