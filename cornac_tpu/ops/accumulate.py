@@ -30,7 +30,11 @@ def accumulate_rows(table, ids, updates):
     (B, ...) matching trailing dims. Deterministic under either strategy.
     """
     n_rows = table.shape[0]
-    if n_rows <= ids.shape[0]:
+    # one-hot only while the matmul's rows x batch FLOPs stay cheap: at
+    # Netflix item-table shape (17.7k rows, 131k-id batches) the sorted
+    # scatter measures ~10% faster per epoch (benchmarks, r3), while at
+    # ML-100K/ML-1M widths (<=4096 rows) the one-hot wins as before
+    if n_rows <= ids.shape[0] and n_rows <= 4096:
         oh = jax.nn.one_hot(ids, n_rows, dtype=table.dtype)
         return table + jnp.tensordot(oh, updates, axes=((0,), (0,)))
     order = jnp.argsort(ids)
