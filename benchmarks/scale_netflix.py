@@ -44,12 +44,21 @@ def hbm_bytes():
         return 0
 
 
-def build_dataset(n_r=N_RATINGS):
+def build_dataset(n_r=N_RATINGS, zipf=False):
     from cornac_tpu.data import Dataset
 
     rng = np.random.RandomState(0)
     u = rng.randint(N_USERS, size=n_r).astype(np.int64)
-    i = rng.randint(N_ITEMS, size=n_r).astype(np.int64)
+    if zipf:
+        # realistic popularity skew (rank^-0.8 over the catalog; Netflix's
+        # most-rated title holds ~0.23% of all ratings — this gives ~1%):
+        # item degrees then span 4+ orders of magnitude, the regime where
+        # uniform max-degree padding is impossible (see WMF bucketing)
+        p = (1.0 + np.arange(N_ITEMS)) ** -0.8
+        p /= p.sum()
+        i = rng.choice(N_ITEMS, size=n_r, p=p).astype(np.int64)
+    else:
+        i = rng.randint(N_ITEMS, size=n_r).astype(np.int64)
     key = u * N_ITEMS + i
     _, first = np.unique(key, return_index=True)
     u, i = u[first], i[first]
@@ -218,8 +227,15 @@ def main():
     # optional 2nd arg: interactions drawn, in millions (default the full
     # Netflix ~100M) — lets a crashed/flaky tunnel session bisect the scale
     n_r = int(float(sys.argv[2]) * 1e6) if len(sys.argv) > 2 else N_RATINGS
+    zipf = "zipf" in sys.argv[3:]
     t0 = time.time()
-    ds = build_dataset(n_r)
+    ds = build_dataset(n_r, zipf=zipf)
+    if zipf:
+        deg = np.bincount(ds.uir_tuple[1].astype(np.int64), minlength=N_ITEMS)
+        print(
+            f"[zipf] item degree max={deg.max()} mean={deg.mean():.0f}",
+            file=sys.stderr, flush=True,
+        )
     print(
         f"[data] {len(ds.uir_tuple[0])} unique interactions, "
         f"{N_USERS}x{N_ITEMS}, built in {time.time()-t0:.0f}s",
