@@ -41,8 +41,10 @@ class VBPR(Recommender, ANNMixin):
         verbose=True,
         init_params=None,
         seed=None,
+        mesh=None,
     ):
         super().__init__(name=name, trainable=trainable, verbose=verbose)
+        self.mesh = mesh
         self.k = k
         self.k2 = k2
         self.n_epochs = n_epochs
@@ -166,6 +168,22 @@ class VBPR(Recommender, ANNMixin):
         optimizer = optax.adam(self.learning_rate)
         opt_state = optimizer.init(params)
 
+        # data parallelism: params/opt/features replicated, each
+        # minibatch's sampled triplets sharded over every device (GSPMD
+        # psums the grads) — identical math to single-device
+        batch_shard = None
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            from ..parallel import replicate_all
+
+            batch_shard = NamedSharding(
+                self.mesh, P(tuple(self.mesh.axis_names))
+            )
+            params, opt_state, F, rid_d, cid_d = replicate_all(
+                self.mesh, params, opt_state, F, rid_d, cid_d
+            )
+
         @partial(jax.jit, donate_argnums=(0, 1))
         def run_epochs(params, opt_state, key, n_epochs, epoch_offset):
             def epoch(e, carry):
@@ -180,7 +198,11 @@ class VBPR(Recommender, ANNMixin):
                     params, opt_state, loss_sum = carry
                     sl = lambda a: jax.lax.dynamic_slice(a, (b * bsz,), (bsz,))
                     idx = sl(pos_idx)
-                    u, i, j = rid_d[idx], cid_d[idx], sl(negs)
+                    j = sl(negs)
+                    if batch_shard is not None:
+                        idx = jax.lax.with_sharding_constraint(idx, batch_shard)
+                        j = jax.lax.with_sharding_constraint(j, batch_shard)
+                    u, i = rid_d[idx], cid_d[idx]
                     loss, grads = jax.value_and_grad(loss_fn)(params, u, i, j)
                     updates, opt_state = optimizer.update(grads, opt_state, params)
                     params = optax.apply_updates(params, updates)
@@ -306,6 +328,7 @@ class AMR(VBPR):
         verbose=True,
         init_params=None,
         seed=None,
+        mesh=None,
     ):
         super().__init__(
             name=name,
@@ -322,6 +345,7 @@ class AMR(VBPR):
             verbose=verbose,
             init_params=init_params,
             seed=seed,
+            mesh=mesh,
         )
         self.lambda_adv = lambda_adv
         self.epsilon_adv = epsilon_adv

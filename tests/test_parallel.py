@@ -537,6 +537,39 @@ def test_mesh_training_matches_single_device_sequential():
         np.testing.assert_allclose(pa, sh, rtol=2e-4, atol=2e-5)
 
 
+def test_mesh_training_matches_single_device_visual():
+    """VBPR/AMR data-parallel mesh training must reproduce the
+    single-device scores."""
+    import numpy as np
+
+    from cornac_tpu.data import ImageModality
+    from cornac_tpu.eval_methods import RatioSplit
+    from cornac_tpu.models import AMR, VBPR
+    from cornac_tpu.parallel import make_mesh
+
+    rng = np.random.RandomState(7)
+    data = [
+        (f"u{rng.randint(30)}", f"i{rng.randint(40)}", 1.0) for _ in range(400)
+    ]
+    feats = rng.randn(40, 12).astype(np.float32)
+    modality = ImageModality(features=feats, ids=[f"i{x}" for x in range(40)])
+    rs = RatioSplit(
+        data=data, test_size=0.2, rating_threshold=0.5, seed=123,
+        item_image=modality,
+    )
+    mesh = make_mesh()
+
+    for cls in (VBPR, AMR):
+        kw = dict(k=4, k2=4, n_epochs=3, batch_size=16, seed=11, verbose=False)
+        plain = cls(**kw).fit(rs.train_set)
+        sharded = cls(mesh=mesh, **kw).fit(rs.train_set)
+        batch = np.arange(8)
+        np.testing.assert_allclose(
+            plain.score_batch(batch), sharded.score_batch(batch),
+            rtol=5e-4, atol=5e-5,
+        )
+
+
 def test_mesh_training_matches_single_device_basket():
     """DNNTSP/Beacon data-parallel mesh training + inference must reproduce
     the single-device basket scores."""
