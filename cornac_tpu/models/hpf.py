@@ -88,8 +88,10 @@ class HPF(Recommender, ANNMixin):
         hierarchical=True,
         seed=None,
         init_params=None,
+        mesh=None,
     ):
         Recommender.__init__(self, name=name, trainable=trainable, verbose=verbose)
+        self.mesh = mesh
         self.k = k
         self.max_iter = max_iter
         self.hierarchical = hierarchical
@@ -129,16 +131,35 @@ class HPF(Recommender, ANNMixin):
 
         rid, cid, val = train_set.uir_tuple
 
-        G_s, G_r, L_s, L_r, K_r, T_r = _hpf_cavi(
-            jnp.asarray(G_s),
-            jnp.asarray(G_r),
-            jnp.asarray(L_s),
-            jnp.asarray(L_r),
-            jnp.asarray(K_r),
-            jnp.asarray(T_r),
+        states = [
+            jnp.asarray(G_s), jnp.asarray(G_r), jnp.asarray(L_s),
+            jnp.asarray(L_r), jnp.asarray(K_r), jnp.asarray(T_r),
+        ]
+        edges = [
             jnp.asarray(rid, dtype=jnp.int32),
             jnp.asarray(cid, dtype=jnp.int32),
             jnp.asarray(val, dtype=jnp.float32),
+        ]
+        if self.mesh is not None:
+            # edge parallelism: the per-observation responsibility rows
+            # (nnz, k) shard over the mesh, variational state tables stay
+            # replicated; GSPMD psums the scatter-add accumulations —
+            # identical math to single-device CAVI. Edges pad to the
+            # device count with val == 0 rows, whose contributions are
+            # exactly zero.
+            from ..parallel import replicate_all, shard_batch
+
+            states = list(replicate_all(self.mesh, *states))
+            pad = (-len(rid)) % self.mesh.size
+            if pad:
+                edges = [
+                    jnp.concatenate([e, jnp.zeros(pad, e.dtype)]) for e in edges
+                ]
+            edges = [shard_batch(self.mesh, e) for e in edges]
+
+        G_s, G_r, L_s, L_r, K_r, T_r = _hpf_cavi(
+            *states,
+            *edges,
             jnp.int32(self.max_iter),
             hierarchical=self.hierarchical,
         )

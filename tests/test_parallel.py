@@ -537,6 +537,33 @@ def test_mesh_training_matches_single_device_sequential():
         np.testing.assert_allclose(pa, sh, rtol=2e-4, atol=2e-5)
 
 
+def test_mesh_training_matches_single_device_cavi():
+    """HPF's CAVI with the observation edges sharded over the mesh must
+    reproduce the single-device posterior."""
+    import numpy as np
+
+    from cornac_tpu.eval_methods import RatioSplit
+    from cornac_tpu.models import HPF
+    from cornac_tpu.parallel import make_mesh
+
+    rng = np.random.RandomState(9)
+    data = [
+        (f"u{rng.randint(30)}", f"i{rng.randint(50)}", float(rng.randint(1, 6)))
+        for _ in range(500)
+    ]
+    rs = RatioSplit(data=data, test_size=0.2, rating_threshold=2.5, seed=123)
+
+    for hier in (True, False):
+        kw = dict(k=4, max_iter=10, seed=11, hierarchical=hier)
+        plain = HPF(**kw).fit(rs.train_set)
+        sharded = HPF(mesh=make_mesh(), **kw).fit(rs.train_set)
+        batch = np.arange(8)
+        np.testing.assert_allclose(
+            plain.score_batch(batch), sharded.score_batch(batch),
+            rtol=5e-4, atol=5e-5,
+        )
+
+
 def test_mesh_training_matches_single_device_visual():
     """VBPR/AMR data-parallel mesh training must reproduce the
     single-device scores."""
