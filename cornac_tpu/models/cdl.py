@@ -46,8 +46,10 @@ class CDL(Recommender, ANNMixin):
         verbose=True,
         init_params=None,
         seed=None,
+        mesh=None,
     ):
         super().__init__(name=name, trainable=trainable, verbose=verbose)
+        self.mesh = mesh
         self.k = k
         self.autoencoder_structure = (
             [200] if autoencoder_structure is None else list(autoencoder_structure)
@@ -183,7 +185,35 @@ class CDL(Recommender, ANNMixin):
             }
             return params, state_cf, state_ae, loss
 
+        # data parallelism over the item batch: params/opt replicated,
+        # each step's item block (and the (n_users, B) rating columns on
+        # their batch axis) sharded over the mesh; GSPMD psums the grads
+        shard_vec = shard_mat = shard_cols = lambda x: x
+        if self.mesh is not None:
+            import jax as _jax
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            from ..parallel import replicate_all
+
+            axes = tuple(self.mesh.axis_names)
+            shard_vec = lambda x: _jax.device_put(
+                x, NamedSharding(self.mesh, P(axes))
+            )
+            shard_mat = lambda x: _jax.device_put(
+                x, NamedSharding(self.mesh, P(axes, None))
+            )
+            shard_cols = lambda x: _jax.device_put(
+                x, NamedSharding(self.mesh, P(None, axes))
+            )
+            params, state_cf, state_ae = replicate_all(
+                self.mesh, params, state_cf, state_ae
+            )
+
         bsz = min(self.batch_size, self.num_items)
+        if self.mesh is not None:
+            # batch width must divide across the mesh; round down (min one
+            # row per device) so the repeat-padding of short batches works
+            bsz = max(self.mesh.size, bsz - bsz % self.mesh.size)
         for it in range(self.max_iter):
             corruption_mask = rng.binomial(
                 1, 1 - self.corruption_rate, size=text.shape
@@ -198,11 +228,11 @@ class CDL(Recommender, ANNMixin):
                     params,
                     state_cf,
                     state_ae,
-                    jnp.asarray(batch_ids, dtype=jnp.int32),
-                    jnp.asarray(text[batch_ids] * corruption_mask[batch_ids]),
-                    jnp.asarray(text[batch_ids]),
-                    jnp.asarray(R_dense[:, batch_ids]),
-                    jnp.asarray(C_dense[:, batch_ids]),
+                    shard_vec(jnp.asarray(batch_ids, dtype=jnp.int32)),
+                    shard_mat(jnp.asarray(text[batch_ids] * corruption_mask[batch_ids])),
+                    shard_mat(jnp.asarray(text[batch_ids])),
+                    shard_cols(jnp.asarray(R_dense[:, batch_ids])),
+                    shard_cols(jnp.asarray(C_dense[:, batch_ids])),
                 )
                 sum_loss += float(loss)
                 count += len(batch_ids)

@@ -537,6 +537,47 @@ def test_mesh_training_matches_single_device_sequential():
         np.testing.assert_allclose(pa, sh, rtol=2e-4, atol=2e-5)
 
 
+def test_mesh_training_matches_single_device_text():
+    """CDL data-parallel mesh training (item-batch sharding) must
+    reproduce the single-device scores."""
+    import numpy as np
+
+    from cornac_tpu.data import TextModality
+    from cornac_tpu.data.text import BaseTokenizer
+    from cornac_tpu.eval_methods import RatioSplit
+    from cornac_tpu.models import CDL
+    from cornac_tpu.parallel import make_mesh
+
+    rng = np.random.RandomState(8)
+    n_items = 40
+    data = [
+        (f"u{rng.randint(30)}", f"i{rng.randint(n_items)}", 1.0)
+        for _ in range(400)
+    ]
+    words = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta"]
+    docs = [
+        " ".join(rng.choice(words, size=6).tolist()) for _ in range(n_items)
+    ]
+    modality = TextModality(
+        corpus=docs, ids=[f"i{x}" for x in range(n_items)],
+        tokenizer=BaseTokenizer(), max_vocab=20,
+    )
+    rs = RatioSplit(
+        data=data, test_size=0.2, rating_threshold=0.5, seed=123,
+        item_text=modality,
+    )
+
+    kw = dict(k=4, autoencoder_structure=[8], max_iter=3, batch_size=16,
+              seed=11, verbose=False)
+    plain = CDL(**kw).fit(rs.train_set)
+    sharded = CDL(mesh=make_mesh(), **kw).fit(rs.train_set)
+    batch = np.arange(8)
+    np.testing.assert_allclose(
+        plain.score_batch(batch), sharded.score_batch(batch),
+        rtol=5e-4, atol=5e-5,
+    )
+
+
 def test_mesh_training_matches_single_device_cavi():
     """HPF's CAVI with the observation edges sharded over the mesh must
     reproduce the single-device posterior."""
