@@ -35,13 +35,19 @@ N_USERS, N_ITEMS, N_RATINGS = 480_000, 17_700, 100_000_000
 
 
 def hbm_bytes():
+    """Measured device bytes in use, or None when the backend exposes no
+    memory stats (the axon remote-compile plugin returns an empty dict, so
+    on this rig every occupancy figure in PERF.md is analytic — sizes
+    computed from array shapes — not telemetry; rows record null here to
+    make that explicit)."""
     import jax
 
     try:
-        stats = jax.local_devices()[0].memory_stats()
-        return int(stats.get("bytes_in_use", 0))
+        stats = jax.local_devices()[0].memory_stats() or {}
+        v = int(stats.get("bytes_in_use", 0))
+        return v if v > 0 else None
     except Exception:
-        return 0
+        return None
 
 
 def build_dataset(n_r=N_RATINGS, zipf=False):

@@ -145,8 +145,18 @@ class BiVAECF(Recommender, ANNMixin):
         bsz_i = min(self.batch_size, n_items)
         X_d, nb_u = pad(X, bsz_u)
         XT_d, nb_i = pad(XT, bsz_i)
-        uf_d = jnp.asarray(user_feats) if cap_user else None
-        if_d = jnp.asarray(item_feats) if cap_item else None
+
+        def pad_feats(F, n_rows):
+            # keep feature rows aligned with the batch-padded data rows so
+            # dynamic_slice never clamps the last batch onto stale rows
+            if F.shape[0] < n_rows:
+                F = np.concatenate(
+                    [F, np.zeros((n_rows - F.shape[0], F.shape[1]), np.float32)]
+                )
+            return jnp.asarray(F)
+
+        uf_d = pad_feats(user_feats, X_d.shape[0]) if cap_user else None
+        if_d = pad_feats(item_feats, XT_d.shape[0]) if cap_item else None
 
         opt_u = optax.adam(self.learning_rate)
         opt_i = optax.adam(self.learning_rate)
@@ -159,16 +169,23 @@ class BiVAECF(Recommender, ANNMixin):
             # and the opposing latent table replicated; GSPMD inserts the
             # per-batch gradient psum — identical math to single-device
             from ..parallel import replicate_all, shard_batch
+            from ..parallel.mesh import DATA_AXIS, pad_rows_to_multiple
 
-            X_d = shard_batch(self.mesh, X_d)
-            XT_d = shard_batch(self.mesh, XT_d)
+            # device_put needs the row count divisible by the data axis;
+            # the extra zero rows sit beyond nb*bsz and are never sliced
+            dsz = self.mesh.shape[DATA_AXIS]
+            shard_padded = lambda a: shard_batch(
+                self.mesh, pad_rows_to_multiple(np.asarray(a), dsz)
+            )
+            X_d = shard_padded(X_d)
+            XT_d = shard_padded(XT_d)
             user_side, item_side, state_u, state_i, theta, beta = replicate_all(
                 self.mesh, user_side, item_side, state_u, state_i, theta, beta
             )
             if uf_d is not None:
-                uf_d = shard_batch(self.mesh, uf_d)
+                uf_d = shard_padded(uf_d)
             if if_d is not None:
-                if_d = shard_batch(self.mesh, if_d)
+                if_d = shard_padded(if_d)
 
         likelihood, kl_beta = self.likelihood, self.beta_kl
 

@@ -220,10 +220,8 @@ class CDL(Recommender, ANNMixin):
             ).astype(np.float32)
             sum_loss, count = 0.0, 0
             for batch_ids in train_set.item_iter(bsz, shuffle=True):
-                if len(batch_ids) < bsz:  # stable jit shapes
-                    batch_ids = np.concatenate(
-                        [batch_ids, batch_ids[: bsz - len(batch_ids)]]
-                    )
+                if len(batch_ids) < bsz:  # stable jit shapes: tile ids to bsz
+                    batch_ids = np.resize(batch_ids, bsz)
                 params, state_cf, state_ae, loss = step(
                     params,
                     state_cf,

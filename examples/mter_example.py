@@ -20,10 +20,13 @@ rs = RatioSplit(
     sentiment=SentimentModality(data=sentiment),
 )
 
+# demo-sized iteration budget; the reference example's full-convergence
+# setting on real Amazon data is max_iter=200000 (same fused device loop,
+# just longer) — raise it for a production fit
 mter = MTER(
     n_user_factors=15, n_item_factors=15, n_aspect_factors=12, n_opinion_factors=12,
     n_bpr_samples=1000, n_element_samples=50, lambda_reg=0.1, lambda_bpr=10,
-    max_iter=200000, lr=0.1, seed=123, verbose=True,
+    max_iter=10000, lr=0.1, seed=123, verbose=True,
 )
 
 ct.Experiment(eval_method=rs, models=[mter], metrics=[RMSE(), NDCG(k=50)]).run()

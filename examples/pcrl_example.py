@@ -20,7 +20,8 @@ rs = RatioSplit(
     item_graph=GraphModality(data=contexts),
 )
 
-pcrl = PCRL(k=100, z_dims=[300], max_iter=300, batch_size=300, learning_rate=0.001, seed=123)
+# demo-sized epoch budget; the reference example's setting is max_iter=300
+pcrl = PCRL(k=100, z_dims=[300], max_iter=60, batch_size=300, learning_rate=0.001, seed=123)
 
 ct.Experiment(
     eval_method=rs, models=[pcrl],

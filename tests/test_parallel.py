@@ -678,7 +678,9 @@ def test_two_process_dcn_training_matches_single_process(tmp_path):
     """Two spawned processes x 4 virtual CPU devices each form a 2x4
     (data, model) mesh through jax.distributed + make_mesh's DCN-aware
     layout (data axis across processes, model axis within); BPR trained on
-    that mesh must match the single-process factors bit-for-bit."""
+    that mesh must match the single-process scores to float tolerance
+    (rtol=2e-4 — cross-host collectives reorder the reductions, so exact
+    bit equality is not guaranteed)."""
     import socket
     import subprocess
     import sys
