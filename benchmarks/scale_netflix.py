@@ -96,12 +96,15 @@ def run_bpr(ds, k=32, epochs=3, batch_size=65536):
     # worker kills ("TPU worker process crashed") somewhere past ~1-2 min.
     # Differential timing (fit(1+epochs) - fit(1)) cancels the per-fit
     # host work + tunnel transfers and reports steady-state epoch cost.
+    # distinct seeds per fit: the tunnel memoizes identical executions
+    # (same program + same args return the cached result near-instantly),
+    # which would zero out the baseline fit's timing
     BPR(k=k, max_iter=1, seed=1, batch_size=batch_size, verbose=True).fit(ds)
     t0 = time.time()
-    BPR(k=k, max_iter=1, seed=1, batch_size=batch_size, verbose=True).fit(ds)
+    BPR(k=k, max_iter=1, seed=2, batch_size=batch_size, verbose=True).fit(ds)
     t1 = time.time() - t0
     t0 = time.time()
-    BPR(k=k, max_iter=1 + epochs, seed=1, batch_size=batch_size,
+    BPR(k=k, max_iter=1 + epochs, seed=3, batch_size=batch_size,
         verbose=True).fit(ds)
     dt = max(time.time() - t0 - t1, 1e-9)
     sps = epochs * nnz / dt

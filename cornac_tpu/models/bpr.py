@@ -43,7 +43,7 @@ _BULK_SAMPLING_MAX = 1 << 24
 
 @partial(
     jax.jit,
-    static_argnames=("batch_size", "use_bias", "num_items", "variant", "pack_shift"),
+    static_argnames=("batch_size", "use_bias", "num_items", "variant"),
     donate_argnums=(0, 1, 2),
 )
 def _bpr_epochs(
@@ -51,8 +51,7 @@ def _bpr_epochs(
     V,
     Bi,
     key,
-    rid,
-    cid,
+    pairs,
     membership,
     neg_population,
     lr,
@@ -63,9 +62,7 @@ def _bpr_epochs(
     n_epochs,
     epoch_offset=0,
     variant="bpr",
-    uic=None,
     W16=None,
-    pack_shift=None,
 ):
     """Run ``n_epochs`` BPR epochs in one compiled program (no host
     round-trips between epochs). Each epoch: sample |R| triplets, reject
@@ -83,12 +80,24 @@ def _bpr_epochs(
       narrow factor widths (~2.3x slower than the matmul form).
     - the epoch cost is dominated by per-element dynamic gathers, not by
       dispatch or MXU work (batch-size invariant: 2.6ms/epoch at ML-100K
-      shape for any batch in 2k..16k). Two gather eliminations cut it to
-      1.48ms/epoch:
+      shape for any batch in 2k..16k).
+    - **the fast-row-gather layout** (measured on v5e,
+      benchmarks/micro_gather_variants.py): XLA's TPU row gather runs
+      ~5x faster when rows are 256-byte multiples (64 x f32) — 115 vs 23
+      Mrows/s from a 480k-row table — and plain scatter-add then also
+      beats the argsorted form (1.33 vs 4.7 ms per 65536-row update).
+      So the non-fused path pads the factor tables' column count to a
+      multiple of 64 (padded columns are zeros; zero updates keep them
+      zero, and the sums over them add exact +0.0 — results unchanged),
+      and the positive (user, item) pair is stored as one (|R|, 2) int32
+      row so sampling costs ONE 8-byte row gather instead of two 4-byte
+      gathers (measured 2x: 0.65 vs 1.36 ms per 65536 draws).  Membership
+      rides the same finding: ops/membership.py's b+tree strategy probes
+      with two 256-byte row gathers instead of log2(degree) serial thin
+      gathers.  Together: 12.3M vs 4.3M samples/s at Netflix shape
+      (benchmarks/micro_btree_probe.py).
+    - two further gather eliminations for small catalogs:
 
-      * ``uic``/``pack_shift``: the positive (user, item) pair is packed
-        into one int32 (``u << shift | i``) so sampling positives costs ONE
-        gather instead of two (``rid``/``cid`` stay for the unpacked path).
       * ``W16``: the user->item membership bitmap stored as 16-bit
         halfwords in exact-f32 columns riding on the user table — the
         user-factor fetch and the membership-row fetch become ONE one-hot
@@ -99,7 +108,7 @@ def _bpr_epochs(
         bit ``j & 15`` via exp2/floor/mod (exact: halfwords <= 65535 are
         exact f32, and the one-hot matmul moves each value untouched).
     """
-    n = (uic if uic is not None else rid).shape[0]
+    n = pairs.shape[0]
     n_pad = (-n) % batch_size
     n_total = n + n_pad
     n_batches = n_total // batch_size
@@ -121,15 +130,23 @@ def _bpr_epochs(
         V = jnp.concatenate([V, Bi[:, None]], axis=1)
     k_ext = U.shape[1]
     fused = W16 is not None
+    pad_cols = 0
     if fused:
         n_words = W16.shape[1]
         # membership halfwords ride the loop carry as frozen extra columns
         # of U: one fetch matmul AND one update matmul per step (both pad
         # to the same 128-lane width as the factors alone at rec scale)
         U = jnp.concatenate([U, W16], axis=1)
-    # gradient gate: the ones column of U must stay fixed
+    else:
+        # fast-row-gather layout: pad columns to a 256-byte multiple (see
+        # docstring). Padded columns are zero and stay zero.
+        pad_cols = (-k_ext) % 64
+        if pad_cols:
+            U = jnp.pad(U, ((0, 0), (0, pad_cols)))
+            V = jnp.pad(V, ((0, 0), (0, pad_cols)))
+    # gradient gate: the ones column of U (and any pad) must stay fixed
     u_col_gate = (
-        jnp.arange(k_ext) < (k_ext - 1 if use_bias else k_ext)
+        jnp.arange(k_ext + pad_cols) < (k_ext - 1 if use_bias else k_ext)
     ).astype(U.dtype)[None, :]
 
     def sample(k_pos, k_neg, shape):
@@ -141,14 +158,8 @@ def _bpr_epochs(
                 k_neg, shape, 0, neg_population.shape[0]
             )
             neg_items = neg_population[neg_pos]
-        if uic is not None:
-            code = uic[pos_idx]
-            users = jax.lax.shift_right_logical(code, pack_shift)
-            pos_items = code & jnp.int32((1 << pack_shift) - 1)
-        else:
-            users = rid[pos_idx]
-            pos_items = cid[pos_idx]
-        return users, pos_items, neg_items
+        pr = pairs[pos_idx]  # one 8-byte row gather per draw
+        return pr[..., 0], pr[..., 1], neg_items
 
     def epoch(e, carry):
         U, V, _, _ = carry
@@ -232,8 +243,10 @@ def _bpr_epochs(
     U, V, correct, skipped = jax.lax.fori_loop(
         0, n_epochs, epoch, (U, V, jnp.int32(0), jnp.int32(0))
     )
-    if fused:
+    if fused or pad_cols:
         U = U[:, :k_ext]
+    if pad_cols:
+        V = V[:, :k_ext]
     if use_bias:
         Bi = V[:, -1]
         U, V = U[:, :-1], V[:, :-1]
@@ -337,27 +350,23 @@ class BPR(Recommender, ANNMixin):
             return self
 
         rid, cid, _ = train_set.uir_tuple
-        rid_d = jnp.asarray(rid, dtype=jnp.int32)
-        cid_d = jnp.asarray(cid, dtype=jnp.int32)
+        # (|R|, 2) packed positive pairs: one 8-byte row gather per draw
+        pairs_d = jnp.asarray(
+            np.stack(
+                [np.asarray(rid, np.int32), np.asarray(cid, np.int32)], axis=1
+            )
+        )
         membership = build_membership(train_set.csr_matrix)
         neg_pop = self._neg_population(train_set)
 
-        # gather-elimination gates (single-device only; the mesh path keeps
+        # gather-elimination gate (single-device only; the mesh path keeps
         # the general form). See _bpr_epochs docstring for the measured win.
         # Results are deterministic either way but the two program shapes
         # are not bit-identical (XLA reassociates fused reductions);
         # ``fused_fetch=False`` forces the general form for exact
         # comparisons (e.g. the mesh-equals-single-device tests).
-        uic = W16 = None
-        pack_shift = None
+        W16 = None
         if self.mesh is None and getattr(self, "fused_fetch", True):
-            shift = max(1, int(np.ceil(np.log2(max(train_set.num_items, 2)))))
-            if (train_set.num_users - 1) < (1 << (31 - shift)):
-                pack_shift = shift
-                uic = jnp.asarray(
-                    (np.asarray(rid, np.int64) << shift) | np.asarray(cid, np.int64),
-                    dtype=jnp.int32,
-                )
             n_words = (train_set.num_items + 15) // 16
             k_cols = self.k + (1 if self.use_bias else 0)
             # the fused fetch is an (B x n_users) @ (n_users x cols) MXU op:
@@ -381,8 +390,8 @@ class BPR(Recommender, ANNMixin):
             from ..parallel import replicate_all, shard_tables
 
             U, V, Bi = shard_tables(self.mesh, U, V, Bi)
-            rid_d, cid_d, membership, neg_pop = replicate_all(
-                self.mesh, rid_d, cid_d, membership, neg_pop
+            pairs_d, membership, neg_pop = replicate_all(
+                self.mesh, pairs_d, membership, neg_pop
             )
 
         base_key = jax.random.PRNGKey(self.rng.randint(2**31))
@@ -395,8 +404,7 @@ class BPR(Recommender, ANNMixin):
                 V,
                 Bi,
                 base_key,
-                rid_d,
-                cid_d,
+                pairs_d,
                 membership,
                 neg_pop,
                 jnp.float32(self.learning_rate),
@@ -407,9 +415,7 @@ class BPR(Recommender, ANNMixin):
                 n_epochs=e,
                 epoch_offset=start,
                 variant=self._variant,
-                uic=uic,
                 W16=W16,
-                pack_shift=pack_shift,
             )
             return (U, V, Bi), (correct, skipped)
 

@@ -37,5 +37,16 @@ def accumulate_rows(table, ids, updates):
     if n_rows <= ids.shape[0] and n_rows <= 4096:
         oh = jax.nn.one_hot(ids, n_rows, dtype=table.dtype)
         return table + jnp.tensordot(oh, updates, axes=((0,), (0,)))
+    # plain scatter when rows are 256-byte multiples (the fast row-scatter
+    # layout: 1.33 vs 4.7 ms per 65536-row update into a 480k x 64 table,
+    # benchmarks/micro_gather_variants.py — and there the argsort only
+    # adds cost) or when the table is smaller than the batch (dup-heavy:
+    # plain 1.0 vs sorted 2.4 ms at 17.7k x 33 / 131k ids)
+    fast_rows = (
+        table.ndim == 2
+        and (table.shape[1] * table.dtype.itemsize) % 256 == 0
+    )
+    if fast_rows or n_rows <= ids.shape[0]:
+        return table.at[ids].add(updates)
     order = jnp.argsort(ids)
     return table.at[ids[order]].add(updates[order], indices_are_sorted=True)

@@ -16,10 +16,19 @@ build time by :func:`build_membership`:
   over a GiB-scale table thrash HBM once the rest of the step competes
   for bandwidth, and the table costs ~19 s of extra transfer per fit
   through this rig's tunnel. Small catalogs keep the win.
+- **b+tree**: per-user sorted item ids packed into 64-wide int32 leaves
+  plus one 64-wide internal node per user (slot 0 = the user's first leaf
+  index, slots 1.. = first key of each later leaf, INT32_MAX padded).  A
+  query is TWO 256-byte row gathers + vectorized compares — 256-byte rows
+  ride the TPU's fast row-gather path (~115 Mrows/s on v5e vs ~23 Mrows/s
+  for thin rows, benchmarks/micro_gather_variants.py), so this replaces
+  log2(max_degree) serial 4-byte gathers of the binary search and
+  measures ~4x faster at Netflix scale (benchmarks/micro_btree_probe.py).
+  Exact; holds degrees up to 64*63 = 4032 per user.
 - **binary search**: branchless vectorized search over CSR rows, with the
   step count bounded by log2(max row degree) instead of a worst-case
   constant. All arithmetic int32 (TPU-native; no emulated int64), safe at
-  any catalog scale.
+  any catalog scale. Fallback when a user's degree exceeds the b+tree cap.
 """
 
 import math
@@ -29,6 +38,8 @@ import jax.numpy as jnp
 import numpy as np
 
 _BITMAP_MAX_BYTES = 64 * 1024 * 1024
+_BTREE_WIDTH = 64  # 64 x int32 = 256 B, the fast row-gather granularity
+_SENTINEL = np.int32(2**31 - 1)
 
 
 class Membership:
@@ -64,6 +75,16 @@ class Membership:
             ) & jnp.uint32(1)
             return bit != 0
 
+        if self.kind == "btree":
+            leaves, internal = self.arrays
+            node = internal[users]  # (B, 64) fat row gather
+            base = node[:, 0]
+            child = jnp.sum(
+                node[:, 1:] <= items[:, None], axis=1
+            ).astype(jnp.int32)
+            leaf = leaves[base + child]  # (B, 64) fat row gather
+            return jnp.any(leaf == items[:, None], axis=1)
+
         indptr, indices = self.arrays
         lo = indptr[users]
         hi = indptr[users + 1]
@@ -86,12 +107,18 @@ class Membership:
         return found
 
 
-def build_membership(csr_matrix, bitmap_max_bytes=None):
+def build_membership(csr_matrix, bitmap_max_bytes=None, btree_max_degree=None):
     """Host-side: build the best membership structure for a scipy CSR.
-    ``bitmap_max_bytes`` defaults to the module's ``_BITMAP_MAX_BYTES``
-    (read at call time so tests/benchmarks can patch the strategy)."""
+    Order: bitmap while it fits the byte budget (1 thin gather — wins on
+    small catalogs), then the b+tree while every user's degree fits its
+    2-level cap (2 fast fat gathers — wins at scale), then the CSR binary
+    search (any scale). ``bitmap_max_bytes``/``btree_max_degree`` default
+    to the module constants (read at call time so tests/benchmarks can
+    pick a strategy explicitly)."""
     if bitmap_max_bytes is None:
         bitmap_max_bytes = _BITMAP_MAX_BYTES
+    if btree_max_degree is None:
+        btree_max_degree = _BTREE_WIDTH * (_BTREE_WIDTH - 1)
     n_users, n_items = csr_matrix.shape
     wpr = (n_items + 31) // 32
     n_words = n_users * wpr
@@ -111,6 +138,10 @@ def build_membership(csr_matrix, bitmap_max_bytes=None):
     if not csr_matrix.has_sorted_indices:
         csr_matrix = csr_matrix.sorted_indices()
     max_degree = int(np.diff(csr_matrix.indptr).max(initial=0))
+    if max_degree <= btree_max_degree:
+        return Membership(
+            "btree", _build_btree_arrays(csr_matrix), n_items
+        )
     steps = max(1, math.ceil(math.log2(max_degree + 1)) + 1)
     return Membership(
         "csr",
@@ -129,6 +160,31 @@ jax.tree_util.register_pytree_node(
     lambda m: (m.arrays, (m.kind, m.num_items, m.search_steps)),
     lambda meta, arrays: Membership(meta[0], arrays, meta[1], meta[2]),
 )
+
+
+def _build_btree_arrays(csr_matrix, width=_BTREE_WIDTH):
+    """Host build of the b+tree arrays (leaves, internal); see module
+    docstring for the layout. Vectorized: one scatter for all leaf slots,
+    one short loop (max_leaves iterations) for the separators."""
+    n_users = csr_matrix.shape[0]
+    deg = np.diff(csr_matrix.indptr)
+    n_leaves = np.maximum((deg + width - 1) // width, 1)
+    leaf_start = np.zeros(n_users + 1, np.int64)
+    np.cumsum(n_leaves, out=leaf_start[1:])
+    leaves = np.full((int(leaf_start[-1]), width), _SENTINEL, np.int32)
+    rows = np.repeat(np.arange(n_users), deg)
+    offs = np.arange(len(csr_matrix.indices)) - np.repeat(
+        csr_matrix.indptr[:-1].astype(np.int64), deg
+    )
+    leaves[leaf_start[rows] + (offs // width), offs % width] = (
+        csr_matrix.indices
+    )
+    internal = np.full((n_users, width), _SENTINEL, np.int32)
+    internal[:, 0] = leaf_start[:-1]
+    for l in range(1, int(n_leaves.max(initial=1))):
+        has = n_leaves > l
+        internal[has, l] = leaves[leaf_start[:-1][has] + l, 0]
+    return jnp.asarray(leaves), jnp.asarray(internal)
 
 
 def build_csr_device(csr_matrix):

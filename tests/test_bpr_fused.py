@@ -37,14 +37,15 @@ def test_fused_epochs_match_general_form(use_bias, variant):
     membership = build_membership(csr)
     key = jax.random.PRNGKey(42)
 
-    def run(uic, W16, pack_shift):
+    pairs = jnp.asarray(np.stack([rid, cid], axis=1), jnp.int32)
+
+    def run(W16):
         return _bpr_epochs(
             jnp.asarray(U.copy()),
             jnp.asarray(V.copy()),
             jnp.asarray(Bi.copy()),
             key,
-            jnp.asarray(rid),
-            jnp.asarray(cid),
+            pairs,
             membership,
             None,
             jnp.float32(0.05),
@@ -55,18 +56,14 @@ def test_fused_epochs_match_general_form(use_bias, variant):
             n_epochs=3,
             epoch_offset=0,
             variant=variant,
-            uic=uic,
             W16=W16,
-            pack_shift=pack_shift,
         )
 
-    legacy = run(None, None, None)
+    legacy = run(None)
 
-    shift = int(np.ceil(np.log2(n_items)))
-    uic = jnp.asarray((rid.astype(np.int64) << shift) | cid, jnp.int32)
     n_words = (n_items + 15) // 16
     W16 = jnp.asarray(_membership_halfwords(csr, n_words))
-    fused = run(uic, W16, shift)
+    fused = run(W16)
 
     # identical sampling + identical rejections: the integer counters are
     # exact; factors agree to float precision (the two program shapes let

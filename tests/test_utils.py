@@ -45,18 +45,23 @@ class TestMembership:
         M.data[:] = 1.0
         M.sort_indices()
         bm = build_membership(M, bitmap_max_bytes=1 << 30)
-        cs = build_membership(M, bitmap_max_bytes=0)
-        assert bm.kind == "bitmap" and cs.kind == "csr"
+        bt = build_membership(M, bitmap_max_bytes=0)
+        cs = build_membership(M, bitmap_max_bytes=0, btree_max_degree=-1)
+        assert bm.kind == "bitmap" and bt.kind == "btree" and cs.kind == "csr"
         q = 5000
         users = jnp.asarray(rng.randint(0, n_users, q), jnp.int32)
         items = jnp.asarray(rng.randint(0, n_items, q), jnp.int32)
-        a = np.asarray(bm.query(users, items))
-        b = np.asarray(cs.query(users, items))
         expected = np.asarray(
             M[np.asarray(users), np.asarray(items)]
         ).ravel().astype(bool)
-        npt.assert_array_equal(a, expected)
-        npt.assert_array_equal(b, expected)
+        for m in (bm, bt, cs):
+            npt.assert_array_equal(np.asarray(m.query(users, items)), expected)
+        # the stored pairs themselves must all be members under every kind
+        nz = rng.permutation(len(r))[:q]
+        un = jnp.asarray(r[nz], jnp.int32)
+        it = jnp.asarray(c[nz], jnp.int32)
+        for m in (bm, bt, cs):
+            assert bool(np.asarray(m.query(un, it)).all())
 
     def test_word_aligned_items(self):
         self._check(97, 64, 0.05, 0)
