@@ -72,6 +72,18 @@ def _mf_sgd_epochs(
         v_gate = jnp.asarray([1.0] * k + [0.0, 1.0], V.dtype)[None, :]
     else:
         u_gate = v_gate = jnp.ones((1, k), U.dtype)
+    # fast-row-gather layout (same measured cliff as bpr._bpr_epochs):
+    # pad columns to a 256-byte multiple; padded columns are zero, their
+    # updates are zero, and sums over them add exact +0.0
+    pad_cols = (-U.shape[1]) % 64
+    if pad_cols:
+        zpad = jnp.zeros((1, pad_cols), U.dtype)
+        U = jnp.pad(U, ((0, 0), (0, pad_cols)))
+        V = jnp.pad(V, ((0, 0), (0, pad_cols)))
+        u_gate = jnp.concatenate([u_gate, zpad], axis=1)
+        v_gate = jnp.concatenate([v_gate, zpad], axis=1)
+    # one (|R|, 2) row gather per draw instead of two thin gathers
+    pairs = jnp.stack([rid, cid], axis=1)
 
     def epoch(e, carry):
         U, V, _ = carry
@@ -86,7 +98,8 @@ def _mf_sgd_epochs(
             U, V, loss = carry
             idx = jax.lax.dynamic_slice(perm, (b * batch_size,), (batch_size,))
             m = jax.lax.dynamic_slice(mask, (b * batch_size,), (batch_size,))
-            u, i, r = rid[idx], cid[idx], val[idx]
+            pr = pairs[idx]
+            u, i, r = pr[:, 0], pr[:, 1], val[idx]
             pu, qi = U[u], V[i]
             pred = jnp.sum(pu * qi, axis=1)
             if use_bias:
@@ -108,7 +121,7 @@ def _mf_sgd_epochs(
     )
     if use_bias:
         Bu, Bi = U[:, k], V[:, k + 1]
-        U, V = U[:, :k], V[:, :k]
+    U, V = U[:, :k], V[:, :k]
     return U, V, Bu, Bi, 0.5 * loss
 
 

@@ -37,12 +37,23 @@ def _pmf_epochs(
     n = rid.shape[0]
     n_total = mask.shape[0]
     n_batches = n_total // batch_size
+    k = U.shape[1]
+    # fast-row-gather layout (see bpr._bpr_epochs): pad all four row-
+    # addressed tables to 256-byte-multiple widths; padded columns stay
+    # exactly zero (zero grads -> zero cache -> zero updates)
+    pad_cols = (-k) % 64
+    if pad_cols:
+        pc = ((0, 0), (0, pad_cols))
+        U, V = jnp.pad(U, pc), jnp.pad(V, pc)
+        cache_u, cache_v = jnp.pad(cache_u, pc), jnp.pad(cache_v, pc)
+    pairs = jnp.stack([rid, cid], axis=1)
 
     def body(perm, b, carry):
         U, V, cache_u, cache_v, loss = carry
         idx = jax.lax.dynamic_slice(perm, (b * batch_size,), (batch_size,))
         m = jax.lax.dynamic_slice(mask, (b * batch_size,), (batch_size,))
-        u, i, r = rid[idx], cid[idx], val[idx]
+        pr = pairs[idx]
+        u, i, r = pr[:, 0], pr[:, 1], val[idx]
         pu, qi = U[u], V[i]
         s = jnp.sum(pu * qi, axis=1)
         if non_linear:
@@ -82,9 +93,13 @@ def _pmf_epochs(
             (U, V, cache_u, cache_v, jnp.float32(0.0)),
         )
 
-    return jax.lax.fori_loop(
+    U, V, cache_u, cache_v, loss = jax.lax.fori_loop(
         0, n_epochs, epoch, (U, V, cache_u, cache_v, jnp.float32(0.0))
     )
+    if pad_cols:
+        U, V = U[:, :k], V[:, :k]
+        cache_u, cache_v = cache_u[:, :k], cache_v[:, :k]
+    return U, V, cache_u, cache_v, loss
 
 
 @jax.jit
