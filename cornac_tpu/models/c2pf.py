@@ -42,9 +42,15 @@ def _exp_digamma(s, r):
 
 @partial(jax.jit, static_argnames=("variant", "n_iters"))
 def _c2pf_cavi(
-    state, ru, ri, rx, ci, cj, util_sum, a_t, b_t, variant, n_iters
+    state, ru, ri, rx, ci, cj, cmask, util_sum, a_t, b_t, variant, n_iters
 ):
-    """One phase of CAVI sweeps. state: dict of Gamma tables + κ edges."""
+    """One phase of CAVI sweeps. state: dict of Gamma tables + κ edges.
+
+    ``cmask`` is 1.0 for real context edges, 0.0 for mesh-padding rows
+    (edge-parallel training shards both edge sets over the data axis and
+    pads them to the device count); every table contribution of a context
+    edge is multiplied by it, so padded edges are exactly inert and the
+    single-device program (all-ones mask) is unchanged bit-for-bit."""
     n = state["G_s"].shape[0]
     d = state["L2_s"].shape[0]
 
@@ -65,7 +71,7 @@ def _c2pf_cavi(
             L2b = Lb
         else:
             L2b = _exp_digamma(L2_s, L2_r)
-        l3b = _exp_digamma(l3_s, l3_r)
+        l3b = _exp_digamma(l3_s, l3_r) * cmask
         Lb2 = lb2_of(L2b, l3b)
 
         use_beta = variant != "rc2pf"
@@ -88,9 +94,9 @@ def _c2pf_cavi(
             ) + Sj[cj]
         else:  # tc2pf / rc2pf: update_gamma_r_context_3_n_2, k_s = b_t
             l3_r = b_t / jnp.maximum(T3_r[ci], EPS) + Sj[cj]
-        l3b = _exp_digamma(l3_s, l3_r)
+        l3b = _exp_digamma(l3_s, l3_r) * cmask
         Lb2 = lb2_of(L2b, l3b)
-        km = l3_s / jnp.maximum(l3_r, EPS)
+        km = cmask * l3_s / jnp.maximum(l3_r, EPS)
         if variant == "c2pf":
             T3_r = b_t + a_t * jnp.zeros((d,)).at[ci].add(km)
         mix = (Lb + Lb2) if use_beta else Lb2
@@ -171,6 +177,7 @@ class C2PF(Recommender, ANNMixin):
         verbose=False,
         init_params=None,
         seed=None,
+        mesh=None,
     ):
         if variant not in ("c2pf", "tc2pf", "rc2pf"):
             raise ValueError("variant must be one of c2pf, tc2pf, rc2pf")
@@ -184,6 +191,7 @@ class C2PF(Recommender, ANNMixin):
         self.max_iter = max_iter
         self.variant = variant
         self.seed = seed
+        self.mesh = mesh
 
         self.init_params = {} if init_params is None else init_params
         self.Theta = self.init_params.get("Theta", None)
@@ -252,16 +260,56 @@ class C2PF(Recommender, ANNMixin):
             "l3_s": edge_tbl(self.L3s), "l3_r": edge_tbl(self.L3r),
             "T3_r": jnp.ones((d,), jnp.float32),
         }
+        n_cedges = int(state["l3_s"].shape[0])
+        cmask = jnp.ones((n_cedges,), jnp.float32)
+
+        if self.mesh is not None:
+            # edge parallelism (same treatment as HPF's CAVI): BOTH edge
+            # sets shard over the data axis, Gamma tables replicate, and
+            # GSPMD psums the scatter-add accumulations. Rating pads have
+            # rx == 0 (ratio 0 -> inert); context pads carry cmask == 0,
+            # which zeroes every table contribution exactly.
+            from ..parallel import replicate_all, shard_batch
+
+            msz = self.mesh.size
+            pad_r = (-len(u)) % msz
+            if pad_r:
+                z = lambda a: jnp.concatenate(
+                    [a, jnp.zeros(pad_r, a.dtype)]
+                )
+                ru, ri, rx = z(ru), z(ri), z(rx)
+            pad_c = (-n_cedges) % msz
+            if pad_c:
+                ci = jnp.concatenate([ci, jnp.zeros(pad_c, ci.dtype)])
+                cj = jnp.concatenate([cj, jnp.zeros(pad_c, cj.dtype)])
+                cmask = jnp.concatenate(
+                    [cmask, jnp.zeros(pad_c, cmask.dtype)]
+                )
+                state["l3_s"] = jnp.concatenate(
+                    [state["l3_s"], jnp.ones(pad_c, jnp.float32)]
+                )
+                state["l3_r"] = jnp.concatenate(
+                    [state["l3_r"], jnp.ones(pad_c, jnp.float32)]
+                )
+            for key_ in ("G_s", "G_r", "L_s", "L_r", "L2_s", "L2_r", "T3_r"):
+                state[key_] = replicate_all(self.mesh, state[key_])
+            state["l3_s"] = shard_batch(self.mesh, state["l3_s"])
+            state["l3_r"] = shard_batch(self.mesh, state["l3_r"])
+            ru, ri, rx = (shard_batch(self.mesh, e) for e in (ru, ri, rx))
+            ci, cj, cmask = (
+                shard_batch(self.mesh, e) for e in (ci, cj, cmask)
+            )
+            util_sum = replicate_all(self.mesh, util_sum)
 
         # phase 1: κ suppressed by an enormous prior (cython c2pf.pyx:129)
         state = _c2pf_cavi(
-            state, ru, ri, rx, ci, cj, util_sum,
+            state, ru, ri, rx, ci, cj, cmask, util_sum,
             jnp.float32(1e15), jnp.float32(1e15), self.variant, self.max_iter,
         )
         # phase 2: real κ prior for 0.2·max_iter refinement sweeps
         bt = 5.0 if self.variant == "c2pf" else 4.0
         state = _c2pf_cavi(
-            state, ru, ri, rx, ci, cj, util_sum,
+            state, ru, ri, rx, ci, cj, cmask, util_sum,
             jnp.float32(2.0), jnp.float32(bt), self.variant,
             max(1, int(0.2 * self.max_iter)),
         )
@@ -272,9 +320,11 @@ class C2PF(Recommender, ANNMixin):
         self.Lr = np.asarray(state["L_r"])
         self.L2s = np.asarray(state["L2_s"])
         self.L2r = np.asarray(state["L2_r"])
-        km = np.asarray(state["l3_s"] / jnp.maximum(state["l3_r"], EPS))
-        self.L3s = np.asarray(state["l3_s"])
-        self.L3r = np.asarray(state["l3_r"])
+        km = np.asarray(state["l3_s"] / jnp.maximum(state["l3_r"], EPS))[
+            :n_cedges
+        ]
+        self.L3s = np.asarray(state["l3_s"])[:n_cedges]
+        self.L3r = np.asarray(state["l3_r"])[:n_cedges]
 
         self.Theta = self.Gs / np.maximum(self.Gr, EPS)
         self.Beta = self.Ls / np.maximum(self.Lr, EPS)

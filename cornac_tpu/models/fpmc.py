@@ -136,6 +136,7 @@ class FPMC(NextItemRecommender):
         trainable=True,
         verbose=False,
         seed=None,
+        mesh=None,
     ):
         super().__init__(name=name, trainable=trainable, verbose=verbose)
         if loss not in SUPPORTED_LOSSES:
@@ -164,6 +165,7 @@ class FPMC(NextItemRecommender):
         self.val_metric = val_metric
         self.batch_size = batch_size
         self.seed = seed
+        self.mesh = mesh
         self.rng = get_rng(seed)
 
     def fit(self, train_set, val_set=None):
@@ -202,7 +204,15 @@ class FPMC(NextItemRecommender):
         }
 
         n = len(users)
-        if self.loss == "bpr" and self.momentum == 0.0:
+        # the fused per-sample SGD program is single-device; mesh training
+        # routes through the data-parallel minibatch path (fused_path=False
+        # forces the general form for exact mesh-vs-single comparisons)
+        if (
+            self.loss == "bpr"
+            and self.momentum == 0.0
+            and self.mesh is None
+            and getattr(self, "fused_path", True)
+        ):
             params, _ = _fpmc_epochs(
                 params,
                 jax.random.PRNGKey(self.rng.randint(2**31)),
@@ -226,6 +236,8 @@ class FPMC(NextItemRecommender):
         negatives via the concatenated-embedding identity)."""
         n = len(users)
         bsz = min(self.batch_size, n)
+        if self.mesh is not None:
+            bsz = max(self.mesh.size, bsz - bsz % self.mesh.size)
         n_pad = (-n) % bsz
         u_arr = np.concatenate([users, np.zeros(n_pad, np.int64)]).astype(np.int32)
         p_arr = np.concatenate([prevs, np.zeros(n_pad, np.int64)]).astype(np.int32)
@@ -275,6 +287,20 @@ class FPMC(NextItemRecommender):
             jnp.asarray(m_arr),
         )
 
+        # data-parallel over the mesh (same treatment as SASRec): params
+        # and optimizer replicated, each minibatch sharded across devices,
+        # GSPMD psums the gradients
+        batch_shard = None
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            from ..parallel import replicate_all
+
+            batch_shard = NamedSharding(self.mesh, P(tuple(self.mesh.axis_names)))
+            params, opt_state, u_d, p_d, t_d, m_d = replicate_all(
+                self.mesh, params, opt_state, u_d, p_d, t_d, m_d
+            )
+
         @partial(jax.jit, donate_argnums=(0, 1))
         def run_epochs(params, opt_state, key, n_epochs):
             def epoch(e, carry):
@@ -285,12 +311,18 @@ class FPMC(NextItemRecommender):
                 def step(b, carry):
                     params, opt_state, loss_sum = carry
                     idx = jax.lax.dynamic_slice(order, (b * bsz,), (bsz,))
+                    ub, pb, tb, mb = u_d[idx], p_d[idx], t_d[idx], m_d[idx]
+                    if batch_shard is not None:
+                        ub, pb, tb, mb = (
+                            jax.lax.with_sharding_constraint(x, batch_shard)
+                            for x in (ub, pb, tb, mb)
+                        )
                     loss, grads = jax.value_and_grad(loss_fn)(
                         params,
-                        u_d[idx],
-                        p_d[idx],
-                        t_d[idx],
-                        m_d[idx],
+                        ub,
+                        pb,
+                        tb,
+                        mb,
                         jax.random.fold_in(ekey, b),
                     )
                     updates, opt_state = optimizer.update(grads, opt_state, params)

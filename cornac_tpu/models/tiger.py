@@ -280,6 +280,7 @@ class TIGER(NextItemRecommender):
         trainable=True,
         verbose=False,
         seed=None,
+        mesh=None,
     ):
         super().__init__(name, trainable=trainable, verbose=verbose)
         if scoring not in SUPPORTED_SCORING:
@@ -334,6 +335,7 @@ class TIGER(NextItemRecommender):
         self.scoring_batch_size = scoring_batch_size
         self.device = device  # API parity; jax picks the device
         self.seed = seed
+        self.mesh = mesh
         self.rng = get_rng(seed)
 
     # ------------------------------------------------------- features
@@ -576,6 +578,8 @@ class TIGER(NextItemRecommender):
 
         n = len(hists)
         bsz = min(self.batch_size, n)
+        if self.mesh is not None:
+            bsz = max(self.mesh.size, bsz - bsz % self.mesh.size)
         n_total = n + ((-n) % bsz)
         n_batches = n_total // bsz
         total_steps = max(1, n_batches * self.n_epochs)
@@ -590,6 +594,23 @@ class TIGER(NextItemRecommender):
         opt = optax.adamw(sched, weight_decay=self.weight_decay)
         opt_state = opt.init(params)
 
+        # data-parallel over the mesh (seq2seq phase — the dominant cost;
+        # the RQ-VAE tokenizer trains over n_items rows and stays
+        # single-program): params/opt replicated, minibatches sharded,
+        # GSPMD psums the gradients
+        batch_shard = None
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            from ..parallel import replicate_all
+
+            batch_shard = NamedSharding(
+                self.mesh, P(tuple(self.mesh.axis_names), None)
+            )
+            params, opt_state, enc_d, tgt_d = replicate_all(
+                self.mesh, params, opt_state, enc_d, tgt_d
+            )
+
         @partial(jax.jit, donate_argnums=(0, 1))
         def run_epoch(params, opt_state, key):
             perm = jax.random.permutation(key, n_total) % n
@@ -597,8 +618,12 @@ class TIGER(NextItemRecommender):
             def step(b, carry):
                 params, opt_state, loss_sum = carry
                 idx = jax.lax.dynamic_slice(perm, (b * bsz,), (bsz,))
+                eb, tb = enc_d[idx], tgt_d[idx]
+                if batch_shard is not None:
+                    eb = jax.lax.with_sharding_constraint(eb, batch_shard)
+                    tb = jax.lax.with_sharding_constraint(tb, batch_shard)
                 loss, grads = jax.value_and_grad(self._seq2seq_loss)(
-                    params, enc_d[idx], tgt_d[idx]
+                    params, eb, tb
                 )
                 updates, opt_state = opt.update(grads, opt_state, params)
                 params = optax.apply_updates(params, updates)

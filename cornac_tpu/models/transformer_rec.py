@@ -245,6 +245,7 @@ class TransformerRec(NextItemRecommender):
         trainable=True,
         verbose=False,
         seed=None,
+        mesh=None,
     ):
         super().__init__(name=name, trainable=trainable, verbose=verbose)
         if backbone not in BACKBONES:
@@ -294,6 +295,7 @@ class TransformerRec(NextItemRecommender):
         self.n_layers = n_layers
         self.n_heads = n_heads
         self.seed = seed
+        self.mesh = mesh
         self.rng = get_rng(seed)
         assert embedding_dim % self.num_heads == 0
 
@@ -341,6 +343,9 @@ class TransformerRec(NextItemRecommender):
 
         n = inputs.shape[0]
         bsz = min(self.batch_size, n)
+        if self.mesh is not None:
+            # the per-step minibatch shards across the data axis
+            bsz = max(self.mesh.size, bsz - bsz % self.mesh.size)
         n_pad = (-n) % bsz
         if n_pad:
             inputs = np.concatenate(
@@ -453,6 +458,26 @@ class TransformerRec(NextItemRecommender):
         targets_d = jnp.asarray(targets)
         mask_d = jnp.asarray(mask)
 
+        # data-parallel over the mesh (same treatment as SASRec): params
+        # and optimizer state replicated, each step's minibatch sharded
+        # across every device; GSPMD psums the gradients — identical math
+        # to the single-device program
+        batch_shard = None
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            from ..parallel import replicate_all
+
+            batch_shard = NamedSharding(
+                self.mesh, P(tuple(self.mesh.axis_names), None)
+            )
+            self.params, opt_state, inputs_d, targets_d, mask_d = (
+                replicate_all(
+                    self.mesh, self.params, opt_state, inputs_d, targets_d,
+                    mask_d,
+                )
+            )
+
         @partial(jax.jit, donate_argnums=(0, 1))
         def run_epochs(params, opt_state, key, n_epochs):
             def epoch(e, carry):
@@ -463,11 +488,17 @@ class TransformerRec(NextItemRecommender):
                 def step(b, carry):
                     params, opt_state, loss_sum = carry
                     idx = jax.lax.dynamic_slice(order, (b * bsz,), (bsz,))
+                    seq, tgt, m = inputs_d[idx], targets_d[idx], mask_d[idx]
+                    if batch_shard is not None:
+                        seq, tgt, m = (
+                            jax.lax.with_sharding_constraint(x, batch_shard)
+                            for x in (seq, tgt, m)
+                        )
                     loss, grads = jax.value_and_grad(loss_fn)(
                         params,
-                        inputs_d[idx],
-                        targets_d[idx],
-                        mask_d[idx],
+                        seq,
+                        tgt,
+                        m,
                         jax.random.fold_in(ekey, b),
                     )
                     updates, opt_state = optimizer.update(grads, opt_state, params)
@@ -534,8 +565,19 @@ class TransformerRec(NextItemRecommender):
                 histories, self.max_len, pad_value=self.pad_id
             )
         (padded,), B = pad_batch_rows([padded])
+        seq_d = jnp.asarray(padded)
+        if self.mesh is not None and padded.shape[0] % self.mesh.size == 0:
+            # data-parallel inference: histories sharded across the mesh
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            seq_d = jax.device_put(
+                seq_d,
+                NamedSharding(
+                    self.mesh, P(tuple(self.mesh.axis_names), None)
+                ),
+            )
         logits = _encode_scores(
-            self.params, jnp.asarray(padded), self.pad_id, self.num_heads,
+            self.params, seq_d, self.pad_id, self.num_heads,
             self.backbone == "gpt2", self.num_items,
         )
         return np.asarray(logits, dtype=np.float64)[:B]
@@ -573,6 +615,7 @@ class BERT4Rec(TransformerRec):
         trainable=True,
         verbose=False,
         seed=None,
+        mesh=None,
     ):
         super().__init__(
             name=name,
@@ -603,4 +646,5 @@ class BERT4Rec(TransformerRec):
             trainable=trainable,
             verbose=verbose,
             seed=seed,
+            mesh=mesh,
         )

@@ -285,6 +285,36 @@ def load_ref_torch_models():
     return root
 
 
+#: tensorflow-backed reference families (tf.compat.v1 graph sessions for
+#: WMF/CDL/Beacon, TF2 keras for NARRE/HRDR): attr -> (pkg, module, class)
+TF_MODELS = {
+    "WMF": ("wmf", "recom_wmf", "WMF"),
+    "CDL": ("cdl", "recom_cdl", "CDL"),
+    "NARRE": ("narre", "recom_narre", "NARRE"),
+    "HRDR": ("hrdr", "recom_hrdr", "HRDR"),
+    "Beacon": ("beacon", "recom_beacon", "Beacon"),
+    "PCRL": ("pcrl", "recom_pcrl", "PCRL"),
+}
+
+
+def load_ref_tf_models():
+    """Extend ``refcornac`` with the reference's TensorFlow-backed model
+    zoo (TF 2.x with compat.v1 is importable in this image). The TF
+    training/scoring code runs unmodified. Returns the refcornac root."""
+    root = load_ref_torch_models()
+    models = root.models
+    if getattr(models, "_tf_loaded", False):
+        return root
+    for attr, (pkg, recom_mod, cls) in TF_MODELS.items():
+        pkg_name = "refcornac.models." + pkg
+        if pkg_name not in sys.modules:
+            _real_pkg_no_init(pkg_name, os.path.join(REF, "models", pkg))
+        mod = importlib.import_module(pkg_name + "." + recom_mod)
+        setattr(models, attr, getattr(mod, cls))
+    models._tf_loaded = True
+    return root
+
+
 def load_ref_next_item():
     """Extend ``refcornac`` with the reference's NextItemEvaluation (for
     sequential head-to-head runs). Returns the refcornac root."""

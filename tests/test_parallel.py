@@ -537,6 +537,94 @@ def test_mesh_training_matches_single_device_sequential():
         np.testing.assert_allclose(pa, sh, rtol=2e-4, atol=2e-5)
 
 
+def test_mesh_training_matches_single_device_transformer():
+    """TransformerRec (causal) and BERT4Rec (cloze) data-parallel mesh
+    training must reproduce the single-device session scores."""
+    import numpy as np
+
+    from cornac_tpu.data import SequentialDataset
+    from cornac_tpu.models import BERT4Rec, TransformerRec
+    from cornac_tpu.parallel import make_mesh
+
+    rng = np.random.RandomState(6)
+    data = []
+    for s in range(40):
+        for t in range(rng.randint(3, 8)):
+            data.append((f"s{s}", f"i{rng.randint(30)}", t))
+    ds = SequentialDataset.build(data)
+    mesh = make_mesh(data_parallel=8)
+
+    for cls, kw in [
+        (
+            TransformerRec,
+            dict(backbone="gpt2", objective="clm", embedding_dim=8,
+                 n_epochs=3, batch_size=8, n_sample=8, max_len=10,
+                 dropout=0.0, seed=7),
+        ),
+        (
+            BERT4Rec,
+            dict(embedding_dim=8, n_epochs=3, batch_size=8, n_sample=8,
+                 max_len=10, dropout=0.0, seed=7),
+        ),
+    ]:
+        plain = cls(verbose=False, **kw).fit(ds)
+        sharded = cls(verbose=False, mesh=mesh, **kw).fit(ds)
+        hs = [[1, 2], [3], [4, 5, 6], [7]] * 4
+        pa = plain.score_history_batch(np.zeros(len(hs), int), hs)
+        sh = sharded.score_history_batch(np.zeros(len(hs), int), hs)
+        np.testing.assert_allclose(pa, sh, rtol=2e-4, atol=2e-5)
+
+
+def test_mesh_training_matches_single_device_fpmc_tiger():
+    """FPMC (general minibatch path) and TIGER (seq2seq phase) mesh
+    training must reproduce the single-device session scores."""
+    import numpy as np
+
+    from cornac_tpu.data import SequentialDataset
+    from cornac_tpu.models import FPMC, TIGER
+    from cornac_tpu.parallel import make_mesh
+
+    rng = np.random.RandomState(8)
+    data = []
+    for s in range(40):
+        for t in range(rng.randint(3, 8)):
+            data.append((f"s{s}", f"i{rng.randint(30)}", t))
+    ds = SequentialDataset.build(data)
+    mesh = make_mesh(data_parallel=8)
+
+    kw = dict(embedding_dim=8, n_epochs=3, batch_size=8, n_sample=8, seed=7)
+    plain = FPMC(verbose=False, **kw)
+    plain.fused_path = False  # same program form as the mesh path
+    plain.fit(ds)
+    sharded = FPMC(verbose=False, mesh=mesh, **kw).fit(ds)
+    hs = [[1, 2], [3], [4, 5, 6], [7]] * 4
+    pa = plain.score_history_batch(np.zeros(len(hs), int), hs)
+    sh = sharded.score_history_batch(np.zeros(len(hs), int), hs)
+    np.testing.assert_allclose(pa, sh, rtol=2e-4, atol=2e-5)
+
+    # TIGER needs precomputed item content embeddings
+    from cornac_tpu.data import FeatureModality
+
+    feats = rng.rand(ds.num_items, 12).astype(np.float32)
+    fm = FeatureModality(
+        features=feats, ids=list(ds.iid_map.keys()), normalized=False
+    )
+    fm.build(id_map=ds.iid_map)
+    ds.item_feature = fm
+
+    tkw = dict(
+        tokenizer="rkmeans", rqvae_num_levels=2, rqvae_codebook_size=8,
+        d_model=8, d_ff=16, num_heads=2, d_kv=4, num_enc_layers=1,
+        num_dec_layers=1, dropout=0.0, max_len=6, n_epochs=2, batch_size=8,
+        n_beams=4, seed=7,
+    )
+    plain = TIGER(verbose=False, **tkw).fit(ds)
+    sharded = TIGER(verbose=False, mesh=mesh, **tkw).fit(ds)
+    pa = plain.score_history_batch(np.zeros(4, int), [[1, 2], [3], [4, 5], [7]])
+    sh = sharded.score_history_batch(np.zeros(4, int), [[1, 2], [3], [4, 5], [7]])
+    np.testing.assert_allclose(pa, sh, rtol=2e-4, atol=2e-5)
+
+
 def test_mesh_training_matches_single_device_text():
     """CDL data-parallel mesh training (item-batch sharding) must
     reproduce the single-device scores."""
@@ -598,6 +686,44 @@ def test_mesh_training_matches_single_device_cavi():
         kw = dict(k=4, max_iter=10, seed=11, hierarchical=hier)
         plain = HPF(**kw).fit(rs.train_set)
         sharded = HPF(mesh=make_mesh(), **kw).fit(rs.train_set)
+        batch = np.arange(8)
+        np.testing.assert_allclose(
+            plain.score_batch(batch), sharded.score_batch(batch),
+            rtol=5e-4, atol=5e-5,
+        )
+
+
+def test_mesh_training_matches_single_device_c2pf():
+    """C2PF's two-edge-set CAVI (rating edges + context-graph edges with
+    per-edge kappa state) sharded over the mesh must reproduce the
+    single-device posterior for every variant."""
+    import numpy as np
+
+    from cornac_tpu.data import GraphModality
+    from cornac_tpu.eval_methods import RatioSplit
+    from cornac_tpu.models import C2PF
+    from cornac_tpu.parallel import make_mesh
+
+    rng = np.random.RandomState(12)
+    data = [
+        (f"u{rng.randint(30)}", f"i{rng.randint(50)}", float(rng.randint(1, 6)))
+        for _ in range(500)
+    ]
+    edges = list(
+        {
+            (f"i{rng.randint(50)}", f"i{rng.randint(50)}", 1.0)
+            for _ in range(150)
+        }
+    )
+    rs = RatioSplit(
+        data=data, test_size=0.2, rating_threshold=2.5, seed=123,
+        item_graph=GraphModality(data=edges),
+    )
+
+    for variant in ("c2pf", "tc2pf", "rc2pf"):
+        kw = dict(k=4, max_iter=8, seed=11, variant=variant)
+        plain = C2PF(**kw).fit(rs.train_set)
+        sharded = C2PF(mesh=make_mesh(), **kw).fit(rs.train_set)
         batch = np.arange(8)
         np.testing.assert_allclose(
             plain.score_batch(batch), sharded.score_batch(batch),
