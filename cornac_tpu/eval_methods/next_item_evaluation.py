@@ -162,50 +162,43 @@ class NextItemEvaluation(BaseMethod):
         self.mode = mode
         self.global_sid_map = kwargs.get("global_sid_map", OrderedDict())
 
+    def _build_one_split(self, split_data, exclude_unknowns):
+        """All three splits share id maps and build kwargs; only the data
+        and the unknown-handling differ."""
+        return SequentialDataset.build(
+            data=split_data,
+            fmt=self.fmt,
+            global_uid_map=self.global_uid_map,
+            global_iid_map=self.global_iid_map,
+            global_sid_map=self.global_sid_map,
+            seed=self.seed,
+            exclude_unknowns=exclude_unknowns,
+        )
+
     def _build_datasets(self, train_data, test_data, val_data=None):
-        self.train_set = SequentialDataset.build(
-            data=train_data,
-            fmt=self.fmt,
-            global_uid_map=self.global_uid_map,
-            global_iid_map=self.global_iid_map,
-            global_sid_map=self.global_sid_map,
-            seed=self.seed,
-            exclude_unknowns=False,
-        )
-        if self.verbose:
-            print("---")
-            print("Training data:")
-            print("Number of users = {}".format(self.train_set.num_users))
-            print("Number of items = {}".format(self.train_set.num_items))
-            print("Number of sessions = {}".format(self.train_set.num_sessions))
+        # train keeps every event (unknowns only matter for scoring); the
+        # held-out splits honor the protocol's exclude_unknowns choice
+        self.train_set = self._build_one_split(train_data, False)
+        self.test_set = self._build_one_split(test_data, self.exclude_unknowns)
+        if val_data:
+            self.val_set = self._build_one_split(val_data, self.exclude_unknowns)
 
-        self.test_set = SequentialDataset.build(
-            data=test_data,
-            fmt=self.fmt,
-            global_uid_map=self.global_uid_map,
-            global_iid_map=self.global_iid_map,
-            global_sid_map=self.global_sid_map,
-            seed=self.seed,
-            exclude_unknowns=self.exclude_unknowns,
-        )
         if self.verbose:
-            print("---")
-            print("Test data:")
-            print("Number of sessions = {}".format(self.test_set.num_sessions))
-
-        if val_data is not None and len(val_data) > 0:
-            self.val_set = SequentialDataset.build(
-                data=val_data,
-                fmt=self.fmt,
-                global_uid_map=self.global_uid_map,
-                global_iid_map=self.global_iid_map,
-                global_sid_map=self.global_sid_map,
-                seed=self.seed,
-                exclude_unknowns=self.exclude_unknowns,
+            tr, te = self.train_set, self.test_set
+            print(
+                "---\nTraining data:\n"
+                f"Number of users = {tr.num_users}\n"
+                f"Number of items = {tr.num_items}\n"
+                f"Number of sessions = {tr.num_sessions}\n"
+                "---\nTest data:\n"
+                f"Number of sessions = {te.num_sessions}"
             )
 
-        self.total_sessions = 0 if self.val_set is None else self.val_set.num_sessions
-        self.total_sessions += self.test_set.num_sessions + self.train_set.num_sessions
+        self.total_sessions = sum(
+            s.num_sessions
+            for s in (self.train_set, self.test_set, self.val_set)
+            if s is not None
+        )
 
     def _build_modalities(self):
         # sequential protocols carry item-side auxiliary modalities (e.g.
@@ -232,10 +225,7 @@ class NextItemEvaluation(BaseMethod):
         mode="last",
         **kwargs,
     ):
-        metric_avg_results = OrderedDict()
-        metric_user_results = OrderedDict()
-
-        avg_results, user_results = ranking_eval(
+        avg, per_user = ranking_eval(
             model=model,
             metrics=ranking_metrics,
             train_set=train_set,
@@ -245,25 +235,42 @@ class NextItemEvaluation(BaseMethod):
             mode=mode,
             verbose=verbose,
         )
-        for i, mt in enumerate(ranking_metrics):
-            metric_avg_results[mt.name] = avg_results[i]
-            metric_user_results[mt.name] = user_results[i]
+        names = [mt.name for mt in ranking_metrics]
+        return Result(
+            model.name,
+            OrderedDict(zip(names, avg)),
+            OrderedDict(zip(names, per_user)),
+        )
 
-        return Result(model.name, metric_avg_results, metric_user_results)
+    def _score_split(self, model, split, ranking_metrics, user_based):
+        """transform + eval one held-out split; returns (Result, seconds)."""
+        start = time.time()
+        model.transform(split)
+        result = self.eval(
+            model=model,
+            train_set=self.train_set,
+            test_set=split,
+            exclude_unknowns=self.exclude_unknowns,
+            ranking_metrics=ranking_metrics,
+            user_based=user_based,
+            mode=self.mode,
+            verbose=self.verbose,
+        )
+        return result, time.time() - start
 
     def evaluate(self, model, metrics, user_based, show_validation=True):
-        base_model = getattr(model, "model", None)
-        if not isinstance(model, NextItemRecommender) and not isinstance(
-            base_model, NextItemRecommender
+        wrapped = getattr(model, "model", None)
+        if not any(
+            isinstance(m, NextItemRecommender) for m in (model, wrapped)
         ):
             raise ValueError(
                 "model must be a NextItemRecommender but '%s' is provided" % type(model)
             )
-
-        if self.train_set is None:
-            raise ValueError("no train_set available — build/split the data first")
-        if self.test_set is None:
-            raise ValueError("no test_set available — build/split the data first")
+        for attr in ("train_set", "test_set"):
+            if getattr(self, attr) is None:
+                raise ValueError(
+                    f"no {attr} available — build/split the data first"
+                )
 
         self._reset()
 
@@ -276,7 +283,7 @@ class NextItemEvaluation(BaseMethod):
         if self.verbose:
             print("\n[{}] evaluating...".format(model.name))
         rating_metrics, ranking_metrics = self.organize_metrics(metrics)
-        if len(rating_metrics) > 0:
+        if rating_metrics:
             warnings.warn(
                 "NextItemEvaluation only supports ranking metrics. The given "
                 "rating metrics {} will be ignored!".format(
@@ -284,37 +291,18 @@ class NextItemEvaluation(BaseMethod):
                 )
             )
 
-        start = time.time()
-        model.transform(self.test_set)
-        test_result = self.eval(
-            model=model,
-            train_set=self.train_set,
-            test_set=self.test_set,
-            exclude_unknowns=self.exclude_unknowns,
-            ranking_metrics=ranking_metrics,
-            user_based=user_based,
-            mode=self.mode,
-            verbose=self.verbose,
+        test_result, test_time = self._score_split(
+            model, self.test_set, ranking_metrics, user_based
         )
-        test_time = time.time() - start
         test_result.metric_avg_results["Train (s)"] = train_time
         test_result.metric_avg_results["Test (s)"] = test_time
 
         val_result = None
         if show_validation and self.val_set is not None:
-            start = time.time()
-            model.transform(self.val_set)
-            val_result = self.eval(
-                model=model,
-                train_set=self.train_set,
-                test_set=self.val_set,
-                exclude_unknowns=self.exclude_unknowns,
-                ranking_metrics=ranking_metrics,
-                user_based=user_based,
-                mode=self.mode,
-                verbose=self.verbose,
+            val_result, val_time = self._score_split(
+                model, self.val_set, ranking_metrics, user_based
             )
-            val_result.metric_avg_results["Time (s)"] = time.time() - start
+            val_result.metric_avg_results["Time (s)"] = val_time
 
         return test_result, val_result
 
@@ -367,35 +355,39 @@ class NextItemEvaluation(BaseMethod):
                 "test_timestamp ({}).".format(val_timestamp, test_timestamp)
             )
 
-        sid_pos = 1 if fmt in ["USIT", "USITJson"] else 0
-        ts_pos = 3 if fmt in ["USIT", "USITJson"] else 2
+        has_user = fmt in ("USIT", "USITJson")
+        sid_pos, ts_pos = (1, 3) if has_user else (0, 2)
 
-        last_ts = {}
+        # a session's split is decided by its LAST event, so the whole
+        # session lands in one partition (no within-session leakage)
+        last_ts = defaultdict(lambda: float("-inf"))
         for tup in data:
-            sid, t = tup[sid_pos], float(tup[ts_pos])
-            if sid not in last_ts or t > last_ts[sid]:
-                last_ts[sid] = t
+            sid = tup[sid_pos]
+            last_ts[sid] = max(last_ts[sid], float(tup[ts_pos]))
 
-        train_data, val_data, test_data = [], [], []
-        for tup in data:
-            ts = last_ts[tup[sid_pos]]
+        def bucket_of(sid):
+            ts = last_ts[sid]
             if ts >= test_timestamp:
-                test_data.append(tup)
-            elif val_timestamp is not None and ts >= val_timestamp:
-                val_data.append(tup)
-            else:
-                train_data.append(tup)
+                return 2
+            if val_timestamp is not None and ts >= val_timestamp:
+                return 1
+            return 0
 
-        if len(train_data) == 0:
+        parts = ([], [], [])
+        for tup in data:
+            parts[bucket_of(tup[sid_pos])].append(tup)
+        train_data, val_data, test_data = parts
+
+        if not train_data:
             raise ValueError(
                 "Empty train partition: no session ends before the cutoff."
             )
-        if len(test_data) == 0:
+        if not test_data:
             raise ValueError(
                 "Empty test partition: no session ends at or after "
                 "test_timestamp ({}).".format(test_timestamp)
             )
-        if val_timestamp is not None and len(val_data) == 0:
+        if val_timestamp is not None and not val_data:
             warnings.warn(
                 "Empty validation partition; proceeding with no validation set."
             )
