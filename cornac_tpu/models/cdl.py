@@ -158,85 +158,107 @@ class CDL(Recommender, ANNMixin):
             )
             return loss
 
-        @jax.jit
-        def step(params, state_cf, state_ae, item_ids, x_corrupt, x_clean, R_cols, C_cols):
-            # phase 1: update U, V
-            def cf_loss(uv):
-                p = {"U": uv["U"], "V": uv["V"], "sdae": params["sdae"]}
-                return loss_fn(p, item_ids, x_corrupt, x_clean, R_cols, C_cols)
-
-            uv = {"U": params["U"], "V": params["V"]}
-            g = jax.grad(cf_loss)(uv)
-            updates, state_cf = opt_cf.update(g, state_cf, uv)
-            uv = optax.apply_updates(uv, updates)
-            params = {"U": uv["U"], "V": uv["V"], "sdae": params["sdae"]}
-
-            # phase 2: update SDAE
-            def ae_loss(sd):
-                p = {"U": params["U"], "V": params["V"], "sdae": sd}
-                return loss_fn(p, item_ids, x_corrupt, x_clean, R_cols, C_cols)
-
-            loss, g = jax.value_and_grad(ae_loss)(params["sdae"])
-            updates, state_ae = opt_ae.update(g, state_ae, params["sdae"])
-            params = {
-                "U": params["U"],
-                "V": params["V"],
-                "sdae": optax.apply_updates(params["sdae"], updates),
-            }
-            return params, state_cf, state_ae, loss
+        # whole epochs run on device: the r4 TF head-to-head showed the
+        # old per-batch host slicing (text[batch_ids], R_dense[:, ids] ->
+        # transfer per step) dominated the fit; now the text/rating/
+        # confidence tensors live on device once and the batch loop is a
+        # fori_loop with device-side gathers and device-side corruption
+        # draws (bernoulli keyed on the global epoch index)
+        text_d = jnp.asarray(text)
+        R_d = jnp.asarray(R_dense)
+        C_d = jnp.asarray(C_dense)
 
         # data parallelism over the item batch: params/opt replicated,
         # each step's item block (and the (n_users, B) rating columns on
         # their batch axis) sharded over the mesh; GSPMD psums the grads
-        shard_vec = shard_mat = shard_cols = lambda x: x
+        vec_s = mat_s = col_s = None
         if self.mesh is not None:
-            import jax as _jax
             from jax.sharding import NamedSharding, PartitionSpec as P
 
             from ..parallel import replicate_all
 
             axes = tuple(self.mesh.axis_names)
-            shard_vec = lambda x: _jax.device_put(
-                x, NamedSharding(self.mesh, P(axes))
-            )
-            shard_mat = lambda x: _jax.device_put(
-                x, NamedSharding(self.mesh, P(axes, None))
-            )
-            shard_cols = lambda x: _jax.device_put(
-                x, NamedSharding(self.mesh, P(None, axes))
-            )
-            params, state_cf, state_ae = replicate_all(
-                self.mesh, params, state_cf, state_ae
+            vec_s = NamedSharding(self.mesh, P(axes))
+            mat_s = NamedSharding(self.mesh, P(axes, None))
+            col_s = NamedSharding(self.mesh, P(None, axes))
+            params, state_cf, state_ae, text_d, R_d, C_d = replicate_all(
+                self.mesh, params, state_cf, state_ae, text_d, R_d, C_d
             )
 
         bsz = min(self.batch_size, self.num_items)
         if self.mesh is not None:
-            # batch width must divide across the mesh; round down (min one
-            # row per device) so the repeat-padding of short batches works
+            # batch width must divide across the mesh
             bsz = max(self.mesh.size, bsz - bsz % self.mesh.size)
+        n_items = self.num_items
+        n_total = n_items + ((-n_items) % bsz)
+        n_batches = n_total // bsz
+        keep_p = 1.0 - self.corruption_rate
+
+        @jax.jit
+        def run_epoch(params, state_cf, state_ae, key):
+            perm = jax.random.permutation(key, n_total) % n_items
+
+            def body(b, carry):
+                params, state_cf, state_ae, loss_sum = carry
+                ids = jax.lax.dynamic_slice(perm, (b * bsz,), (bsz,))
+                if vec_s is not None:
+                    ids = jax.lax.with_sharding_constraint(ids, vec_s)
+                x_clean = text_d[ids]
+                mask_b = jax.random.bernoulli(
+                    jax.random.fold_in(key, b), keep_p, x_clean.shape
+                ).astype(x_clean.dtype)
+                x_corrupt = x_clean * mask_b
+                R_cols = R_d[:, ids].astype(jnp.float32)
+                C_cols = C_d[:, ids].astype(jnp.float32)
+                if vec_s is not None:
+                    x_clean, x_corrupt = (
+                        jax.lax.with_sharding_constraint(x, mat_s)
+                        for x in (x_clean, x_corrupt)
+                    )
+                    R_cols, C_cols = (
+                        jax.lax.with_sharding_constraint(x, col_s)
+                        for x in (R_cols, C_cols)
+                    )
+
+                # phase 1: update U, V
+                def cf_loss(uv):
+                    p = {"U": uv["U"], "V": uv["V"], "sdae": params["sdae"]}
+                    return loss_fn(p, ids, x_corrupt, x_clean, R_cols, C_cols)
+
+                uv = {"U": params["U"], "V": params["V"]}
+                g = jax.grad(cf_loss)(uv)
+                updates, new_cf = opt_cf.update(g, state_cf, uv)
+                uv = optax.apply_updates(uv, updates)
+                params_1 = {"U": uv["U"], "V": uv["V"], "sdae": params["sdae"]}
+
+                # phase 2: update SDAE
+                def ae_loss(sd):
+                    p = {"U": params_1["U"], "V": params_1["V"], "sdae": sd}
+                    return loss_fn(p, ids, x_corrupt, x_clean, R_cols, C_cols)
+
+                loss, g = jax.value_and_grad(ae_loss)(params_1["sdae"])
+                updates, new_ae = opt_ae.update(g, state_ae, params_1["sdae"])
+                params_2 = {
+                    "U": params_1["U"],
+                    "V": params_1["V"],
+                    "sdae": optax.apply_updates(params_1["sdae"], updates),
+                }
+                return params_2, new_cf, new_ae, loss_sum + loss
+
+            return jax.lax.fori_loop(
+                0, n_batches, body,
+                (params, state_cf, state_ae, jnp.float32(0.0)),
+            )
+
+        key = jax.random.PRNGKey(rng.randint(2**31))
         for it in range(self.max_iter):
-            corruption_mask = rng.binomial(
-                1, 1 - self.corruption_rate, size=text.shape
-            ).astype(np.float32)
-            sum_loss, count = 0.0, 0
-            for batch_ids in train_set.item_iter(bsz, shuffle=True):
-                if len(batch_ids) < bsz:  # stable jit shapes: tile ids to bsz
-                    batch_ids = np.resize(batch_ids, bsz)
-                params, state_cf, state_ae, loss = step(
-                    params,
-                    state_cf,
-                    state_ae,
-                    shard_vec(jnp.asarray(batch_ids, dtype=jnp.int32)),
-                    shard_mat(jnp.asarray(text[batch_ids] * corruption_mask[batch_ids])),
-                    shard_mat(jnp.asarray(text[batch_ids])),
-                    shard_cols(jnp.asarray(R_dense[:, batch_ids])),
-                    shard_cols(jnp.asarray(C_dense[:, batch_ids])),
-                )
-                sum_loss += float(loss)
-                count += len(batch_ids)
+            params, state_cf, state_ae, loss_sum = run_epoch(
+                params, state_cf, state_ae, jax.random.fold_in(key, it)
+            )
             if self.verbose:
                 print(
-                    "Iter %d/%d, loss: %.2f" % (it + 1, self.max_iter, sum_loss / count)
+                    "Iter %d/%d, loss: %.2f"
+                    % (it + 1, self.max_iter, float(loss_sum) / n_total)
                 )
 
         self.U = np.asarray(params["U"], dtype=np.float64)
