@@ -39,7 +39,9 @@ def _split_pred(G, nu, Uu, Ii, Aa, Oo):
 
 @partial(
     jax.jit, donate_argnums=(0,),
-    static_argnames=("n_el", "n_bpr", "n_asp_rank", "n_op_rank", "nu"),
+    static_argnames=(
+        "n_el", "n_bpr", "n_asp_rank", "n_op_rank", "nu", "batch_sharding"
+    ),
 )
 def _companion_fit(
     state, key,
@@ -50,8 +52,16 @@ def _companion_fit(
     rating_lookup, uia_lookup, pos_op_lookup, neg_op_lookup,
     lr, ld_reg, ld_bpr, ld_p, ld_a, ld_y, ld_z,
     n_iters, n_el, n_bpr, n_asp_rank, n_op_rank, nu,
+    batch_sharding=None,
 ):
     params, sgrads = state
+    # mesh: sharded sample streams -> GSPMD shards the per-sample work
+    # and psums the scatter-adds into the replicated tables
+    _shard = (
+        (lambda x: jax.lax.with_sharding_constraint(x, batch_sharding))
+        if batch_sharding is not None
+        else (lambda x: x)
+    )
     n_items = params["I"].shape[0]
     n_aspects = params["A"].shape[0] - 1
     n_opinions = params["O"].shape[0]
@@ -108,13 +118,13 @@ def _companion_fit(
         grads = {name: jnp.zeros_like(p) for name, p in params.items()}
 
         # --- element reconstruction streams ---------------------------
-        s1 = jax.random.randint(keys[0], (n_el,), 0, X.shape[0])
+        s1 = _shard(jax.random.randint(keys[0], (n_el,), 0, X.shape[0]))
         u, i, a = X_u[s1], X_i[s1], X_a[s1]
         Uu, Ii, Aa = params["U"][u], params["I"][i], params["A"][a]
         pred = _tucker3(params["G1"], Uu, Ii, Aa)
         grads = add_g1_grads(grads, 2.0 * (pred - X[s1]), u, i, a, Uu, Ii, Aa, params)
 
-        s2 = jax.random.randint(keys[1], (n_el,), 0, YP.shape[0])
+        s2 = _shard(jax.random.randint(keys[1], (n_el,), 0, YP.shape[0]))
         u, i, a, o = YP_u[s2], YP_i[s2], YP_a[s2], YP_o[s2]
         pred = _split_pred(
             params["G2"], nu, params["U"][u], params["I"][i],
@@ -124,7 +134,7 @@ def _companion_fit(
             grads, "G2", 2.0 * (pred - YP[s2]), u, i, a, o, params
         )
 
-        s3 = jax.random.randint(keys[2], (n_el,), 0, YN.shape[0])
+        s3 = _shard(jax.random.randint(keys[2], (n_el,), 0, YN.shape[0]))
         u, i, a, o = YN_u[s3], YN_i[s3], YN_a[s3], YN_o[s3]
         pred = _split_pred(
             params["G3"], nu, params["U"][u], params["I"][i],
@@ -135,10 +145,10 @@ def _companion_fit(
         )
 
         # --- overall-rating BPR (recom_companion.pyx:696-727) ---------
-        pos_idx = jax.random.randint(keys[3], (n_bpr,), 0, rat_users.shape[0])
+        pos_idx = _shard(jax.random.randint(keys[3], (n_bpr,), 0, rat_users.shape[0]))
         u = rat_users[pos_idx]
         i = rat_items[pos_idx]
-        j = jax.random.randint(keys[4], (n_bpr,), 0, n_items)
+        j = _shard(jax.random.randint(keys[4], (n_bpr,), 0, n_items))
         found, j_rating = rating_lookup.query(u, j)
         _, i_rating = rating_lookup.query(u, i)
         s = jnp.where(found & (i_rating < j_rating), -1.0, 1.0)
@@ -167,9 +177,9 @@ def _companion_fit(
         )
 
         # --- aspect ranking vs random aspect (ld_p) -------------------
-        sp_ = jax.random.randint(keys[5], (n_asp_rank,), 0, X.shape[0])
+        sp_ = _shard(jax.random.randint(keys[5], (n_asp_rank,), 0, X.shape[0]))
         u, i, a = X_u[sp_], X_i[sp_], X_a[sp_]
-        a_j = jax.random.randint(keys[6], (n_asp_rank,), 0, n_aspects)
+        a_j = _shard(jax.random.randint(keys[6], (n_asp_rank,), 0, n_aspects))
         foundp, pos_p = uia_lookup.query_pair(u, i)
         found_j, j_score, _ = uia_lookup.query_aspect(pos_p, a_j)
         i_score = X[sp_]
@@ -193,9 +203,9 @@ def _companion_fit(
         grads["A"] = grads["A"].at[a].add(g_a).at[a_j].add(-g_a)
 
         # --- aspect ranking vs random item (ld_a) ---------------------
-        si = jax.random.randint(keys[7], (n_asp_rank,), 0, X.shape[0])
+        si = _shard(jax.random.randint(keys[7], (n_asp_rank,), 0, X.shape[0]))
         u, i, a = X_u[si], X_i[si], X_a[si]
-        i_j = jax.random.randint(keys[8], (n_asp_rank,), 0, n_items)
+        i_j = _shard(jax.random.randint(keys[8], (n_asp_rank,), 0, n_items))
         found_pj, pos_pj = uia_lookup.query_pair(u, i_j)
         found_ja, j_score, _ = uia_lookup.query_aspect(pos_pj, a)
         i_score = X[si]
@@ -224,7 +234,7 @@ def _companion_fit(
             ("G3", YN, YN_u, YN_i, YN_a, YN_o, neg_op_lookup, ld_z),
         ):
             ko = jax.random.fold_in(keys[9], 0 if gname == "G2" else 1)
-            so = jax.random.randint(ko, (n_op_rank,), 0, Yv.shape[0])
+            so = _shard(jax.random.randint(ko, (n_op_rank,), 0, Yv.shape[0]))
             u, i, a, o = Yu[so], Yi[so], Ya[so], Yo[so]
             o_j = jax.random.randint(
                 jax.random.fold_in(ko, 1), (n_op_rank,), 0, n_opinions
@@ -348,6 +358,7 @@ class Companion(MTER):
         verbose=False,
         init_params=None,
         seed=None,
+        mesh=None,
     ):
         MTER.__init__(
             self,
@@ -363,6 +374,7 @@ class Companion(MTER):
             lambda_bpr=lambda_bpr,
             max_iter=max_iter,
             lr=lr,
+            mesh=mesh,
             trainable=trainable,
             verbose=verbose,
             init_params=init_params,
@@ -552,6 +564,25 @@ class Companion(MTER):
         }
         sgrads = {k: jnp.zeros_like(v) for k, v in params.items()}
 
+        batch_sharding = None
+        eff = {
+            "n_el": self.n_element_samples,
+            "n_bpr": self.n_bpr_samples,
+            "n_asp_rank": self.n_aspect_ranking_samples,
+            "n_op_rank": self.n_opinion_ranking_samples,
+        }
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            from ..parallel import replicate_all
+
+            batch_sharding = NamedSharding(
+                self.mesh, P(tuple(self.mesh.axis_names))
+            )
+            msz = self.mesh.size
+            eff = {k_: max(msz, v - v % msz) for k_, v in eff.items()}
+            params, sgrads = replicate_all(self.mesh, params, sgrads)
+
         params, sgrads = _companion_fit(
             (params, sgrads),
             jax.random.PRNGKey(self.rng.randint(2**31)),
@@ -571,11 +602,12 @@ class Companion(MTER):
             jnp.float32(self.lambda_y),
             jnp.float32(self.lambda_z),
             jnp.int32(self.max_iter),
-            n_el=self.n_element_samples,
-            n_bpr=self.n_bpr_samples,
-            n_asp_rank=self.n_aspect_ranking_samples,
-            n_op_rank=self.n_opinion_ranking_samples,
+            n_el=eff["n_el"],
+            n_bpr=eff["n_bpr"],
+            n_asp_rank=eff["n_asp_rank"],
+            n_op_rank=eff["n_op_rank"],
             nu=self.n_user_factors,
+            batch_sharding=batch_sharding,
         )
 
         for name in ("G1", "G2", "G3", "U", "I", "A", "O"):

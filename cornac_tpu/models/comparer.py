@@ -95,6 +95,7 @@ class ComparERObj(EFM):
         verbose=False,
         init_params=None,
         seed=None,
+        mesh=None,
     ):
         if model_type not in MODEL_TYPES:
             raise ValueError(
@@ -121,6 +122,7 @@ class ComparERObj(EFM):
             verbose=verbose,
             init_params=init_params,
             seed=seed,
+            mesh=mesh,
         )
         self.model_type = model_type
         self.lambda_d = lambda_d
@@ -208,39 +210,79 @@ class ComparERObj(EFM):
             np.add.at(c, idx, 1)
             return c
 
+        def stream(coo):
+            return (
+                np.asarray(coo.row, np.int32),
+                np.asarray(coo.col, np.int32),
+                np.asarray(coo.data, np.float32),
+            )
+
+        A_s, X_s, Y_s = stream(A_coo), stream(X_coo), stream(Y_coo)
+        pair_s = (
+            np.asarray(p_early, np.int32), np.asarray(p_late, np.int32),
+            np.asarray(p_asp, np.int32), np.asarray(p_w, np.float32),
+        )
+        A_m = X_m = Y_m = None
+        dev = jnp.asarray
+        rep = dev
+        if self.mesh is not None:
+            # edge parallelism like EFM's, plus the comparative-pair
+            # stream: its padded rows carry p_w == 0, which zeroes their
+            # gradient exactly (grad = p_w * z * gate)
+            from ..parallel import replicate_all, shard_batch
+
+            msz = self.mesh.size
+
+            def pad_stream(tr, with_mask=True):
+                pad = (-len(tr[0])) % msz
+                z = lambda a: np.concatenate([a, np.zeros(pad, a.dtype)])
+                out = [
+                    shard_batch(self.mesh, jnp.asarray(z(t))) for t in tr
+                ]
+                if with_mask:
+                    m = np.concatenate(
+                        [
+                            np.ones(len(tr[0]), np.float32),
+                            np.zeros(pad, np.float32),
+                        ]
+                    )
+                    out.append(shard_batch(self.mesh, jnp.asarray(m)))
+                return tuple(out)
+
+            *A_s, A_m = pad_stream(A_s)
+            *X_s, X_m = pad_stream(X_s)
+            *Y_s, Y_m = pad_stream(Y_s)
+            pair_s = pad_stream(pair_s, with_mask=False)
+            rep = lambda t: replicate_all(self.mesh, jnp.asarray(t))
+
         U1, U2, V, H1, H2 = _efm_fit(
-            jnp.asarray(self.U1, dtype=jnp.float32),
-            jnp.asarray(self.U2, dtype=jnp.float32),
-            jnp.asarray(self.V, dtype=jnp.float32),
-            jnp.asarray(self.H1, dtype=jnp.float32),
-            jnp.asarray(self.H2, dtype=jnp.float32),
-            jnp.asarray(A_coo.row, dtype=jnp.int32),
-            jnp.asarray(A_coo.col, dtype=jnp.int32),
-            jnp.asarray(A_coo.data, dtype=jnp.float32),
-            jnp.asarray(X_coo.row, dtype=jnp.int32),
-            jnp.asarray(X_coo.col, dtype=jnp.int32),
-            jnp.asarray(X_coo.data, dtype=jnp.float32),
-            jnp.asarray(Y_coo.row, dtype=jnp.int32),
-            jnp.asarray(Y_coo.col, dtype=jnp.int32),
-            jnp.asarray(Y_coo.data, dtype=jnp.float32),
-            jnp.asarray(counts(A_coo.row, self.num_users)),
-            jnp.asarray(counts(A_coo.col, self.num_items)),
-            jnp.asarray(counts(X_coo.row, self.num_users)),
-            jnp.asarray(counts(X_coo.col, n_aspects)),
-            jnp.asarray(counts(Y_coo.row, self.num_items)),
-            jnp.asarray(counts(Y_coo.col, n_aspects)),
+            rep(np.asarray(self.U1, np.float32)),
+            rep(np.asarray(self.U2, np.float32)),
+            rep(np.asarray(self.V, np.float32)),
+            rep(np.asarray(self.H1, np.float32)),
+            rep(np.asarray(self.H2, np.float32)),
+            *(dev(t) for t in A_s),
+            *(dev(t) for t in X_s),
+            *(dev(t) for t in Y_s),
+            rep(counts(A_coo.row, self.num_users)),
+            rep(counts(A_coo.col, self.num_items)),
+            rep(counts(X_coo.row, self.num_users)),
+            rep(counts(X_coo.col, n_aspects)),
+            rep(counts(Y_coo.row, self.num_items)),
+            rep(counts(Y_coo.col, n_aspects)),
             jnp.float32(self.lambda_x),
             jnp.float32(self.lambda_y),
             jnp.float32(self.lambda_u),
             jnp.float32(self.lambda_h),
             jnp.float32(self.lambda_v),
             jnp.int32(self.max_iter),
-            p_early=jnp.asarray(p_early),
-            p_late=jnp.asarray(p_late),
-            p_asp=jnp.asarray(p_asp),
-            p_w=jnp.asarray(p_w),
+            p_early=dev(pair_s[0]),
+            p_late=dev(pair_s[1]),
+            p_asp=dev(pair_s[2]),
+            p_w=dev(pair_s[3]),
             use_pairs=True,
             model_type=_GATE_CODE[self.model_type],
+            A_m=A_m, X_m=X_m, Y_m=Y_m,
         )
         self.U1, self.U2 = np.asarray(U1, np.float64), np.asarray(U2, np.float64)
         self.V = np.asarray(V, np.float64)
@@ -297,6 +339,7 @@ class ComparERSub(MTER):
         verbose=False,
         init_params=None,
         seed=None,
+        mesh=None,
     ):
         MTER.__init__(
             self,
@@ -316,6 +359,7 @@ class ComparERSub(MTER):
             verbose=verbose,
             init_params=init_params,
             seed=seed,
+            mesh=mesh,
         )
         self.n_pair_samples = n_pair_samples
         self.n_top_aspects = n_top_aspects
@@ -415,6 +459,24 @@ class ComparERSub(MTER):
         }
         sgrads = {k: jnp.zeros_like(v) for k, v in params.items()}
 
+        batch_sharding = None
+        eff_el, eff_bpr = self.n_element_samples, self.n_bpr_samples
+        eff_pair = n_pair
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            from ..parallel import replicate_all
+
+            batch_sharding = NamedSharding(
+                self.mesh, P(tuple(self.mesh.axis_names))
+            )
+            msz = self.mesh.size
+            eff_el = max(msz, eff_el - eff_el % msz)
+            eff_bpr = max(msz, eff_bpr - eff_bpr % msz)
+            if eff_pair:
+                eff_pair = max(msz, eff_pair - eff_pair % msz)
+            params, sgrads = replicate_all(self.mesh, params, sgrads)
+
         params, sgrads = _mter_fit(
             (params, sgrads),
             jax.random.PRNGKey(self.rng.randint(2**31)),
@@ -428,14 +490,15 @@ class ComparERSub(MTER):
             jnp.float32(self.lambda_reg),
             jnp.float32(self.lambda_bpr),
             jnp.int32(self.max_iter),
-            n_el=self.n_element_samples,
-            n_bpr=self.n_bpr_samples,
+            n_el=eff_el,
+            n_bpr=eff_bpr,
             p_u=jnp.asarray(p_u),
             p_early=jnp.asarray(p_e),
             p_late=jnp.asarray(p_l),
             p_asp=jnp.asarray(p_a),
             ld_d=jnp.float32(self.lambda_d),
-            n_pair=n_pair,
+            n_pair=eff_pair,
+            batch_sharding=batch_sharding,
         )
 
         for name in ("G1", "G2", "G3", "U", "I", "A", "O"):

@@ -106,6 +106,7 @@ class ConvMF(Recommender):
         verbose=True,
         init_params=None,
         seed=None,
+        mesh=None,
     ):
         super().__init__(name=name, trainable=trainable, verbose=verbose)
         self.k = k
@@ -123,6 +124,7 @@ class ConvMF(Recommender):
         self.dropout_rate = dropout_rate
         self.give_item_weight = give_item_weight
         self.seed = seed
+        self.mesh = mesh
 
         self.init_params = {} if init_params is None else init_params
         self.U = self.init_params.get("U", None)
@@ -180,6 +182,27 @@ class ConvMF(Recommender):
         weights_d = jnp.asarray(item_weight, dtype=jnp.float32)
         docs_d = jnp.asarray(docs)
 
+        # mesh: per-entity ALS rows shard over the data axis (independent
+        # kxk solves; zero-mask padding rows solve to 0 and are sliced
+        # off); the CNN regression runs data-parallel over item batches
+        shard_als = lambda t: t
+        shard_b = lambda t: t
+        dsz = 1
+        if self.mesh is not None:
+            from ..parallel import replicate_all, shard_batch
+            from ..parallel.mesh import DATA_AXIS, pad_rows_to_multiple
+
+            dsz = self.mesh.shape[DATA_AXIS]
+            shard_als = lambda t: shard_batch(
+                self.mesh, pad_rows_to_multiple(np.asarray(t), dsz)
+            )
+            shard_b = lambda t: shard_batch(self.mesh, t)
+            u_pad = tuple(shard_als(t) for t in u_pad)
+            i_pad = tuple(shard_als(t) for t in i_pad)
+            cnn, opt_state, docs_d = replicate_all(
+                self.mesh, cnn, opt_state, docs_d
+            )
+
         @jax.jit
         def cnn_train_step(cnn, opt_state, doc_batch, target, weight):
             def loss_fn(c):
@@ -192,33 +215,38 @@ class ConvMF(Recommender):
 
         theta = np.asarray(_cnn_forward(cnn, docs_d))
 
+        bsz = min(self.cnn_bs, self.num_items)
+        if self.mesh is not None:
+            bsz = max(dsz, bsz - bsz % dsz)
         for epoch in range(self.n_epochs):
             self.U = np.asarray(
                 _als_u(
                     jnp.asarray(self.V), *u_pad, jnp.float32(self.lambda_u)
                 )
-            )
+            )[: self.num_users]
             self.V = np.asarray(
                 _als_v(
                     jnp.asarray(self.U),
-                    jnp.asarray(theta, dtype=jnp.float32),
-                    weights_d,
+                    shard_als(jnp.asarray(theta, dtype=jnp.float32)),
+                    shard_als(weights_d),
                     *i_pad,
                     jnp.float32(self.lambda_v),
                 )
-            )
+            )[: self.num_items]
 
-            # CNN regression toward current item factors
-            V_d = jnp.asarray(self.V)
-            bsz = min(self.cnn_bs, self.num_items)
+            # CNN regression toward current item factors (seeded shuffle:
+            # reproducible fits, and the mesh path sees the same order)
             for _ in range(self.cnn_epochs):
-                order = get_rng(None).permutation(self.num_items)
+                order = rng.permutation(self.num_items)
                 for s in range(0, self.num_items, bsz):
                     ids = order[s : s + bsz]
-                    if len(ids) < bsz:
-                        ids = np.concatenate([ids, ids[: bsz - len(ids)]])
+                    if len(ids) < bsz:  # stable jit shapes: tile to bsz
+                        ids = np.resize(ids, bsz)
                     cnn, opt_state, _ = cnn_train_step(
-                        cnn, opt_state, docs_d[ids], V_d[ids], weights_d[ids]
+                        cnn, opt_state,
+                        shard_b(jnp.asarray(docs[ids])),
+                        shard_b(jnp.asarray(self.V[ids], dtype=jnp.float32)),
+                        shard_b(jnp.asarray(item_weight[ids], dtype=jnp.float32)),
                     )
             theta = np.asarray(_cnn_forward(cnn, docs_d))
             if self.verbose:

@@ -97,6 +97,7 @@ class CTR(Recommender, ANNMixin):
         verbose=True,
         init_params=None,
         seed=None,
+        mesh=None,
     ):
         super().__init__(name=name, trainable=trainable, verbose=verbose)
         self.k = k
@@ -107,6 +108,7 @@ class CTR(Recommender, ANNMixin):
         self.b = b
         self.max_iter = max_iter
         self.seed = seed
+        self.mesh = mesh
 
         self.init_params = {} if init_params is None else init_params
         self.U = self.init_params.get("U", None)
@@ -157,21 +159,36 @@ class CTR(Recommender, ANNMixin):
 
         a_, b_ = jnp.float32(self.a), jnp.float32(self.b)
 
+        # mesh: the per-entity ALS solves shard over the data axis (rows
+        # are independent kxk solves; zero-mask padding rows solve to 0
+        # and are sliced off). The LDA coordinate step stays host-side.
+        shard_als = lambda t: t
+        if self.mesh is not None:
+            from ..parallel import shard_batch
+            from ..parallel.mesh import DATA_AXIS, pad_rows_to_multiple
+
+            dsz = self.mesh.shape[DATA_AXIS]
+            shard_als = lambda t: shard_batch(
+                self.mesh, pad_rows_to_multiple(np.asarray(t), dsz)
+            )
+            u_pad = tuple(shard_als(t) for t in u_pad)
+            i_pad = tuple(shard_als(t) for t in i_pad)
+
         for it in range(self.max_iter):
             U_d = _ctr_als_users(
                 jnp.asarray(self.V, dtype=jnp.float32), *u_pad, a_, b_,
                 jnp.float32(self.lambda_u),
             )
-            self.U = np.asarray(U_d, dtype=np.float64)
+            self.U = np.asarray(U_d, dtype=np.float64)[: self.num_users]
             V_d = _ctr_als_items(
                 jnp.asarray(self.U, dtype=jnp.float32),
-                jnp.asarray(theta, dtype=jnp.float32),
+                shard_als(jnp.asarray(theta, dtype=jnp.float32)),
                 *i_pad,
                 a_,
                 b_,
                 jnp.float32(self.lambda_v),
             )
-            self.V = np.asarray(V_d, dtype=np.float64)
+            self.V = np.asarray(V_d, dtype=np.float64)[: self.num_items]
 
             # LDA updates (host): per-item phi responsibilities + simplex step
             for vi in range(self.num_items):

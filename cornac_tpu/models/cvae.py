@@ -86,6 +86,7 @@ class CVAE(Recommender, ANNMixin):
         trainable=True,
         seed=None,
         verbose=True,
+        mesh=None,
     ):
         super().__init__(name=name, trainable=trainable, verbose=verbose)
         self.z_dim = z_dim
@@ -102,6 +103,7 @@ class CVAE(Recommender, ANNMixin):
         self.act_fn = act_fn
         self.loss_type = loss_type
         self.batch_size = batch_size
+        self.mesh = mesh
         self.seed = seed
 
         if loss_type not in ("rmse", "cross-entropy"):
@@ -201,15 +203,41 @@ class CVAE(Recommender, ANNMixin):
         a_, b_ = jnp.float32(self.a), jnp.float32(self.b)
         text_d = jnp.asarray(text)
 
+        # mesh: the per-entity ALS solves shard over the data axis (rows
+        # are independent kxk solves; zero-mask padding rows solve to 0
+        # and are sliced off), the VAE phase runs data-parallel over item
+        # batches with params/opt replicated
+        shard_als = lambda t: t
+        shard_b = lambda t: t
+        dsz = 1
+        if self.mesh is not None:
+            from ..parallel import replicate_all, shard_batch
+            from ..parallel.mesh import DATA_AXIS, pad_rows_to_multiple
+
+            dsz = self.mesh.shape[DATA_AXIS]
+            shard_als = lambda t: shard_batch(
+                self.mesh, pad_rows_to_multiple(np.asarray(t), dsz)
+            )
+            shard_b = lambda t: shard_batch(self.mesh, t)
+            u_pad = tuple(shard_als(t) for t in u_pad)
+            i_pad = tuple(shard_als(t) for t in i_pad)
+            vae, opt_state, text_d = replicate_all(
+                self.mesh, vae, opt_state, text_d
+            )
+
         key = jax.random.PRNGKey(rng.randint(2**31))
         bsz = min(self.batch_size, self.num_items)
+        if self.mesh is not None:
+            bsz = max(dsz, bsz - bsz % dsz)
         for epoch in range(self.n_epochs):
             z_mu, _ = encode(vae, text_d)
+            if self.mesh is not None:
+                z_mu = shard_als(z_mu)
             self.U = np.asarray(
                 _cvae_als_u(
                     jnp.asarray(self.V), *u_pad, a_, b_, jnp.float32(self.lambda_u)
                 )
-            )
+            )[: self.num_users]
             self.V = np.asarray(
                 _cvae_als_v(
                     jnp.asarray(self.U),
@@ -219,18 +247,17 @@ class CVAE(Recommender, ANNMixin):
                     b_,
                     jnp.float32(self.lambda_v),
                 )
-            )
-            V_d = jnp.asarray(self.V)
+            )[: self.num_items]
             order = rng.permutation(self.num_items)
             for s in range(0, self.num_items, bsz):
                 ids = order[s : s + bsz]
-                if len(ids) < bsz:
-                    ids = np.concatenate([ids, ids[: bsz - len(ids)]])
+                if len(ids) < bsz:  # stable jit shapes: tile ids to bsz
+                    ids = np.resize(ids, bsz)
                 vae, opt_state, _ = vae_step(
                     vae,
                     opt_state,
-                    text_d[ids],
-                    V_d[ids],
+                    shard_b(jnp.asarray(text[ids])),
+                    shard_b(jnp.asarray(self.V[ids], dtype=jnp.float32)),
                     jax.random.fold_in(key, epoch * 10000 + s),
                 )
             if self.verbose:
@@ -295,6 +322,7 @@ class CDR(Recommender, ANNMixin):
         verbose=True,
         init_params=None,
         seed=None,
+        mesh=None,
     ):
         super().__init__(name=name, trainable=trainable, verbose=verbose)
         self.k = k
@@ -313,6 +341,7 @@ class CDR(Recommender, ANNMixin):
         self.batch_size = batch_size
         self.max_iter = max_iter
         self.seed = seed
+        self.mesh = mesh
         self.rng = get_rng(seed)
 
         self.init_params = {} if init_params is None else init_params
@@ -367,6 +396,8 @@ class CDR(Recommender, ANNMixin):
         membership = build_membership(train_set.csr_matrix)
         n = len(rid)
         bsz = min(self.batch_size, n)
+        if self.mesh is not None:
+            bsz = max(self.mesh.size, bsz - bsz % self.mesh.size)
         n_batches = (n + bsz - 1) // bsz
         num_items = train_set.num_items
         lam_u, lam_v, lam_w, lam_n = (
@@ -380,6 +411,24 @@ class CDR(Recommender, ANNMixin):
 
         optimizer = optax.adam(self.learning_rate)
         opt_state = optimizer.init(params)
+
+        # data-parallel over the mesh: params/opt/text replicated, each
+        # step's triplet minibatch sharded; GSPMD psums the gradients
+        batch_shard = None
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            from ..parallel import replicate_all
+
+            batch_shard = NamedSharding(
+                self.mesh, P(tuple(self.mesh.axis_names))
+            )
+            params, opt_state, text_d, rid_d, cid_d, membership = (
+                replicate_all(
+                    self.mesh, params, opt_state, text_d, rid_d, cid_d,
+                    membership,
+                )
+            )
 
         def loss_fn(p, u, i, j, m, key):
             mask = jax.random.bernoulli(
@@ -424,6 +473,11 @@ class CDR(Recommender, ANNMixin):
                     sl = lambda a: jax.lax.dynamic_slice(a, (b * bsz,), (bsz,))
                     u, i, j = sl(users), sl(pos), sl(negs)
                     m = sl(valid).astype(jnp.float32)
+                    if batch_shard is not None:
+                        u, i, j, m = (
+                            jax.lax.with_sharding_constraint(x, batch_shard)
+                            for x in (u, i, j, m)
+                        )
                     loss, grads = jax.value_and_grad(loss_fn)(
                         params, u, i, j, m, jax.random.fold_in(ekey, b)
                     )

@@ -42,6 +42,8 @@ def _efm_fit(
     # optional comparative-constraint stream (ComparERObj); use_pairs=False => off
     p_early=None, p_late=None, p_asp=None, p_w=None,
     use_pairs=False, model_type=0,
+    # mesh edge-parallel padding masks (1 real edge / 0 pad); None = all real
+    A_m=None, X_m=None, Y_m=None,
 ):
     eps = 1e-9
 
@@ -72,10 +74,14 @@ def _efm_fit(
             pair_den_V = pair_den_V.at[p_asp].add(grad[:, None] * U2[p_early])
             pair_num_V = pair_num_V.at[p_asp].add(grad[:, None] * U2[p_late])
 
-        # ratings stream: A ~ U1 U2^T + H1 H2^T
+        # ratings stream: A ~ U1 U2^T + H1 H2^T.  Masking the prediction
+        # zeroes BOTH the numerator (A_v pads are 0) and denominator
+        # contributions of mesh-padding edges — exactly inert.
         pred_A = jnp.sum(U1[A_u] * U2[A_i], axis=1) + jnp.sum(
             H1[A_u] * H2[A_i], axis=1
         )
+        if A_m is not None:
+            pred_A = pred_A * A_m
         U1_num = jnp.zeros_like(U1).at[A_u].add(A_v[:, None] * U2[A_i])
         U1_den = jnp.zeros_like(U1).at[A_u].add(pred_A[:, None] * U2[A_i])
         U2_num = jnp.zeros_like(U2).at[A_i].add(A_v[:, None] * U1[A_u])
@@ -87,6 +93,8 @@ def _efm_fit(
 
         # attention stream: X ~ U1 V^T
         pred_X = jnp.sum(U1[X_u] * V[X_a], axis=1)
+        if X_m is not None:
+            pred_X = pred_X * X_m
         V_num = jnp.zeros_like(V).at[X_a].add(lambda_x * X_v[:, None] * U1[X_u])
         V_den = jnp.zeros_like(V).at[X_a].add(lambda_x * pred_X[:, None] * U1[X_u])
         U1_num = U1_num.at[X_u].add(lambda_x * X_v[:, None] * V[X_a])
@@ -94,6 +102,8 @@ def _efm_fit(
 
         # quality stream: Y ~ U2 V^T
         pred_Y = jnp.sum(U2[Y_i] * V[Y_a], axis=1)
+        if Y_m is not None:
+            pred_Y = pred_Y * Y_m
         V_num = V_num.at[Y_a].add(lambda_y * Y_v[:, None] * U2[Y_i])
         V_den = V_den.at[Y_a].add(lambda_y * pred_Y[:, None] * U2[Y_i])
         U2_num = U2_num.at[Y_i].add(lambda_y * Y_v[:, None] * V[Y_a])
@@ -147,6 +157,7 @@ class EFM(Recommender):
         verbose=False,
         init_params=None,
         seed=None,
+        mesh=None,
     ):
         Recommender.__init__(self, name=name, trainable=trainable, verbose=verbose)
         self.num_threads = num_threads  # no-op: no host threading on TPU
@@ -163,6 +174,7 @@ class EFM(Recommender):
         self.use_item_aspect_popularity = use_item_aspect_popularity
         self.max_iter = max_iter
         self.seed = seed
+        self.mesh = mesh
 
         self.init_params = {} if init_params is None else init_params
         self.U1 = self.init_params.get("U1", None)
@@ -264,33 +276,65 @@ class EFM(Recommender):
             np.add.at(c, idx, 1)
             return c
 
+        def stream(coo):
+            return (
+                np.asarray(coo.row, np.int32),
+                np.asarray(coo.col, np.int32),
+                np.asarray(coo.data, np.float32),
+            )
+
+        A_s, X_s, Y_s = stream(A_coo), stream(X_coo), stream(Y_coo)
+        A_m = X_m = Y_m = None
+        dev = jnp.asarray
+        rep = dev
+        if self.mesh is not None:
+            # edge parallelism (same treatment as HPF/C2PF's CAVI): all
+            # three observation streams shard over the data axis, the
+            # multiplicative-update tables replicate; per-stream masks
+            # make the padding rows exactly inert (see _efm_fit)
+            from ..parallel import replicate_all, shard_batch
+
+            msz = self.mesh.size
+
+            def pad_stream(tr):
+                r, c, v = tr
+                pad = (-len(r)) % msz
+                m = np.concatenate(
+                    [np.ones(len(r), np.float32), np.zeros(pad, np.float32)]
+                )
+                z = lambda a: np.concatenate([a, np.zeros(pad, a.dtype)])
+                return tuple(
+                    shard_batch(self.mesh, jnp.asarray(t))
+                    for t in (z(r), z(c), z(v), m)
+                )
+
+            *A_s, A_m = pad_stream(A_s)
+            *X_s, X_m = pad_stream(X_s)
+            *Y_s, Y_m = pad_stream(Y_s)
+            rep = lambda t: replicate_all(self.mesh, jnp.asarray(t))
+
         U1, U2, V, H1, H2 = _efm_fit(
-            jnp.asarray(self.U1, dtype=jnp.float32),
-            jnp.asarray(self.U2, dtype=jnp.float32),
-            jnp.asarray(self.V, dtype=jnp.float32),
-            jnp.asarray(self.H1, dtype=jnp.float32),
-            jnp.asarray(self.H2, dtype=jnp.float32),
-            jnp.asarray(A_coo.row, dtype=jnp.int32),
-            jnp.asarray(A_coo.col, dtype=jnp.int32),
-            jnp.asarray(A_coo.data, dtype=jnp.float32),
-            jnp.asarray(X_coo.row, dtype=jnp.int32),
-            jnp.asarray(X_coo.col, dtype=jnp.int32),
-            jnp.asarray(X_coo.data, dtype=jnp.float32),
-            jnp.asarray(Y_coo.row, dtype=jnp.int32),
-            jnp.asarray(Y_coo.col, dtype=jnp.int32),
-            jnp.asarray(Y_coo.data, dtype=jnp.float32),
-            jnp.asarray(counts(A_coo.row, self.num_users)),
-            jnp.asarray(counts(A_coo.col, self.num_items)),
-            jnp.asarray(counts(X_coo.row, self.num_users)),
-            jnp.asarray(counts(X_coo.col, n_aspects)),
-            jnp.asarray(counts(Y_coo.row, self.num_items)),
-            jnp.asarray(counts(Y_coo.col, n_aspects)),
+            rep(np.asarray(self.U1, np.float32)),
+            rep(np.asarray(self.U2, np.float32)),
+            rep(np.asarray(self.V, np.float32)),
+            rep(np.asarray(self.H1, np.float32)),
+            rep(np.asarray(self.H2, np.float32)),
+            *(dev(t) for t in A_s),
+            *(dev(t) for t in X_s),
+            *(dev(t) for t in Y_s),
+            rep(counts(A_coo.row, self.num_users)),
+            rep(counts(A_coo.col, self.num_items)),
+            rep(counts(X_coo.row, self.num_users)),
+            rep(counts(X_coo.col, n_aspects)),
+            rep(counts(Y_coo.row, self.num_items)),
+            rep(counts(Y_coo.col, n_aspects)),
             jnp.float32(self.lambda_x),
             jnp.float32(self.lambda_y),
             jnp.float32(self.lambda_u),
             jnp.float32(self.lambda_h),
             jnp.float32(self.lambda_v),
             jnp.int32(self.max_iter),
+            A_m=A_m, X_m=X_m, Y_m=Y_m,
         )
         self.U1, self.U2 = np.asarray(U1, np.float64), np.asarray(U2, np.float64)
         self.V = np.asarray(V, np.float64)

@@ -77,6 +77,7 @@ class HRDR(Recommender, ANNMixin):
         verbose=True,
         init_params=None,
         seed=None,
+        mesh=None,
     ):
         super().__init__(name=name, trainable=trainable, verbose=verbose)
         self.embedding_size = embedding_size
@@ -97,6 +98,7 @@ class HRDR(Recommender, ANNMixin):
         self.model_selection = model_selection
         self.user_based = user_based
         self.seed = seed
+        self.mesh = mesh
         self.init_params = {} if init_params is None else init_params
         self.losses = {"train_losses": [], "val_losses": []}
         if model_selection not in ("last", "best"):
@@ -218,6 +220,8 @@ class HRDR(Recommender, ANNMixin):
         uid, iid, rating = train_set.uir_tuple
         n = len(uid)
         bsz = min(self.batch_size, n)
+        if self.mesh is not None:
+            bsz = max(self.mesh.size, bsz - bsz % self.mesh.size)
         n_total = n + ((-n) % bsz)
         n_batches = n_total // bsz
         uid_d = jnp.asarray(uid, jnp.int32)
@@ -227,6 +231,20 @@ class HRDR(Recommender, ANNMixin):
         make_opt = optax.adam if self.optimizer == "adam" else optax.rmsprop
         opt = make_opt(self.learning_rate)
         opt_state = opt.init(params)
+
+        # data-parallel over the mesh: params/optimizer/review tensors
+        # replicated, each step's interaction minibatch sharded across
+        # devices; GSPMD psums the gradients
+        batch_shard = None
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            from ..parallel import replicate_all
+
+            batch_shard = NamedSharding(self.mesh, P(tuple(self.mesh.axis_names)))
+            params, opt_state, tensors, uid_d, iid_d, r_d = replicate_all(
+                self.mesh, params, opt_state, tensors, uid_d, iid_d, r_d
+            )
 
         def loss_fn(params, idx, key):
             u, i, r = uid_d[idx], iid_d[idx], r_d[idx]
@@ -243,6 +261,8 @@ class HRDR(Recommender, ANNMixin):
                 def step(b, carry):
                     params, opt_state, loss_sum = carry
                     idx = jax.lax.dynamic_slice(perm, (b * bsz,), (bsz,))
+                    if batch_shard is not None:
+                        idx = jax.lax.with_sharding_constraint(idx, batch_shard)
                     loss, grads = jax.value_and_grad(loss_fn)(
                         params, idx, jax.random.fold_in(ekey, b)
                     )

@@ -25,7 +25,10 @@ from ..utils.init_utils import uniform
 from .recommender import Recommender
 
 
-@partial(jax.jit, donate_argnums=(0,), static_argnames=("n_samples", "n_ranking", "aspect_steps"))
+@partial(
+    jax.jit, donate_argnums=(0,),
+    static_argnames=("n_samples", "n_ranking", "aspect_steps", "batch_sharding"),
+)
 def _lrppm_fit(
     params,
     key,
@@ -39,7 +42,16 @@ def _lrppm_fit(
     n_samples,
     n_ranking,
     aspect_steps,
+    batch_sharding=None,
 ):
+    # mesh: sharding the sampled index streams makes GSPMD shard the
+    # per-sample work and psum the scatter-adds into replicated tables
+    shard = (
+        (lambda x: jax.lax.with_sharding_constraint(x, batch_sharding))
+        if batch_sharding is not None
+        else (lambda x: x)
+    )
+
     def iteration(it, params):
         U, I, UA, IA = params
         ikey = jax.random.fold_in(key, it)
@@ -51,16 +63,16 @@ def _lrppm_fit(
         dIA = jnp.zeros_like(IA)
 
         # rating stream: r ~ U.I
-        s = jax.random.randint(k1, (n_samples,), 0, rid.shape[0])
+        s = shard(jax.random.randint(k1, (n_samples,), 0, rid.shape[0]))
         u, i, r = rid[s], cid[s], rvals[s]
         e = 2.0 * (jnp.sum(U[u] * I[i], axis=1) - r)
         dU = dU.at[u].add(e[:, None] * I[i])
         dI = dI.at[i].add(e[:, None] * U[u])
 
         # aspect-pair ranking stream
-        s2 = jax.random.randint(k2, (n_ranking,), 0, X_u.shape[0])
+        s2 = shard(jax.random.randint(k2, (n_ranking,), 0, X_u.shape[0]))
         u, i, a = X_u[s2], X_i[s2], X_a[s2]
-        a_neg = jax.random.randint(k3, (n_ranking,), 0, n_aspects)
+        a_neg = shard(jax.random.randint(k3, (n_ranking,), 0, n_aspects))
         # skip if (u, i, a_neg) is an observed aspect triple: look up the
         # pair's nnz position in the rating CSR, then search a_neg in that
         # row of the (nnz x n_aspects) aspect CSR (all int32-safe)
@@ -130,6 +142,7 @@ class LRPPM(Recommender):
         verbose=False,
         init_params=None,
         seed=None,
+        mesh=None,
     ):
         super().__init__(name=name, trainable=trainable, verbose=verbose)
         self.n_threads = n_threads  # no-op: no host threading on TPU
@@ -144,6 +157,7 @@ class LRPPM(Recommender):
         self.max_iter = max_iter
         self.lr = lr
         self.seed = seed
+        self.mesh = mesh
         self.rng = get_rng(seed)
 
         self.init_params = {} if init_params is None else init_params
@@ -239,6 +253,20 @@ class LRPPM(Recommender):
             jnp.asarray(t, dtype=jnp.float32)
             for t in (self.U, self.I, self.UA, self.IA)
         )
+        batch_sharding = None
+        n_s_eff, n_r_eff = self.n_samples, self.n_ranking_samples
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            from ..parallel import replicate_all
+
+            batch_sharding = NamedSharding(
+                self.mesh, P(tuple(self.mesh.axis_names))
+            )
+            msz = self.mesh.size
+            n_s_eff = max(msz, n_s_eff - n_s_eff % msz)
+            n_r_eff = max(msz, n_r_eff - n_r_eff % msz)
+            params = replicate_all(self.mesh, params)
         params = _lrppm_fit(
             params,
             jax.random.PRNGKey(rng.randint(2**31)),
@@ -257,11 +285,12 @@ class LRPPM(Recommender):
             jnp.float32(self.reg),
             jnp.float32(self.ld),
             jnp.int32(self.max_iter),
-            n_samples=self.n_samples,
-            n_ranking=self.n_ranking_samples,
+            n_samples=n_s_eff,
+            n_ranking=n_r_eff,
             aspect_steps=max(
                 1, int(np.diff(aspect_indptr).max(initial=0)).bit_length() + 1
             ),
+            batch_sharding=batch_sharding,
         )
         self.U, self.I, self.UA, self.IA = (
             np.asarray(t, dtype=np.float64) for t in params

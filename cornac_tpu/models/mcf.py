@@ -33,6 +33,7 @@ class MCF(Recommender, ANNMixin):
         verbose=False,
         init_params=None,
         seed=None,
+        mesh=None,
     ):
         Recommender.__init__(self, name=name, trainable=trainable, verbose=verbose)
         self.k = k
@@ -42,6 +43,7 @@ class MCF(Recommender, ANNMixin):
         self.lamda = lamda
         self.batch_size = batch_size
         self.seed = seed
+        self.mesh = mesh
 
         self.init_params = {} if init_params is None else init_params
         self.U = self.init_params.get("U", None)
@@ -84,6 +86,15 @@ class MCF(Recommender, ANNMixin):
         U = jnp.asarray(self.U, dtype=jnp.float32)
         V = jnp.asarray(self.V, dtype=jnp.float32)
         Z = jnp.asarray(self.Z, dtype=jnp.float32)
+        n_u, n_v, n_z = U.shape[0], V.shape[0], Z.shape[0]
+        if self.mesh is not None:
+            # row-shard all three factor tables (+ their RMSProp caches,
+            # which inherit the sharding via zeros_like) over the model
+            # axis, same treatment as PMF; padded rows are never indexed
+            # by the streams and are sliced off at the end
+            from ..parallel import shard_tables
+
+            U, V, Z = shard_tables(self.mesh, U, V, Z)
         cu, cv, cz = jnp.zeros_like(U), jnp.zeros_like(V), jnp.zeros_like(Z)
 
         net_r = jnp.asarray(np.asarray(net_iid), dtype=jnp.int32)
@@ -112,9 +123,9 @@ class MCF(Recommender, ANNMixin):
             if self.verbose:
                 print("epoch %i, loss: %f" % (epoch, loss))
 
-        self.U = np.asarray(U, dtype=np.float64)
-        self.V = np.asarray(V, dtype=np.float64)
-        self.Z = np.asarray(Z, dtype=np.float64)
+        self.U = np.asarray(U, dtype=np.float64)[:n_u]
+        self.V = np.asarray(V, dtype=np.float64)[:n_v]
+        self.Z = np.asarray(Z, dtype=np.float64)[:n_z]
         return self
 
     def score(self, user_idx, item_idx=None):

@@ -31,7 +31,8 @@ def _tucker3(G, u, i, a):
 
 
 @partial(
-    jax.jit, donate_argnums=(0,), static_argnames=("n_el", "n_bpr", "n_pair")
+    jax.jit, donate_argnums=(0,),
+    static_argnames=("n_el", "n_bpr", "n_pair", "batch_sharding"),
 )
 def _mter_fit(
     state,
@@ -47,8 +48,17 @@ def _mter_fit(
     n_bpr,
     # optional comparative-constraint stream (ComparERSub); n_pair=0 => off
     p_u=None, p_early=None, p_late=None, p_asp=None, ld_d=None, n_pair=0,
+    batch_sharding=None,
 ):
     params, sgrads = state
+    # mesh: annotating every sampled index stream with the data-axis
+    # sharding makes GSPMD shard the per-sample einsum work and psum the
+    # scatter-add accumulations into the replicated tables
+    shard = (
+        (lambda x: jax.lax.with_sharding_constraint(x, batch_sharding))
+        if batch_sharding is not None
+        else (lambda x: x)
+    )
     n_items = params["I"].shape[0]
     n_aspects = params["A"].shape[0] - 1  # last row = overall-rating aspect
     eps = 1e-9
@@ -76,27 +86,27 @@ def _mter_fit(
         grads = {name: jnp.zeros_like(p) for name, p in params.items()}
 
         # three sampled tensor-reconstruction streams
-        s1 = jax.random.randint(k1, (n_el,), 0, X.shape[0])
+        s1 = shard(jax.random.randint(k1, (n_el,), 0, X.shape[0]))
         grads = stream_grads(
             params["G1"], params["U"], params["I"], params["A"],
             X_u[s1], X_i[s1], X_a[s1], X[s1], grads, ("G1", "U", "I", "A"),
         )
-        s2 = jax.random.randint(k2, (n_el,), 0, YU.shape[0])
+        s2 = shard(jax.random.randint(k2, (n_el,), 0, YU.shape[0]))
         grads = stream_grads(
             params["G2"], params["U"], params["A"], params["O"],
             YU_u[s2], YU_a[s2], YU_o[s2], YU[s2], grads, ("G2", "U", "A", "O"),
         )
-        s3 = jax.random.randint(k3, (n_el,), 0, YI.shape[0])
+        s3 = shard(jax.random.randint(k3, (n_el,), 0, YI.shape[0]))
         grads = stream_grads(
             params["G3"], params["I"], params["A"], params["O"],
             YI_i[s3], YI_a[s3], YI_o[s3], YI[s3], grads, ("G3", "I", "A", "O"),
         )
 
         # BPR stream on the overall-rating slice (aspect index = n_aspects)
-        pos_idx = jax.random.randint(k4, (n_bpr,), 0, rat_users.shape[0])
+        pos_idx = shard(jax.random.randint(k4, (n_bpr,), 0, rat_users.shape[0]))
         u = rat_users[pos_idx]
         i = rat_items[pos_idx]
-        j = jax.random.randint(k5, (n_bpr,), 0, n_items)
+        j = shard(jax.random.randint(k5, (n_bpr,), 0, n_items))
 
         found, j_rating = rating_lookup.query(u, j)
         _, i_rating = rating_lookup.query(u, i)
@@ -128,7 +138,7 @@ def _mter_fit(
             # (u, earlier i, later j, aspect a), push score(u,j,a) above
             # score(u,i,a)
             k6 = jax.random.fold_in(ikey, 6)
-            sp_ = jax.random.randint(k6, (n_pair,), 0, p_u.shape[0])
+            sp_ = shard(jax.random.randint(k6, (n_pair,), 0, p_u.shape[0]))
             pu = params["U"][p_u[sp_]]
             pi = params["I"][p_early[sp_]]
             pj = params["I"][p_late[sp_]]
@@ -191,6 +201,7 @@ class MTER(Recommender):
         verbose=False,
         init_params=None,
         seed=None,
+        mesh=None,
     ):
         super().__init__(name=name, trainable=trainable, verbose=verbose)
         self.n_threads = n_threads  # no-op: no host threading on TPU
@@ -206,6 +217,7 @@ class MTER(Recommender):
         self.max_iter = max_iter
         self.lr = lr
         self.seed = seed
+        self.mesh = mesh
         self.rng = get_rng(seed)
 
         self.init_params = {} if init_params is None else init_params
@@ -335,6 +347,23 @@ class MTER(Recommender):
         }
         sgrads = {k: jnp.zeros_like(v) for k, v in params.items()}
 
+        batch_sharding = None
+        n_el_eff, n_bpr_eff = self.n_element_samples, self.n_bpr_samples
+        if self.mesh is not None:
+            # replicate tables/streams over the mesh; the sampled index
+            # streams are sharded inside the jit (see _mter_fit)
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            from ..parallel import replicate_all
+
+            batch_sharding = NamedSharding(
+                self.mesh, P(tuple(self.mesh.axis_names))
+            )
+            msz = self.mesh.size
+            n_el_eff = max(msz, n_el_eff - n_el_eff % msz)
+            n_bpr_eff = max(msz, n_bpr_eff - n_bpr_eff % msz)
+            params, sgrads = replicate_all(self.mesh, params, sgrads)
+
         params, sgrads = _mter_fit(
             (params, sgrads),
             jax.random.PRNGKey(self.rng.randint(2**31)),
@@ -348,8 +377,9 @@ class MTER(Recommender):
             jnp.float32(self.lambda_reg),
             jnp.float32(self.lambda_bpr),
             jnp.int32(self.max_iter),
-            n_el=self.n_element_samples,
-            n_bpr=self.n_bpr_samples,
+            n_el=n_el_eff,
+            n_bpr=n_bpr_eff,
+            batch_sharding=batch_sharding,
         )
 
         for name in ("G1", "G2", "G3", "U", "I", "A", "O"):

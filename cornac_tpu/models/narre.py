@@ -59,6 +59,7 @@ class NARRE(Recommender, ANNMixin):
         verbose=True,
         init_params=None,
         seed=None,
+        mesh=None,
     ):
         super().__init__(name=name, trainable=trainable, verbose=verbose)
         self.embedding_size = embedding_size
@@ -77,6 +78,7 @@ class NARRE(Recommender, ANNMixin):
         self.model_selection = model_selection
         self.user_based = user_based
         self.seed = seed
+        self.mesh = mesh
         self.init_params = {} if init_params is None else init_params
         self.losses = {"train_losses": [], "val_losses": []}
         if model_selection not in ("last", "best"):
@@ -185,6 +187,8 @@ class NARRE(Recommender, ANNMixin):
         uid, iid, rating = train_set.uir_tuple
         n = len(uid)
         bsz = min(self.batch_size, n)
+        if self.mesh is not None:
+            bsz = max(self.mesh.size, bsz - bsz % self.mesh.size)
         n_pad = (-n) % bsz
         n_total = n + n_pad
         n_batches = n_total // bsz
@@ -195,6 +199,20 @@ class NARRE(Recommender, ANNMixin):
         make_opt = optax.adam if self.optimizer == "adam" else optax.rmsprop
         opt = make_opt(self.learning_rate)
         opt_state = opt.init(params)
+
+        # data-parallel over the mesh: params/optimizer/review tensors
+        # replicated, each step's interaction minibatch sharded across
+        # devices; GSPMD psums the gradients
+        batch_shard = None
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            from ..parallel import replicate_all
+
+            batch_shard = NamedSharding(self.mesh, P(tuple(self.mesh.axis_names)))
+            params, opt_state, tensors, uid_d, iid_d, r_d = replicate_all(
+                self.mesh, params, opt_state, tensors, uid_d, iid_d, r_d
+            )
 
         def loss_fn(params, idx, key):
             u, i, r = uid_d[idx], iid_d[idx], r_d[idx]
@@ -211,6 +229,8 @@ class NARRE(Recommender, ANNMixin):
                 def step(b, carry):
                     params, opt_state, loss_sum = carry
                     idx = jax.lax.dynamic_slice(perm, (b * bsz,), (bsz,))
+                    if batch_shard is not None:
+                        idx = jax.lax.with_sharding_constraint(idx, batch_shard)
                     loss, grads = jax.value_and_grad(loss_fn)(
                         params, idx, jax.random.fold_in(ekey, b)
                     )

@@ -39,6 +39,7 @@ class SoRec(Recommender, ANNMixin):
         verbose=False,
         init_params=None,
         seed=None,
+        mesh=None,
     ):
         Recommender.__init__(self, name=name, trainable=trainable, verbose=verbose)
         self.k = k
@@ -50,6 +51,7 @@ class SoRec(Recommender, ANNMixin):
         self.weight_link = weight_link
         self.batch_size = batch_size
         self.seed = seed
+        self.mesh = mesh
 
         self.init_params = {} if init_params is None else init_params
         self.U = self.init_params.get("U", None)
@@ -101,6 +103,15 @@ class SoRec(Recommender, ANNMixin):
         U = jnp.asarray(self.U, dtype=jnp.float32)
         V = jnp.asarray(self.V, dtype=jnp.float32)
         Z = jnp.asarray(self.Z, dtype=jnp.float32)
+        n_u, n_v, n_z = U.shape[0], V.shape[0], Z.shape[0]
+        if self.mesh is not None:
+            # row-shard all three factor tables (+ their RMSProp caches,
+            # which inherit the sharding via zeros_like) over the model
+            # axis, same treatment as PMF; padded rows are never indexed
+            # by the streams and are sliced off at the end
+            from ..parallel import shard_tables
+
+            U, V, Z = shard_tables(self.mesh, U, V, Z)
         cu, cv, cz = jnp.zeros_like(U), jnp.zeros_like(V), jnp.zeros_like(Z)
 
         net_r = jnp.asarray(np.asarray(net_uid), dtype=jnp.int32)
@@ -131,9 +142,9 @@ class SoRec(Recommender, ANNMixin):
             if self.verbose:
                 print("epoch %i, loss: %f" % (epoch, loss))
 
-        self.U = np.asarray(U, dtype=np.float64)
-        self.V = np.asarray(V, dtype=np.float64)
-        self.Z = np.asarray(Z, dtype=np.float64)
+        self.U = np.asarray(U, dtype=np.float64)[:n_u]
+        self.V = np.asarray(V, dtype=np.float64)[:n_v]
+        self.Z = np.asarray(Z, dtype=np.float64)[:n_z]
         return self
 
     def score(self, user_idx, item_idx=None):

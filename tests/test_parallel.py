@@ -625,6 +625,199 @@ def test_mesh_training_matches_single_device_fpmc_tiger():
     np.testing.assert_allclose(pa, sh, rtol=2e-4, atol=2e-5)
 
 
+def test_mesh_training_matches_single_device_text_family():
+    """CVAE/CDR/ConvMF/CTR (ALS rows sharded + data-parallel neural
+    phases) and NARRE/HRDR (review towers, data-parallel) must reproduce
+    their single-device scores on the mesh."""
+    import numpy as np
+
+    from cornac_tpu.data import ReviewModality, TextModality
+    from cornac_tpu.data.text import BaseTokenizer
+    from cornac_tpu.eval_methods import RatioSplit
+    from cornac_tpu.models import CDR, CTR, CVAE, ConvMF, HRDR, NARRE
+    from cornac_tpu.parallel import make_mesh
+
+    rng = np.random.RandomState(21)
+    n_items = 40
+    pairs = list(
+        {(rng.randint(30), rng.randint(n_items)) for _ in range(400)}
+    )
+    data = [(f"u{u}", f"i{i}", float(rng.randint(1, 6))) for u, i in pairs]
+    words = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta"]
+    docs = [
+        " ".join(rng.choice(words, size=6).tolist()) for _ in range(n_items)
+    ]
+    text_kw = dict(
+        corpus=docs, ids=[f"i{x}" for x in range(n_items)],
+        tokenizer=BaseTokenizer(), max_vocab=20,
+    )
+    reviews = [
+        (u, i, " ".join(rng.choice(words, size=5).tolist()))
+        for u, i, _ in data[:300]
+    ]
+    mesh = make_mesh(data_parallel=8)
+
+    for cls, kw, needs in [
+        (CVAE, dict(z_dim=4, vae_layers=(8,), n_epochs=2, batch_size=16,
+                    seed=7, verbose=False), "text"),
+        (CDR, dict(k=4, autoencoder_structure=[8], max_iter=2,
+                   batch_size=16, seed=7, verbose=False), "text"),
+        (ConvMF, dict(k=4, n_epochs=2, cnn_epochs=1, cnn_bs=16, emb_dim=8,
+                      max_len=10, filter_sizes=(2,), num_filters=4,
+                      hidden_dim=8, seed=7, verbose=False), "text"),
+        (CTR, dict(k=4, max_iter=2, seed=7, verbose=False), "text"),
+        (NARRE, dict(embedding_size=8, id_embedding_size=4, n_factors=4,
+                     attention_size=4, kernel_sizes=[2], n_filters=4,
+                     max_text_length=8, max_num_review=4, batch_size=16,
+                     max_iter=2, seed=7, verbose=False), "reviews"),
+        (HRDR, dict(embedding_size=8, id_embedding_size=4, n_factors=4,
+                    attention_size=4, kernel_sizes=[2], n_filters=4,
+                    max_text_length=8, max_num_review=4, batch_size=16,
+                    max_iter=2, seed=7, verbose=False), "reviews"),
+    ]:
+        split_kw = {}
+        if needs == "text":
+            split_kw["item_text"] = TextModality(**text_kw)
+        else:
+            split_kw["review_text"] = ReviewModality(
+                data=reviews, tokenizer=BaseTokenizer(), max_vocab=20
+            )
+        rs = RatioSplit(
+            data=data, test_size=0.2, rating_threshold=2.5, seed=123,
+            **split_kw,
+        )
+        plain = cls(**kw).fit(rs.train_set)
+        sharded = cls(mesh=mesh, **kw).fit(rs.train_set)
+        batch = np.arange(8)
+        np.testing.assert_allclose(
+            plain.score_batch(batch), sharded.score_batch(batch),
+            rtol=5e-4, atol=5e-5,
+            err_msg=cls.__name__,
+        )
+
+
+def test_mesh_training_matches_single_device_explainable():
+    """The explainable tensor-SGD family (EFM edge-parallel
+    multiplicative updates; LRPPM/MTER/Companion/ComparER sharded sample
+    streams) must reproduce the single-device factors."""
+    import numpy as np
+
+    from cornac_tpu.data import SentimentModality
+    from cornac_tpu.eval_methods import RatioSplit
+    from cornac_tpu.models import (
+        EFM,
+        LRPPM,
+        MTER,
+        Companion,
+        ComparERObj,
+        ComparERSub,
+    )
+    from cornac_tpu.parallel import make_mesh
+
+    rng = np.random.RandomState(23)
+    aspects = ["battery", "screen", "price", "camera"]
+    opinions = ["good", "bad", "great"]
+    data, lexicon = [], []
+    for t in range(400):
+        u, i = f"u{rng.randint(30)}", f"i{rng.randint(40)}"
+        r = float(rng.randint(1, 6))
+        data.append((u, i, r, float(t)))  # UIRT: ComparER chrono pairs
+        lexicon.append(
+            (
+                u,
+                i,
+                [
+                    (
+                        aspects[rng.randint(len(aspects))],
+                        opinions[rng.randint(len(opinions))],
+                        float(rng.choice([-1, 1])),
+                    )
+                    for _ in range(rng.randint(1, 4))
+                ],
+            )
+        )
+    rs = RatioSplit(
+        data=data, fmt="UIRT", test_size=0.2, rating_threshold=2.5,
+        seed=123, sentiment=SentimentModality(data=lexicon),
+    )
+    mesh = make_mesh(data_parallel=8)
+
+    small = dict(
+        n_user_factors=4, n_item_factors=4, n_aspect_factors=4,
+        n_opinion_factors=4, n_bpr_samples=64, n_element_samples=32,
+        max_iter=30, seed=7, verbose=False,
+    )
+    for cls, kw in [
+        (EFM, dict(num_explicit_factors=4, num_latent_factors=4,
+                   num_most_cared_aspects=3, max_iter=10, seed=7,
+                   verbose=False)),
+        (ComparERObj, dict(num_explicit_factors=4, num_latent_factors=4,
+                           num_most_cared_aspects=3, max_iter=10,
+                           min_user_freq=2, seed=7, verbose=False)),
+        (LRPPM, dict(n_factors=4, n_samples=64, n_ranking_samples=64,
+                     max_iter=20, seed=7, verbose=False)),
+        (MTER, dict(**small)),
+        (ComparERSub, dict(**small, min_user_freq=2)),
+        (Companion, dict(
+            n_user_factors=4, n_item_factors=4, n_aspect_factors=4,
+            n_opinion_factors=4, n_bpr_samples=64, n_element_samples=32,
+            n_aspect_ranking_samples=64, n_opinion_ranking_samples=64,
+            max_iter=30, min_user_freq=2, seed=7, verbose=False,
+        )),
+    ]:
+        plain = cls(**kw).fit(rs.train_set)
+        sharded = cls(mesh=mesh, **kw).fit(rs.train_set)
+        batch = np.arange(8)
+        np.testing.assert_allclose(
+            plain.score_batch(batch), sharded.score_batch(batch),
+            rtol=5e-4, atol=5e-5,
+            err_msg=cls.__name__,
+        )
+
+
+def test_mesh_training_matches_single_device_social_streams():
+    """MCF (item net stream) and SoRec (social stream) with row-sharded
+    tables + caches must reproduce the single-device factors."""
+    import numpy as np
+
+    from cornac_tpu.data import GraphModality
+    from cornac_tpu.eval_methods import RatioSplit
+    from cornac_tpu.models import MCF, SoRec
+    from cornac_tpu.parallel import make_mesh
+
+    rng = np.random.RandomState(22)
+    data = [
+        (f"u{rng.randint(30)}", f"i{rng.randint(50)}", float(rng.randint(1, 6)))
+        for _ in range(400)
+    ]
+    item_edges = list(
+        {(f"i{rng.randint(50)}", f"i{rng.randint(50)}", 1.0) for _ in range(120)}
+    )
+    user_edges = list(
+        {(f"u{rng.randint(30)}", f"u{rng.randint(30)}", 1.0) for _ in range(90)}
+    )
+    mesh = make_mesh(data_parallel=2)
+
+    for cls, kw, split_kw in [
+        (MCF, dict(k=4, max_iter=3, seed=7, verbose=False),
+         dict(item_graph=GraphModality(data=item_edges))),
+        (SoRec, dict(k=4, max_iter=3, seed=7, verbose=False),
+         dict(user_graph=GraphModality(data=user_edges))),
+    ]:
+        rs = RatioSplit(
+            data=data, test_size=0.2, rating_threshold=2.5, seed=123,
+            **split_kw,
+        )
+        plain = cls(**kw).fit(rs.train_set)
+        sharded = cls(mesh=mesh, **kw).fit(rs.train_set)
+        batch = np.arange(8)
+        np.testing.assert_allclose(
+            plain.score_batch(batch), sharded.score_batch(batch),
+            rtol=5e-4, atol=5e-5,
+            err_msg=cls.__name__,
+        )
+
+
 def test_mesh_training_matches_single_device_text():
     """CDL data-parallel mesh training (item-batch sharding) must
     reproduce the single-device scores."""
