@@ -142,7 +142,13 @@ class TPUExactANN(BaseANN):
     (SURVEY §2.4).
     """
 
-    def __init__(self, model, name="TPUExactANN", verbose=False, mesh=None):
+    def __init__(self, model, name="TPUExactANN", verbose=False, mesh=None,
+                 recall_target=None):
+        # recall_target=None -> exact selection (the class contract);
+        # a float in (0,1) opts into jax.lax.approx_max_k pruning — the
+        # TPU-native analogue of the reference's approximate ANN
+        # backends, measured 4.5x faster at Netflix shape for 0.95
+        self.recall_target = recall_target
         self.mesh = mesh
         super().__init__(model=model, name=name, verbose=verbose)
         # device-resident index arrays: process-local, rebuilt on demand
@@ -198,12 +204,16 @@ class TPUExactANN(BaseANN):
             # -|q - v|^2 = (2q)·v - |v|^2 - |q|^2; the |q|^2 term is
             # constant per query so top-k on (2q)·v - |v|^2 is exact, and
             # the returned distances add it back
-            top_scores, top_idx = fused_topk(2.0 * q, self._items_d, k,
-                                             bias=-self._item_sq)
+            top_scores, top_idx = fused_topk(
+                2.0 * q, self._items_d, k, bias=-self._item_sq,
+                recall_target=self.recall_target,
+            )
             q_sq = jnp.sum(q**2, axis=1, keepdims=True)
             top_scores = top_scores - q_sq
         else:  # dot or cosine
-            top_scores, top_idx = fused_topk(q, self._items_d, k)
+            top_scores, top_idx = fused_topk(
+                q, self._items_d, k, recall_target=self.recall_target
+            )
         return np.asarray(top_idx), -np.asarray(top_scores)
 
     def _knn_query_sharded(self, q, k):
