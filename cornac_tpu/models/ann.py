@@ -238,10 +238,11 @@ class TPUExactANN(BaseANN):
 
 
 class _ExternalANN(TPUExactANN):
-    """Base for wrappers of an external ANN library; each falls back to
-    exact TPU retrieval (recall 1.0, same API) when the library is not
-    installed — on TPU the exhaustive matmul top-k is fast enough to serve
-    as the index at reference scales (SURVEY §7.10)."""
+    """Base for wrappers of an external ANN library; each builds and
+    queries the library's own index when the package is installed, and
+    falls back to exact TPU retrieval (recall 1.0, same API) when it is
+    not — on TPU the exhaustive matmul top-k is fast enough to serve as
+    the index at reference scales (SURVEY §7.10)."""
 
     _import_name = None
 
@@ -250,6 +251,8 @@ class _ExternalANN(TPUExactANN):
         self.backend_params = backend_params
         for key, value in backend_params.items():
             setattr(self, key, value)
+        self.index = None
+        self.ignored_attrs.append("index")  # persisted via save() hooks
         try:
             __import__(self._import_name)
             self._have_backend = True
@@ -260,12 +263,66 @@ class _ExternalANN(TPUExactANN):
             )
             self._have_backend = False
 
+    def build_index(self):
+        BaseANN.build_index(self)
+        if self._have_backend:
+            self._build_backend_index()
+        else:
+            self._build_device_index()
+
+    def knn_query(self, query, k):
+        if self._have_backend and self.index is not None:
+            return self._backend_knn_query(
+                np.asarray(query, np.float32), int(k)
+            )
+        return super().knn_query(query, k)
+
+    def _build_backend_index(self):
+        raise NotImplementedError
+
+    def _backend_knn_query(self, query, k):
+        raise NotImplementedError
+
 
 class AnnoyANN(_ExternalANN):
-    """Annoy wrapper (reference ``ann/recom_ann_annoy.py:60``); index
-    parameters accepted for parity, retrieval is exact on TPU."""
+    """Annoy wrapper (reference ``ann/recom_ann_annoy.py:60``): builds an
+    AnnoyIndex over the item vectors when annoy is installed; exact TPU
+    retrieval otherwise."""
 
     _import_name = "annoy"
+    _measures = {MEASURE_DOT: "dot", MEASURE_COSINE: "angular",
+                 MEASURE_L2: "euclidean"}
+
+    def _build_backend_index(self):
+        from annoy import AnnoyIndex
+
+        self.index = AnnoyIndex(
+            self.item_vectors.shape[1], self._measures[self.measure]
+        )
+        if self.seed is not None:
+            self.index.set_seed(self.seed)
+        for i, v in enumerate(np.asarray(self.item_vectors, np.float32)):
+            self.index.add_item(i, v)
+        self.index.build(self.n_trees, n_jobs=self.num_threads)
+
+    def _backend_knn_query(self, query, k):
+        result = [
+            self.index.get_nns_by_vector(
+                q, k, search_k=self.search_k, include_distances=True
+            )
+            for q in query
+        ]
+        neighbors = np.array([r[0] for r in result], dtype="int")
+        distances = np.array([r[1] for r in result], dtype="float32")
+        if self.higher_is_better:  # smaller distance = better, always
+            distances = 1.0 - distances
+        return neighbors, distances
+
+    def save(self, save_dir=None):
+        saved_path = super().save(save_dir)
+        if self._have_backend and self.index is not None:
+            self.index.save(saved_path + ".index")
+        return saved_path
 
     def __init__(
         self,
@@ -291,9 +348,58 @@ class AnnoyANN(_ExternalANN):
 
 
 class FaissANN(_ExternalANN):
-    """FAISS wrapper (reference ``ann/recom_ann_faiss.py:58``)."""
+    """FAISS IVF-flat wrapper (reference ``ann/recom_ann_faiss.py:58``):
+    trains an IndexIVFFlat over the item vectors when faiss is
+    installed; exact TPU retrieval otherwise."""
 
     _import_name = "faiss"
+
+    def _build_backend_index(self):
+        import faiss
+
+        if self.num_threads > 0:
+            faiss.omp_set_num_threads(self.num_threads)
+        metrics = {
+            MEASURE_L2: faiss.METRIC_L2,
+            MEASURE_DOT: faiss.METRIC_INNER_PRODUCT,
+            MEASURE_COSINE: faiss.METRIC_INNER_PRODUCT,
+        }
+        vectors = np.asarray(self.item_vectors, np.float32)
+        if self.measure == MEASURE_COSINE:
+            vectors = vectors / np.maximum(
+                np.linalg.norm(vectors, axis=1, keepdims=True), 1e-12
+            )
+        self.item_vectors = vectors
+        d = vectors.shape[1]
+        self.index = faiss.IndexIVFFlat(
+            faiss.IndexFlat(d), d, self.nlist, metrics[self.measure]
+        )
+        if self.use_gpu:
+            self.index = faiss.index_cpu_to_all_gpus(self.index)
+        self.index.train(vectors)
+        self.index.add(vectors)
+        self.index.nprobe = self.nprobe
+
+    def _backend_knn_query(self, query, k):
+        if self.measure == MEASURE_COSINE:
+            query = query / np.maximum(
+                np.linalg.norm(query, axis=1, keepdims=True), 1e-12
+            )
+        distances, neighbors = self.index.search(query, k)
+        if self.higher_is_better:
+            distances = 1.0 - distances
+        return neighbors, distances
+
+    def save(self, save_dir=None):
+        saved_path = super().save(save_dir)
+        if self._have_backend and self.index is not None:
+            import faiss
+
+            idx = self.index
+            if self.use_gpu:
+                idx = faiss.index_gpu_to_cpu(idx)
+            faiss.write_index(idx, saved_path + ".index")
+        return saved_path
 
     def __init__(
         self,
@@ -321,9 +427,43 @@ class FaissANN(_ExternalANN):
 
 
 class HNSWLibANN(_ExternalANN):
-    """HNSWLib wrapper (reference ``ann/recom_ann_hnswlib.py:69``)."""
+    """HNSWLib wrapper (reference ``ann/recom_ann_hnswlib.py:69``):
+    builds an HNSW graph over the item vectors when hnswlib is
+    installed; exact TPU retrieval otherwise."""
 
     _import_name = "hnswlib"
+    _spaces = {MEASURE_DOT: "ip", MEASURE_COSINE: "cosine", MEASURE_L2: "l2"}
+
+    def _build_backend_index(self):
+        import hnswlib
+
+        vectors = np.asarray(self.item_vectors, np.float32)
+        self.index = hnswlib.Index(
+            space=self._spaces[self.measure], dim=vectors.shape[1]
+        )
+        init_kw = dict(
+            max_elements=vectors.shape[0],
+            ef_construction=self.ef_construction,
+            M=self.M,
+        )
+        if self.seed is not None:
+            init_kw["random_seed"] = self.seed
+        self.index.init_index(**init_kw)
+        self.index.add_items(vectors, np.arange(vectors.shape[0]))
+        self.index.set_ef(self.ef)
+        if self.num_threads > 0:
+            self.index.set_num_threads(self.num_threads)
+
+    def _backend_knn_query(self, query, k):
+        # hnswlib distances are already smaller-is-better for all spaces
+        neighbors, distances = self.index.knn_query(query, k=k)
+        return neighbors, distances
+
+    def save(self, save_dir=None):
+        saved_path = super().save(save_dir)
+        if self._have_backend and self.index is not None:
+            self.index.save_index(saved_path + ".index")
+        return saved_path
 
     def __init__(
         self,
@@ -351,9 +491,57 @@ class HNSWLibANN(_ExternalANN):
 
 
 class ScaNNANN(_ExternalANN):
-    """ScaNN wrapper (reference ``ann/recom_ann_scann.py:69``)."""
+    """ScaNN wrapper (reference ``ann/recom_ann_scann.py:69``): builds a
+    partition + asymmetric-hash (or brute-force) searcher when scann is
+    installed; exact TPU retrieval otherwise."""
 
     _import_name = "scann"
+    _measures = {MEASURE_DOT: "dot_product", MEASURE_COSINE: "dot_product",
+                 MEASURE_L2: "squared_l2"}
+
+    def _build_backend_index(self):
+        import scann
+
+        vectors = np.asarray(self.item_vectors, np.float32)
+        partition_params = dict(self.partition_params or {})
+        score_params = dict(self.score_params or {})
+        if self.measure == MEASURE_COSINE:
+            partition_params["spherical"] = True
+            vectors = vectors / np.maximum(
+                np.linalg.norm(vectors, axis=1, keepdims=True), 1e-12
+            )
+        else:
+            partition_params.setdefault("spherical", False)
+        self.item_vectors = vectors
+
+        builder = scann.scann_ops_pybind.builder(
+            vectors, 10, self._measures[self.measure]
+        )
+        builder.set_n_training_threads(self.num_threads)
+        if partition_params.get("num_leaves"):
+            partition_params.setdefault(
+                "training_sample_size", vectors.shape[0]
+            )
+            builder = builder.tree(**partition_params)
+        if self.score_brute_force:
+            builder = builder.score_brute_force(**score_params)
+        else:
+            builder = builder.score_ah(**(score_params or {"dimensions_per_block": 2}))
+        if self.rescore_params:
+            builder = builder.reorder(**self.rescore_params)
+        self.index = builder.build()
+
+    def _backend_knn_query(self, query, k):
+        if self.measure == MEASURE_COSINE:
+            query = query / np.maximum(
+                np.linalg.norm(query, axis=1, keepdims=True), 1e-12
+            )
+        neighbors, distances = self.index.search_batched(
+            query, final_num_neighbors=k
+        )
+        if self.higher_is_better:
+            distances = 1.0 - distances
+        return np.asarray(neighbors, int), np.asarray(distances, np.float32)
 
     def __init__(
         self,
