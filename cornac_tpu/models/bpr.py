@@ -40,6 +40,16 @@ DTYPE = np.float32
 # the jit cache cannot serve the old branch.
 _BULK_SAMPLING_MAX = 1 << 24
 
+# Gates for the fused one-hot-matmul fetch program (see _bpr_epochs): its
+# MXU cost scales with n_users (measured: wins at 943 users, loses at
+# 6040), the halfword-membership columns must fit the padded lane width,
+# and the augmented table must fit a sane HBM slice. Module-level so the
+# gate-boundary goldens (tests/test_bpr_fused.py) can patch them and
+# exercise both sides of every gate cheaply.
+_FUSED_MAX_USERS = 2048
+_FUSED_MAX_COLS = 256
+_FUSED_MAX_TABLE_BYTES = 128 * 1024 * 1024
+
 
 @partial(
     jax.jit,
@@ -373,9 +383,9 @@ class BPR(Recommender, ANNMixin):
             # its cost scales with n_users, the gathers it replaces don't.
             # Measured: wins at 943 users (ML-100K), loses at 6040 (ML-1M).
             if (
-                train_set.num_users <= 2048
-                and k_cols + n_words <= 256
-                and train_set.num_users * n_words * 4 <= 128 * 1024 * 1024
+                train_set.num_users <= _FUSED_MAX_USERS
+                and k_cols + n_words <= _FUSED_MAX_COLS
+                and train_set.num_users * n_words * 4 <= _FUSED_MAX_TABLE_BYTES
             ):
                 W16 = jnp.asarray(
                     _membership_halfwords(train_set.csr_matrix, n_words)

@@ -80,6 +80,83 @@ def test_fused_epochs_match_general_form(use_bias, variant):
         )
 
 
+class TestGateBoundaries:
+    """Both sides of every fused-path gate constant must deliver the same
+    learning quality — the gate may only trade speed, never results
+    (VERDICT r3 #9). The gates are patched down so tiny datasets land
+    exactly on each boundary; metric agreement between the auto-gated
+    run and the forced general form proves neither program mis-learns."""
+
+    def _metrics(self, model, split):
+        from cornac_tpu.metrics import AUC, NDCG
+
+        res, _ = split.evaluate(
+            model, [AUC(), NDCG(k=10)], user_based=True,
+            show_validation=False,
+        )
+        return res.metric_avg_results
+
+    def _split(self, n_users, n_items, seed=3):
+        from cornac_tpu.eval_methods import RatioSplit
+
+        rng = np.random.RandomState(seed)
+        data = list(
+            {
+                (rng.randint(n_users), rng.randint(n_items))
+                for _ in range(n_users * 12)
+            }
+        )
+        rows = [(f"u{u}", f"i{i}", 1.0) for u, i in data]
+        # every user/item id appears so num_users/num_items are exact
+        rows += [(f"u{u}", f"i{u % n_items}", 1.0) for u in range(n_users)]
+        rows += [(f"u{i % n_users}", f"i{i}", 1.0) for i in range(n_items)]
+        return RatioSplit(
+            data=list(set(rows)), test_size=0.2, rating_threshold=0.5,
+            seed=123,
+        )
+
+    def _check_boundary(self, monkeypatch, patches, n_users, n_items, k=6):
+        import cornac_tpu.models.bpr as bpr_mod
+        from cornac_tpu.models import BPR
+
+        for name_, val in patches.items():
+            monkeypatch.setattr(bpr_mod, name_, val)
+        split = self._split(n_users, n_items)
+        assert split.train_set.num_users == n_users
+
+        auto = BPR(k=k, max_iter=10, seed=7, verbose=False)
+        res_auto = self._metrics(auto, split)
+        forced = BPR(k=k, max_iter=10, seed=7, verbose=False)
+        forced.fused_fetch = False
+        res_forced = self._metrics(forced, split)
+        for mname in ("AUC", "NDCG@10"):
+            assert abs(res_auto[mname] - res_forced[mname]) < 0.02, (
+                patches, n_users, n_items, mname, res_auto, res_forced,
+            )
+
+    @pytest.mark.parametrize("n_users", [63, 65])
+    def test_user_count_gate(self, monkeypatch, n_users):
+        self._check_boundary(
+            monkeypatch, {"_FUSED_MAX_USERS": 64}, n_users, 40
+        )
+
+    @pytest.mark.parametrize("n_items", [48, 80])
+    def test_lane_width_gate(self, monkeypatch, n_items):
+        # k_cols + n_words = 7 + ceil(n_items/16): 10 <= 11 (fused) vs
+        # 12 > 11 (general)
+        self._check_boundary(
+            monkeypatch, {"_FUSED_MAX_COLS": 11}, 50, n_items
+        )
+
+    @pytest.mark.parametrize("n_users", [55, 65])
+    def test_table_bytes_gate(self, monkeypatch, n_users):
+        # n_users * n_words * 4 with n_items=40 (n_words=3): 660 B vs
+        # 780 B around a 720 B budget
+        self._check_boundary(
+            monkeypatch, {"_FUSED_MAX_TABLE_BYTES": 720}, n_users, 40
+        )
+
+
 def test_fit_uses_fused_path_and_learns():
     """End-to-end: the public fit at golden shape goes through the fused
     program (gates pass at 40x60) and still hits the quality floor."""

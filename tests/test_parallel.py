@@ -1070,6 +1070,94 @@ if proc_id == 0:
     )
 
 
+@pytest.mark.slow
+def test_four_process_dcn_scaling(tmp_path):
+    """Coordinator + DCN-aware layout at 4 hosts (VERDICT r3 #10): four
+    spawned processes x 2 virtual CPU devices form a 4x2 (data, model)
+    mesh; the model axis must stay within each process, training must
+    match the single-process scores, and per-process step wall time is
+    recorded (a coordinator/layout validation on CPU simulation — not a
+    performance claim)."""
+    import os
+    import socket
+    import subprocess
+    import sys
+    import time
+
+    import numpy as np
+
+    from cornac_tpu.eval_methods import RatioSplit
+    from cornac_tpu.models import BPR
+
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        port = s.getsockname()[1]
+
+    out_file = tmp_path / "scores4.npy"
+    worker = tmp_path / "worker4.py"
+    worker.write_text(
+        f"""
+import os, sys, time, warnings
+proc_id = int(sys.argv[1])
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+sys.path.insert(0, {str(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))!r})
+import jax
+jax.config.update("jax_platforms", "cpu")
+from cornac_tpu.parallel import init_distributed, make_mesh
+init_distributed(coordinator_address="localhost:{port}",
+                 num_processes=4, process_id=proc_id)
+import numpy as np
+warnings.filterwarnings("ignore")
+from cornac_tpu.eval_methods import RatioSplit
+from cornac_tpu.models import BPR
+rng = np.random.RandomState(3)
+data = [(f"u{{rng.randint(30)}}", f"i{{rng.randint(50)}}",
+         float(rng.randint(1, 6))) for _ in range(500)]
+rs = RatioSplit(data=data, test_size=0.2, rating_threshold=2.5, seed=123)
+mesh = make_mesh(data_parallel=4)
+assert jax.process_count() == 4 and mesh.shape["data"] == 4
+for row in mesh.devices:
+    assert len({{d.process_index for d in row}}) == 1
+t0 = time.time()
+m = BPR(k=4, max_iter=5, seed=11, mesh=mesh, verbose=False).fit(rs.train_set)
+print(f"[proc {{proc_id}}] fit wall {{time.time()-t0:.2f}}s", flush=True)
+if proc_id == 0:
+    np.save({str(out_file)!r}, np.asarray(m.score_batch(np.arange(8))))
+"""
+    )
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(worker), str(i)],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+        )
+        for i in range(4)
+    ]
+    outs = [p.communicate(timeout=420)[0] for p in procs]
+    for p, o in zip(procs, outs):
+        assert p.returncode == 0, o.decode(errors="replace")[-2000:]
+    walls = [
+        line
+        for o in outs
+        for line in o.decode(errors="replace").splitlines()
+        if "fit wall" in line
+    ]
+    assert len(walls) == 4, outs
+
+    rng = np.random.RandomState(3)
+    data = [
+        (f"u{rng.randint(30)}", f"i{rng.randint(50)}", float(rng.randint(1, 6)))
+        for _ in range(500)
+    ]
+    rs = RatioSplit(data=data, test_size=0.2, rating_threshold=2.5, seed=123)
+    plain = BPR(k=4, max_iter=5, seed=11, verbose=False)
+    plain.fused_fetch = False  # same program shape as the mesh path
+    plain.fit(rs.train_set)
+    np.testing.assert_allclose(
+        plain.score_batch(np.arange(8)), np.load(out_file),
+        rtol=2e-4, atol=2e-5,
+    )
+
+
 def test_lightgcn_mesh_edge_representation():
     """The sharded adjacency also works in the flat-edge (scatter) form
     used beyond the dense memory budget."""
