@@ -323,113 +323,31 @@ class BaseMethod:
         self.global_uid_map = kwargs.get("global_uid_map", OrderedDict())
         self.global_iid_map = kwargs.get("global_iid_map", OrderedDict())
 
-        self.user_feature = kwargs.get("user_feature", None)
-        self.user_text = kwargs.get("user_text", None)
-        self.user_image = kwargs.get("user_image", None)
-        self.user_graph = kwargs.get("user_graph", None)
-        self.item_feature = kwargs.get("item_feature", None)
-        self.item_text = kwargs.get("item_text", None)
-        self.item_image = kwargs.get("item_image", None)
-        self.item_graph = kwargs.get("item_graph", None)
-        self.sentiment = kwargs.get("sentiment", None)
-        self.review_text = kwargs.get("review_text", None)
+        for attr in self._MODALITY_SLOTS:
+            setattr(self, attr, kwargs.get(attr, None))
 
         if verbose:
             print("rating_threshold = {:.1f}".format(rating_threshold))
             print("exclude_unknowns = {}".format(exclude_unknowns))
 
     # ------------------------------------------------------------------ #
-    # typed modality properties
+    # typed modality slots — ten identical property pairs in the
+    # reference collapse to one descriptor factory here; the expected
+    # class per slot lives in _MODALITY_SLOTS and the properties are
+    # attached right after the class body
     # ------------------------------------------------------------------ #
-    @staticmethod
-    def _checked(value, expected_cls):
-        if value is not None and not isinstance(value, expected_cls):
-            raise ValueError(
-                "input_modality has to be instance of {} but {}".format(
-                    expected_cls.__name__, type(value)
-                )
-            )
-        return value
-
-    @property
-    def user_feature(self):
-        return self._user_feature
-
-    @user_feature.setter
-    def user_feature(self, m):
-        self._user_feature = self._checked(m, FeatureModality)
-
-    @property
-    def item_feature(self):
-        return self._item_feature
-
-    @item_feature.setter
-    def item_feature(self, m):
-        self._item_feature = self._checked(m, FeatureModality)
-
-    @property
-    def user_text(self):
-        return self._user_text
-
-    @user_text.setter
-    def user_text(self, m):
-        self._user_text = self._checked(m, TextModality)
-
-    @property
-    def item_text(self):
-        return self._item_text
-
-    @item_text.setter
-    def item_text(self, m):
-        self._item_text = self._checked(m, TextModality)
-
-    @property
-    def user_image(self):
-        return self._user_image
-
-    @user_image.setter
-    def user_image(self, m):
-        self._user_image = self._checked(m, ImageModality)
-
-    @property
-    def item_image(self):
-        return self._item_image
-
-    @item_image.setter
-    def item_image(self, m):
-        self._item_image = self._checked(m, ImageModality)
-
-    @property
-    def user_graph(self):
-        return self._user_graph
-
-    @user_graph.setter
-    def user_graph(self, m):
-        self._user_graph = self._checked(m, GraphModality)
-
-    @property
-    def item_graph(self):
-        return self._item_graph
-
-    @item_graph.setter
-    def item_graph(self, m):
-        self._item_graph = self._checked(m, GraphModality)
-
-    @property
-    def sentiment(self):
-        return self._sentiment
-
-    @sentiment.setter
-    def sentiment(self, m):
-        self._sentiment = self._checked(m, SentimentModality)
-
-    @property
-    def review_text(self):
-        return self._review_text
-
-    @review_text.setter
-    def review_text(self, m):
-        self._review_text = self._checked(m, ReviewModality)
+    _MODALITY_SLOTS = {
+        "user_feature": lambda: FeatureModality,
+        "item_feature": lambda: FeatureModality,
+        "user_text": lambda: TextModality,
+        "item_text": lambda: TextModality,
+        "user_image": lambda: ImageModality,
+        "item_image": lambda: ImageModality,
+        "user_graph": lambda: GraphModality,
+        "item_graph": lambda: GraphModality,
+        "sentiment": lambda: SentimentModality,
+        "review_text": lambda: ReviewModality,
+    }
 
     @property
     def total_users(self):
@@ -471,151 +389,87 @@ class BaseMethod:
 
     def _build_datasets(self, train_data, test_data, val_data=None):
         # train first: train entities take the dense-index prefix
-        self.train_set = Dataset.build(
-            data=train_data,
-            fmt=self.fmt,
-            global_uid_map=self.global_uid_map,
-            global_iid_map=self.global_iid_map,
-            seed=self.seed,
-            exclude_unknowns=False,
-        )
-        if self.verbose:
-            print("---")
-            print("Training data:")
-            print("Number of users = {}".format(self.train_set.num_users))
-            print("Number of items = {}".format(self.train_set.num_items))
-            print("Number of ratings = {}".format(self.train_set.num_ratings))
-            print("Max rating = {:.1f}".format(self.train_set.max_rating))
-            print("Min rating = {:.1f}".format(self.train_set.min_rating))
-            print("Global mean = {:.1f}".format(self.train_set.global_mean))
-
-        self.test_set = Dataset.build(
-            data=test_data,
-            fmt=self.fmt,
-            global_uid_map=self.global_uid_map,
-            global_iid_map=self.global_iid_map,
-            seed=self.seed,
-            exclude_unknowns=self.exclude_unknowns,
-        )
-        if self.verbose:
-            print("---")
-            print("Test data:")
-            print("Number of users = {}".format(len(self.test_set.uid_map)))
-            print("Number of items = {}".format(len(self.test_set.iid_map)))
-            print("Number of ratings = {}".format(self.test_set.num_ratings))
-            print(
-                "Number of unknown users = {}".format(
-                    self.test_set.num_users - self.train_set.num_users
-                )
-            )
-            print(
-                "Number of unknown items = {}".format(
-                    self.test_set.num_items - self.train_set.num_items
-                )
-            )
-
-        if val_data is not None and len(val_data) > 0:
-            self.val_set = Dataset.build(
-                data=val_data,
+        def build_split(split_data, exclude_unknowns):
+            # every split shares the global id maps; train keeps all rows
+            return Dataset.build(
+                data=split_data,
                 fmt=self.fmt,
                 global_uid_map=self.global_uid_map,
                 global_iid_map=self.global_iid_map,
                 seed=self.seed,
-                exclude_unknowns=self.exclude_unknowns,
+                exclude_unknowns=exclude_unknowns,
             )
-            if self.verbose:
-                print("---")
-                print("Validation data:")
-                print("Number of users = {}".format(len(self.val_set.uid_map)))
-                print("Number of items = {}".format(len(self.val_set.iid_map)))
-                print("Number of ratings = {}".format(self.val_set.num_ratings))
+
+        self.train_set = build_split(train_data, False)
+        self.test_set = build_split(test_data, self.exclude_unknowns)
+        if val_data:
+            self.val_set = build_split(val_data, self.exclude_unknowns)
 
         if self.verbose:
-            print("---")
-            print("Total users = {}".format(self.total_users))
-            print("Total items = {}".format(self.total_items))
+            tr, te, va = self.train_set, self.test_set, self.val_set
+            lines = [
+                "---", "Training data:",
+                f"Number of users = {tr.num_users}",
+                f"Number of items = {tr.num_items}",
+                f"Number of ratings = {tr.num_ratings}",
+                f"Max rating = {tr.max_rating:.1f}",
+                f"Min rating = {tr.min_rating:.1f}",
+                f"Global mean = {tr.global_mean:.1f}",
+                "---", "Test data:",
+                f"Number of users = {len(te.uid_map)}",
+                f"Number of items = {len(te.iid_map)}",
+                f"Number of ratings = {te.num_ratings}",
+                f"Number of unknown users = {te.num_users - tr.num_users}",
+                f"Number of unknown items = {te.num_items - tr.num_items}",
+            ]
+            if va is not None:
+                lines += [
+                    "---", "Validation data:",
+                    f"Number of users = {len(va.uid_map)}",
+                    f"Number of items = {len(va.iid_map)}",
+                    f"Number of ratings = {va.num_ratings}",
+                ]
+            lines += [
+                "---",
+                f"Total users = {self.total_users}",
+                f"Total items = {self.total_items}",
+            ]
+            print("\n".join(lines))
 
     def _build_modalities(self):
-        for user_modality in [
-            self.user_feature,
-            self.user_text,
-            self.user_image,
-            self.user_graph,
-        ]:
-            if user_modality is None:
-                continue
-            user_modality.build(
-                id_map=self.global_uid_map,
-                uid_map=self.train_set.uid_map,
-                iid_map=self.train_set.iid_map,
-                dok_matrix=self.train_set.dok_matrix,
-            )
-
-        for item_modality in [
-            self.item_feature,
-            self.item_text,
-            self.item_image,
-            self.item_graph,
-        ]:
-            if item_modality is None:
-                continue
-            item_modality.build(
-                id_map=self.global_iid_map,
-                uid_map=self.train_set.uid_map,
-                iid_map=self.train_set.iid_map,
-                dok_matrix=self.train_set.dok_matrix,
-            )
-
-        for modality in [self.sentiment, self.review_text]:
+        # user-side slots build against the user id map, item-side slots
+        # against the item id map, interaction-level slots (sentiment,
+        # reviews) against neither
+        train_kw = dict(
+            uid_map=self.train_set.uid_map,
+            iid_map=self.train_set.iid_map,
+            dok_matrix=self.train_set.dok_matrix,
+        )
+        for attr in self._MODALITY_SLOTS:
+            modality = getattr(self, attr)
             if modality is None:
                 continue
-            modality.build(
-                uid_map=self.train_set.uid_map,
-                iid_map=self.train_set.iid_map,
-                dok_matrix=self.train_set.dok_matrix,
-            )
+            if attr.startswith("user_"):
+                modality.build(id_map=self.global_uid_map, **train_kw)
+            elif attr.startswith("item_"):
+                modality.build(id_map=self.global_iid_map, **train_kw)
+            else:
+                modality.build(**train_kw)
 
         self.add_modalities(
-            user_feature=self.user_feature,
-            user_text=self.user_text,
-            user_image=self.user_image,
-            user_graph=self.user_graph,
-            item_feature=self.item_feature,
-            item_text=self.item_text,
-            item_image=self.item_image,
-            item_graph=self.item_graph,
-            sentiment=self.sentiment,
-            review_text=self.review_text,
+            **{attr: getattr(self, attr) for attr in self._MODALITY_SLOTS}
         )
 
     def add_modalities(self, **kwargs):
         """Attach built modalities to every dataset."""
-        self.user_feature = kwargs.get("user_feature", None)
-        self.user_text = kwargs.get("user_text", None)
-        self.user_image = kwargs.get("user_image", None)
-        self.user_graph = kwargs.get("user_graph", None)
-        self.item_feature = kwargs.get("item_feature", None)
-        self.item_text = kwargs.get("item_text", None)
-        self.item_image = kwargs.get("item_image", None)
-        self.item_graph = kwargs.get("item_graph", None)
-        self.sentiment = kwargs.get("sentiment", None)
-        self.review_text = kwargs.get("review_text", None)
-
-        for data_set in [self.train_set, self.test_set, self.val_set]:
-            if data_set is None:
-                continue
-            data_set.add_modalities(
-                user_feature=self.user_feature,
-                user_text=self.user_text,
-                user_image=self.user_image,
-                user_graph=self.user_graph,
-                item_feature=self.item_feature,
-                item_text=self.item_text,
-                item_image=self.item_image,
-                item_graph=self.item_graph,
-                sentiment=self.sentiment,
-                review_text=self.review_text,
-            )
+        for attr in self._MODALITY_SLOTS:
+            setattr(self, attr, kwargs.get(attr, None))
+        slots = {
+            attr: getattr(self, attr) for attr in self._MODALITY_SLOTS
+        }
+        for data_set in (self.train_set, self.test_set, self.val_set):
+            if data_set is not None:
+                data_set.add_modalities(**slots)
 
     def build(self, train_data, test_data, val_data=None):
         """Build datasets over fresh global ID maps, then modalities."""
@@ -647,21 +501,14 @@ class BaseMethod:
         mesh=None,
     ):
         """Run rating + ranking evaluation and collect a :class:`Result`."""
-        metric_avg_results = OrderedDict()
-        metric_user_results = OrderedDict()
-
-        avg_results, user_results = rating_eval(
+        rat_avg, rat_user = rating_eval(
             model=model,
             metrics=rating_metrics,
             test_set=test_set,
             user_based=user_based,
             verbose=verbose,
         )
-        for i, mt in enumerate(rating_metrics):
-            metric_avg_results[mt.name] = avg_results[i]
-            metric_user_results[mt.name] = user_results[i]
-
-        avg_results, user_results = ranking_eval(
+        rank_avg, rank_user = ranking_eval(
             model=model,
             metrics=ranking_metrics,
             train_set=train_set,
@@ -672,40 +519,23 @@ class BaseMethod:
             verbose=verbose,
             mesh=mesh,
         )
-        for i, mt in enumerate(ranking_metrics):
-            metric_avg_results[mt.name] = avg_results[i]
-            metric_user_results[mt.name] = user_results[i]
+        names = [mt.name for mt in rating_metrics + ranking_metrics]
+        return Result(
+            model.name,
+            OrderedDict(zip(names, rat_avg + rank_avg)),
+            OrderedDict(zip(names, rat_user + rank_user)),
+        )
 
-        return Result(model.name, metric_avg_results, metric_user_results)
-
-    def evaluate(self, model, metrics, user_based, show_validation=True):
-        """Timed fit + eval of one model; returns (test_result, val_result)."""
-        if self.train_set is None:
-            raise ValueError("no train_set available — build/split the data first")
-        if self.test_set is None:
-            raise ValueError("no test_set available — build/split the data first")
-
-        self._reset()
-
-        if self.verbose:
-            print("\n[{}] Training started!".format(model.name))
-
+    def _score_split(self, model, split, heldout_val, metric_pair, user_based):
+        """transform + eval one held-out split; returns (Result, seconds)."""
+        rating_metrics, ranking_metrics = metric_pair
         start = time.time()
-        model.fit(self.train_set, self.val_set)
-        train_time = time.time() - start
-
-        if self.verbose:
-            print("\n[{}] evaluating...".format(model.name))
-
-        rating_metrics, ranking_metrics = self.organize_metrics(metrics)
-
-        start = time.time()
-        model.transform(self.test_set)
-        test_result = self.eval(
+        model.transform(split)
+        result = self.eval(
             model=model,
             train_set=self.train_set,
-            test_set=self.test_set,
-            val_set=self.val_set,
+            test_set=split,
+            val_set=heldout_val,
             rating_threshold=self.rating_threshold,
             exclude_unknowns=self.exclude_unknowns,
             rating_metrics=rating_metrics,
@@ -714,28 +544,39 @@ class BaseMethod:
             verbose=self.verbose,
             mesh=self.mesh,
         )
-        test_time = time.time() - start
+        return result, time.time() - start
+
+    def evaluate(self, model, metrics, user_based, show_validation=True):
+        """Timed fit + eval of one model; returns (test_result, val_result)."""
+        for attr in ("train_set", "test_set"):
+            if getattr(self, attr) is None:
+                raise ValueError(
+                    f"no {attr} available — build/split the data first"
+                )
+
+        self._reset()
+
+        if self.verbose:
+            print("\n[{}] Training started!".format(model.name))
+        start = time.time()
+        model.fit(self.train_set, self.val_set)
+        train_time = time.time() - start
+
+        if self.verbose:
+            print("\n[{}] evaluating...".format(model.name))
+        metric_pair = self.organize_metrics(metrics)
+
+        test_result, test_time = self._score_split(
+            model, self.test_set, self.val_set, metric_pair, user_based
+        )
         test_result.metric_avg_results["Train (s)"] = train_time
         test_result.metric_avg_results["Test (s)"] = test_time
 
         val_result = None
         if show_validation and self.val_set is not None:
-            start = time.time()
-            model.transform(self.val_set)
-            val_result = self.eval(
-                model=model,
-                train_set=self.train_set,
-                test_set=self.val_set,
-                val_set=None,
-                rating_threshold=self.rating_threshold,
-                exclude_unknowns=self.exclude_unknowns,
-                rating_metrics=rating_metrics,
-                ranking_metrics=ranking_metrics,
-                user_based=user_based,
-                verbose=self.verbose,
-                mesh=self.mesh,
+            val_result, val_time = self._score_split(
+                model, self.val_set, None, metric_pair, user_based
             )
-            val_time = time.time() - start
             val_result.metric_avg_results["Time (s)"] = val_time
 
         return test_result, val_result
@@ -765,3 +606,28 @@ class BaseMethod:
         return method.build(
             train_data=train_data, test_data=test_data, val_data=val_data
         )
+
+
+def _modality_slot(attr, resolve):
+    """Build one typed modality property (see BaseMethod._MODALITY_SLOTS)."""
+    storage = "_" + attr
+
+    def fget(self):
+        return getattr(self, storage, None)
+
+    def fset(self, value):
+        expected = resolve()
+        if value is not None and not isinstance(value, expected):
+            raise ValueError(
+                "the {} modality must be a {}, got {}".format(
+                    attr, expected.__name__, type(value).__name__
+                )
+            )
+        setattr(self, storage, value)
+
+    return property(fget, fset)
+
+
+for _attr, _resolve in BaseMethod._MODALITY_SLOTS.items():
+    setattr(BaseMethod, _attr, _modality_slot(_attr, _resolve))
+del _attr, _resolve

@@ -96,21 +96,21 @@ class PropensityStratifiedEvaluation(BaseMethod):
 
     def _estimate_propensities(self):
         """Item propensity ~ freq^alpha above the power-law cutoff."""
-        item_freq = defaultdict(int)
-        for u, i, r in self.data:
-            item_freq[i] += 1
-
-        freqs = np.array(list(item_freq.values()), dtype="float")
-        alpha, fmin = fit_discrete_powerlaw(freqs)
+        raw_iids, counts = np.unique(
+            [tup[1] for tup in self.data], return_counts=True
+        )
+        alpha, fmin = fit_discrete_powerlaw(counts.astype(np.float64))
 
         if self.verbose:
             print("Powerlaw exponential estimates: %f, min=%d" % (alpha, fmin))
 
-        for k, v in item_freq.items():
-            if v > fmin:
-                item_freq[k] = pow(v, alpha)
-
-        return item_freq
+        prop = np.where(counts > fmin, counts.astype(np.float64) ** alpha,
+                        counts.astype(np.float64))
+        # defaultdict(int): items never seen get propensity 0, matching
+        # the reference's counter semantics
+        out = defaultdict(int)
+        out.update(zip(raw_iids.tolist(), prop.tolist()))
+        return out
 
     def _split(self):
         data_idx = self.rng.permutation(len(self.data))
@@ -128,28 +128,20 @@ class PropensityStratifiedEvaluation(BaseMethod):
         self._build_stratified_dataset(test_data=test_data)
 
     def _build_stratified_dataset(self, test_data):
+        # equal-width propensity bins over the (slightly widened) range;
+        # bin ids reproduce the reference's digitize-over-arange labels
+        test_props = np.asarray(
+            [self.props[tup[1]] for tup in test_data], dtype=np.float64
+        )
+        lo, hi = test_props.min() * 0.99, test_props.max() * 1.01
+        edges = np.arange(lo, hi, (hi - lo) / self.n_strata)
+        bin_of = np.digitize(test_props, bins=edges)
+
         self.stratified_sets = {}
-
-        test_props = np.array(
-            [self.props[i] for (u, i, r) in test_data], dtype="float"
-        )
-
-        minp = test_props.min() - 0.01 * test_props.min()
-        maxp = test_props.max() + 0.01 * test_props.max()
-        width = (maxp - minp) / self.n_strata
-        strata = np.array(
-            [
-                f"Q{idx}"
-                for idx in np.digitize(x=test_props, bins=np.arange(minp, maxp, width))
-            ]
-        )
-
-        for stratum in sorted(np.unique(strata)):
-            qtest_data = [
-                tup for tup, q in zip(test_data, strata) if q == stratum
-            ]
+        for b in np.unique(bin_of):
+            members = np.flatnonzero(bin_of == b)
             qtest_set = Dataset.build(
-                data=qtest_data,
+                data=[test_data[j] for j in members],
                 fmt=self.fmt,
                 global_uid_map=self.global_uid_map,
                 global_iid_map=self.global_iid_map,
@@ -157,9 +149,12 @@ class PropensityStratifiedEvaluation(BaseMethod):
                 exclude_unknowns=self.exclude_unknowns,
             )
             if self.verbose:
-                print("---")
-                print("Test data ({}): {} ratings".format(stratum, qtest_set.num_ratings))
-            self.stratified_sets[stratum] = qtest_set
+                print(
+                    "---\nTest data (Q{}): {} ratings".format(
+                        b, qtest_set.num_ratings
+                    )
+                )
+            self.stratified_sets[f"Q{b}"] = qtest_set
 
     def _ips_ranking_eval(self, model, metrics, test_set, val_set):
         """IPS-weighted ranking metrics: each positive contributes with
@@ -227,21 +222,14 @@ class PropensityStratifiedEvaluation(BaseMethod):
     def _eval(self, model, test_set, val_set, user_based, props=None):
         from .base_method import ranking_eval
 
-        metric_avg_results = OrderedDict()
-        metric_user_results = OrderedDict()
-
-        avg_results, user_results = rating_eval(
+        rat_avg, rat_user = rating_eval(
             model=model,
             metrics=self.rating_metrics,
             test_set=test_set,
             user_based=user_based,
         )
-        for i, mt in enumerate(self.rating_metrics):
-            metric_avg_results[mt.name] = avg_results[i]
-            metric_user_results[mt.name] = user_results[i]
-
         if props is None:
-            avg_results, user_results = ranking_eval(
+            rank_avg, rank_user = ranking_eval(
                 model=model,
                 metrics=self.ranking_metrics,
                 train_set=self.train_set,
@@ -252,17 +240,20 @@ class PropensityStratifiedEvaluation(BaseMethod):
                 verbose=self.verbose,
             )
         else:
-            avg_results, user_results = self._ips_ranking_eval(
+            rank_avg, rank_user = self._ips_ranking_eval(
                 model=model,
                 metrics=self.ranking_metrics,
                 test_set=test_set,
                 val_set=val_set,
             )
-        for i, mt in enumerate(self.ranking_metrics):
-            metric_avg_results[mt.name] = avg_results[i]
-            metric_user_results[mt.name] = user_results[i]
-
-        return Result(model.name, metric_avg_results, metric_user_results)
+        names = [
+            mt.name for mt in self.rating_metrics + self.ranking_metrics
+        ]
+        return Result(
+            model.name,
+            OrderedDict(zip(names, rat_avg + rank_avg)),
+            OrderedDict(zip(names, rat_user + rank_user)),
+        )
 
     def evaluate(self, model, metrics, user_based, show_validation=True):
         result = PSTResult(model.name)

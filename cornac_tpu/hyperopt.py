@@ -7,8 +7,6 @@ inner evaluations go through the batched device eval harness, so each trial
 is as fast as a normal fit+eval.
 """
 
-from itertools import product
-
 import numpy as np
 
 from .eval_methods import ranking_eval, rating_eval
@@ -23,7 +21,9 @@ __all__ = ["Discrete", "Continuous", "GridSearch", "RandomSearch"]
 
 
 class SearchDomain:
-    """Named parameter domain."""
+    """Named parameter domain; subclasses say how to enumerate/sample."""
+
+    grid_capable = False
 
     def __init__(self, name):
         self.name = name
@@ -35,12 +35,17 @@ class SearchDomain:
 class Discrete(SearchDomain):
     """Finite set of candidate values."""
 
+    grid_capable = True
+
     def __init__(self, name, values):
         super().__init__(name=name)
-        self.values = values
+        self.values = tuple(values)
 
     def _sample(self, rng):
-        return rng.choice(self.values)
+        return self.values[rng.randint(len(self.values))]
+
+    def grid_points(self):
+        return sorted(self.values)
 
 
 class Continuous(SearchDomain):
@@ -48,11 +53,10 @@ class Continuous(SearchDomain):
 
     def __init__(self, name, low=0.0, high=1.0):
         super().__init__(name=name)
-        self.low = low
-        self.high = high
+        self.low, self.high = low, high
 
     def _sample(self, rng):
-        return rng.uniform(low=self.low, high=self.high)
+        return self.low + (self.high - self.low) * rng.random_sample()
 
 
 class BaseSearch(Recommender):
@@ -127,20 +131,21 @@ class BaseSearch(Recommender):
             )
         return self
 
-    def transform(self, test_set):
-        return self.best_model.transform(test_set)
+    # after fit, the wrapper IS the best model: the whole scoring
+    # surface delegates (generated below, one line per protocol method)
 
-    def score(self, user_idx, *args, **kwargs):
-        return self.best_model.score(user_idx, *args, **kwargs)
 
-    def score_batch(self, user_indices):
-        return self.best_model.score_batch(user_indices)
+def _delegate_to_best(method):
+    def call(self, *args, **kwargs):
+        return getattr(self.best_model, method)(*args, **kwargs)
 
-    def score_pairs(self, user_indices, item_indices):
-        return self.best_model.score_pairs(user_indices, item_indices)
+    call.__name__ = method
+    return call
 
-    def rank(self, user_idx, item_indices=None, k=-1, **kwargs):
-        return self.best_model.rank(user_idx, item_indices, k, **kwargs)
+
+for _m in ("transform", "score", "score_batch", "score_pairs", "rank"):
+    setattr(BaseSearch, _m, _delegate_to_best(_m))
+del _m
 
 
 class GridSearch(BaseSearch):
@@ -157,21 +162,23 @@ class GridSearch(BaseSearch):
 
     @staticmethod
     def _validate(space):
-        for domain in space:
-            if not isinstance(domain, Discrete):
-                raise ValueError(
-                    "GridSearch requires every domain to be Discrete; "
-                    "'{}' is not (RandomSearch handles Continuous "
-                    "domains)".format(domain.name)
-                )
+        bad = [d.name for d in space if not d.grid_capable]
+        if bad:
+            raise ValueError(
+                "GridSearch requires every domain to be Discrete; "
+                "{} are not (RandomSearch handles Continuous "
+                "domains)".format(bad)
+            )
         return space
 
     def _build_param_set(self):
-        keys = [d.name for d in self.space]
-        return [
-            dict(zip(keys, params))
-            for params in product(*[sorted(d.values) for d in self.space])
-        ]
+        axes = [(d.name, d.grid_points()) for d in self.space]
+        points = [{}]
+        for name_, values in axes:
+            points = [
+                {**pt, name_: v} for pt in points for v in values
+            ]
+        return points
 
 
 class RandomSearch(BaseSearch):
