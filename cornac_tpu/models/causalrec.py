@@ -44,6 +44,7 @@ class CausalRec(Recommender):
         verbose=True,
         init_params=None,
         seed=None,
+        mesh=None,
     ):
         super().__init__(name=name, trainable=trainable, verbose=verbose)
         self.k = k
@@ -59,6 +60,7 @@ class CausalRec(Recommender):
         self.lambda_2 = lambda_2
         self.use_gpu = use_gpu  # API parity
         self.seed = seed
+        self.mesh = mesh
         self.init_params = {} if init_params is None else init_params
 
     def _visual(self, params, feat, which):
@@ -131,6 +133,8 @@ class CausalRec(Recommender):
         membership = build_membership(train_set.csr_matrix)
         n = len(rid)
         bsz = min(self.batch_size, n)
+        if self.mesh is not None:
+            bsz = max(self.mesh.size, bsz - bsz % self.mesh.size)
         n_batches = (n + bsz - 1) // bsz
         num_items = train_set.num_items
         F_d = jnp.asarray(F)
@@ -184,6 +188,21 @@ class CausalRec(Recommender):
         optimizer = optax.adam(self.learning_rate)
         opt_state = optimizer.init(params)
 
+        # data-parallel over the mesh: params/opt/features/streams
+        # replicated, per-step triplet minibatch sharded (GSPMD psums)
+        batch_shard = None
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            from ..parallel import replicate_all
+
+            batch_shard = NamedSharding(
+                self.mesh, P(tuple(self.mesh.axis_names))
+            )
+            params, opt_state, rid_d, cid_d, membership, F_d = replicate_all(
+                self.mesh, params, opt_state, rid_d, cid_d, membership, F_d
+            )
+
         @partial(jax.jit, donate_argnums=(0, 1))
         def run_epochs(params, opt_state, key, n_epochs, epoch_offset):
             def epoch(e, carry):
@@ -202,6 +221,11 @@ class CausalRec(Recommender):
                     sl = lambda a: jax.lax.dynamic_slice(a, (b * bsz,), (bsz,))
                     u, i, j = sl(users), sl(pos), sl(negs)
                     m = sl(valid).astype(jnp.float32)
+                    if batch_shard is not None:
+                        u, i, j, m = (
+                            jax.lax.with_sharding_constraint(x, batch_shard)
+                            for x in (u, i, j, m)
+                        )
                     loss, grads = jax.value_and_grad(loss_fn)(params, u, i, j, m)
                     updates, opt_state = optimizer.update(grads, opt_state, params)
                     params = optax.apply_updates(params, updates)

@@ -141,6 +141,7 @@ class CVAECF(Recommender):
         verbose=False,
         seed=None,
         use_gpu=False,
+        mesh=None,
     ):
         Recommender.__init__(self, name=name, trainable=trainable, verbose=verbose)
         self.z_dim = z_dim
@@ -157,6 +158,7 @@ class CVAECF(Recommender):
         self.alpha_1 = alpha_1
         self.alpha_2 = alpha_2
         self.seed = seed
+        self.mesh = mesh
         self.use_gpu = use_gpu
 
         if self.likelihood not in LIKELIHOODS:
@@ -202,6 +204,8 @@ class CVAECF(Recommender):
         Y = (self.r_mat > 0).astype(np.float32).toarray()
         Xs = np.asarray(self.u_adj_mat.todense(), dtype=np.float32)
         bsz = min(self.batch_size, n_users)
+        if self.mesh is not None:
+            bsz = max(self.mesh.size, bsz - bsz % self.mesh.size)
         n_pad = (-n_users) % bsz
         if n_pad:
             Y = np.concatenate([Y, np.zeros((n_pad, n_items), np.float32)])
@@ -219,6 +223,9 @@ class CVAECF(Recommender):
                     params, opt_state, loss_sum = carry
                     y = jax.lax.dynamic_slice(Y_d, (b * bsz, 0), (bsz, n_items))
                     x = jax.lax.dynamic_slice(X_d, (b * bsz, 0), (bsz, n_users))
+                    if batch_shard is not None:
+                        y = jax.lax.with_sharding_constraint(y, batch_shard)
+                        x = jax.lax.with_sharding_constraint(x, batch_shard)
                     loss, grads = jax.value_and_grad(_cvae_loss)(
                         params, y, x, jax.random.fold_in(ekey, b),
                         act, likelihood, beta, alpha_1, alpha_2,
@@ -237,6 +244,21 @@ class CVAECF(Recommender):
 
         key = jax.random.PRNGKey(rng.randint(2**31))
         Y_d, X_d = jnp.asarray(Y), jnp.asarray(Xs)
+
+        # data-parallel over the mesh: params/opt/rating/social matrices
+        # replicated, each step's user batch sharded (GSPMD psums grads)
+        batch_shard = None
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            from ..parallel import replicate_all
+
+            batch_shard = NamedSharding(
+                self.mesh, P(tuple(self.mesh.axis_names), None)
+            )
+            self.params, opt_state, Y_d, X_d = replicate_all(
+                self.mesh, self.params, opt_state, Y_d, X_d
+            )
 
         def run_chunk(state, start, e):
             params, opt_state, loss_sum = run_epochs(

@@ -168,6 +168,7 @@ class DMRL(Recommender):
         verbose=False,
         log_metrics=False,
         seed=None,
+        mesh=None,
     ):
         super().__init__(name=name, trainable=trainable, verbose=verbose)
         self.batch_size = batch_size
@@ -183,6 +184,7 @@ class DMRL(Recommender):
         self.num_factors = num_factors
         self.log_metrics = log_metrics
         self.seed = seed
+        self.mesh = mesh
         if embedding_dim % num_factors != 0:
             raise ValueError("embedding_dim must be divisible by num_factors")
         if num_factors == 1:
@@ -254,6 +256,8 @@ class DMRL(Recommender):
         uid_d = jnp.asarray(uid, jnp.int32)
         iid_d = jnp.asarray(iid, jnp.int32)
         bsz = min(self.batch_size, n)
+        if self.mesh is not None:
+            bsz = max(self.mesh.size, bsz - bsz % self.mesh.size)
         n_total = n + ((-n) % bsz)
         n_batches = n_total // bsz
         num_neg = self.num_neg
@@ -296,6 +300,21 @@ class DMRL(Recommender):
         )
         opt_state = opt.init(params)
 
+        # data-parallel over the mesh: params/opt/modality tensors
+        # replicated, each step's interaction minibatch sharded
+        batch_shard = None
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            from ..parallel import replicate_all
+
+            batch_shard = NamedSharding(
+                self.mesh, P(tuple(self.mesh.axis_names))
+            )
+            params, opt_state, uid_d, iid_d, text_d, image_d = replicate_all(
+                self.mesh, params, opt_state, uid_d, iid_d, text_d, image_d
+            )
+
         @partial(jax.jit, donate_argnums=(0, 1))
         def run_epochs(params, opt_state, key, n_epochs, epoch_offset):
             def epoch(e, carry):
@@ -307,6 +326,8 @@ class DMRL(Recommender):
                 def step(b, carry):
                     params, opt_state, loss_sum = carry
                     idx = jax.lax.dynamic_slice(perm, (b * bsz,), (bsz,))
+                    if batch_shard is not None:
+                        idx = jax.lax.with_sharding_constraint(idx, batch_shard)
                     loss, grads = jax.value_and_grad(loss_fn)(
                         params, idx, jax.random.fold_in(ekey, b)
                     )

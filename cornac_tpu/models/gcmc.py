@@ -131,6 +131,7 @@ class GCMC(Recommender):
         trainable=True,
         verbose=False,
         seed=None,
+        mesh=None,
     ):
         super().__init__(name=name, trainable=trainable, verbose=verbose)
         self.max_iter = max_iter
@@ -150,6 +151,7 @@ class GCMC(Recommender):
         self.train_decay_patience = train_decay_patience
         self.train_lr_decay_factor = train_lr_decay_factor
         self.seed = seed
+        self.mesh = mesh
         if gcn_agg_accum not in ("stack", "sum"):
             raise ValueError("gcn_agg_accum must be 'stack' or 'sum'")
 
@@ -204,7 +206,45 @@ class GCMC(Recommender):
             raise ValueError("Unknown optimizer: {}".format(self.optimizer))
 
         graph = self.graph
+        if self.mesh is not None:
+            # edge parallelism: the rating edges shard over the data axis.
+            # Padding edges carry label == n_ratings, which no per-rating
+            # message gate matches (lab == r is False for every r), so the
+            # encoder ignores them; the loss masks them out via edge_w.
+            from ..parallel import replicate_all, shard_batch
+
+            pad_e = (-int(graph["edge_u"].shape[0])) % self.mesh.size
+            ew = jnp.concatenate(
+                [
+                    jnp.ones(graph["edge_u"].shape[0], jnp.float32),
+                    jnp.zeros(pad_e, jnp.float32),
+                ]
+            )
+            if pad_e:
+                graph = dict(
+                    graph,
+                    edge_u=jnp.concatenate(
+                        [graph["edge_u"], jnp.zeros(pad_e, jnp.int32)]
+                    ),
+                    edge_i=jnp.concatenate(
+                        [graph["edge_i"], jnp.zeros(pad_e, jnp.int32)]
+                    ),
+                    edge_label=jnp.concatenate(
+                        [
+                            graph["edge_label"],
+                            jnp.full(pad_e, n_ratings, jnp.int32),
+                        ]
+                    ),
+                )
+            graph["edge_u"] = shard_batch(self.mesh, graph["edge_u"])
+            graph["edge_i"] = shard_batch(self.mesh, graph["edge_i"])
+            graph["edge_label"] = shard_batch(self.mesh, graph["edge_label"])
+            graph["edge_w"] = shard_batch(self.mesh, ew)
+            for k_ in ("ci_u", "cj_u", "ci_i", "cj_i"):
+                graph[k_] = replicate_all(self.mesh, graph[k_])
+            self.params = replicate_all(self.mesh, self.params)
         pu, pi, lab = graph["edge_u"], graph["edge_i"], graph["edge_label"]
+        edge_w = graph.get("edge_w")
         n_ratings_s = n_ratings
         agg_accum = self.gcn_agg_accum
         dropout = self.gcn_dropout
@@ -215,10 +255,14 @@ class GCMC(Recommender):
             ufeat, ifeat = _encode(
                 params, graph, act, n_ratings_s, agg_accum, dropout, key
             )
+            safe_lab = jnp.minimum(lab, n_ratings_s - 1)
             logits = _decode_pairs(params, ufeat, ifeat, pu, pi)
-            return jnp.mean(
-                optax.softmax_cross_entropy_with_integer_labels(logits, lab)
+            ce = optax.softmax_cross_entropy_with_integer_labels(
+                logits, safe_lab
             )
+            if edge_w is None:
+                return jnp.mean(ce)
+            return jnp.sum(ce * edge_w) / jnp.sum(edge_w)
 
         @jax.jit
         def valid_rmse(params, vu, vi, vr):

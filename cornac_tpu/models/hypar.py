@@ -103,6 +103,7 @@ class HypAR(Recommender):
         debug=False,
         trainable=True,
         seed=None,
+        mesh=None,
     ):
         super().__init__(name=name, trainable=trainable, verbose=verbose)
         if objective not in ("ranking", "rating"):
@@ -160,6 +161,7 @@ class HypAR(Recommender):
         self.embedding_type = embedding_type
         self.debug = debug
         self.seed = seed
+        self.mesh = mesh
 
     # -------------------------------------------------------- data prep
     def _stem_maps(self, sentiment):
@@ -586,6 +588,8 @@ class HypAR(Recommender):
         esid = jnp.asarray(self.edge_sid)
         n_edges = len(self.edge_u)
         bsz = min(self.batch_size, n_edges)
+        if self.mesh is not None:
+            bsz = max(self.mesh.size, bsz - bsz % self.mesh.size)
         n_total = n_edges + ((-n_edges) % bsz)
         n_batches = n_total // bsz
         n_neg = self.num_neg_samples
@@ -642,6 +646,19 @@ class HypAR(Recommender):
         opt = optax.adamw(self.learning_rate, weight_decay=self.weight_decay)
         opt_state = opt.init(params)
 
+        # data-parallel over the mesh: params/opt replicated, each step's
+        # edge minibatch sharded (GSPMD psums the gradients)
+        batch_shard = None
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            from ..parallel import replicate_all
+
+            batch_shard = NamedSharding(
+                self.mesh, P(tuple(self.mesh.axis_names))
+            )
+            params, opt_state = replicate_all(self.mesh, params, opt_state)
+
         @partial(jax.jit, donate_argnums=(0, 1))
         def run_epoch(params, opt_state, key):
             perm = jax.random.permutation(key, n_total) % n_edges
@@ -649,6 +666,8 @@ class HypAR(Recommender):
             def step(b, carry):
                 params, opt_state, loss_sum = carry
                 idx = jax.lax.dynamic_slice(perm, (b * bsz,), (bsz,))
+                if batch_shard is not None:
+                    idx = jax.lax.with_sharding_constraint(idx, batch_shard)
                 loss, grads = jax.value_and_grad(loss_fn)(
                     params, idx, jax.random.fold_in(key, b)
                 )

@@ -56,6 +56,7 @@ class _TripletEmbedBase(Recommender, ANNMixin):
         verbose=False,
         init_params=None,
         seed=None,
+        mesh=None,
     ):
         Recommender.__init__(self, name=name, trainable=trainable, verbose=verbose)
         self.k = k
@@ -64,6 +65,7 @@ class _TripletEmbedBase(Recommender, ANNMixin):
         self.lamda = lamda
         self.batch_size = batch_size
         self.seed = seed
+        self.mesh = mesh
 
         self.init_params = {} if init_params is None else init_params
         self.U = self.init_params.get("U", None)
@@ -85,6 +87,8 @@ class _TripletEmbedBase(Recommender, ANNMixin):
         membership = build_membership(train_set.csr_matrix)
         n = len(rid)
         bsz = min(self.batch_size, n)
+        if self.mesh is not None:
+            bsz = max(self.mesh.size, bsz - bsz % self.mesh.size)
         n_batches = (n + bsz - 1) // bsz
         num_items = train_set.num_items
         lamda = self.lamda
@@ -94,6 +98,21 @@ class _TripletEmbedBase(Recommender, ANNMixin):
         params = {"U": jnp.asarray(self.U), "V": jnp.asarray(self.V)}
         optimizer = optax.adam(self.learning_rate)
         opt_state = optimizer.init(params)
+
+        # data-parallel over the mesh: params/opt/streams replicated, the
+        # per-step triplet minibatch sharded; GSPMD psums the gradients
+        batch_shard = None
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            from ..parallel import replicate_all
+
+            batch_shard = NamedSharding(
+                self.mesh, P(tuple(self.mesh.axis_names))
+            )
+            params, opt_state, rid_d, cid_d, membership = replicate_all(
+                self.mesh, params, opt_state, rid_d, cid_d, membership
+            )
 
         def loss_fn(params, u, i, j, m):
             pu, vi, vj = params["U"][u], params["V"][i], params["V"][j]
@@ -121,6 +140,11 @@ class _TripletEmbedBase(Recommender, ANNMixin):
                     sl = lambda a: jax.lax.dynamic_slice(a, (b * bsz,), (bsz,))
                     u, i, j = sl(users), sl(pos), sl(negs)
                     m = sl(valid).astype(jnp.float32)
+                    if batch_shard is not None:
+                        u, i, j, m = (
+                            jax.lax.with_sharding_constraint(x, batch_shard)
+                            for x in (u, i, j, m)
+                        )
                     loss, grads = jax.value_and_grad(loss_fn)(params, u, i, j, m)
                     if not update_items:
                         grads = {"U": grads["U"], "V": jnp.zeros_like(grads["V"])}
@@ -214,11 +238,12 @@ class IBPR(_TripletEmbedBase):
         verbose=False,
         init_params=None,
         seed=None,
+        mesh=None,
     ):
         super().__init__(
             name=name, k=k, max_iter=max_iter, learning_rate=learning_rate,
             lamda=lamda, batch_size=batch_size, trainable=trainable,
-            verbose=verbose, init_params=init_params, seed=seed,
+            verbose=verbose, init_params=init_params, seed=seed, mesh=mesh,
         )
 
 
@@ -240,11 +265,12 @@ class OnlineIBPR(_TripletEmbedBase):
         verbose=False,
         init_params=None,
         seed=None,
+        mesh=None,
     ):
         super().__init__(
             name=name, k=k, max_iter=max_iter, learning_rate=learning_rate,
             lamda=lamda, batch_size=batch_size, trainable=trainable,
-            verbose=verbose, init_params=init_params, seed=seed,
+            verbose=verbose, init_params=init_params, seed=seed, mesh=mesh,
         )
 
 
@@ -265,9 +291,10 @@ class COE(_TripletEmbedBase):
         verbose=False,
         init_params=None,
         seed=None,
+        mesh=None,
     ):
         super().__init__(
             name=name, k=k, max_iter=max_iter, learning_rate=learning_rate,
             lamda=lamda, batch_size=batch_size, trainable=trainable,
-            verbose=verbose, init_params=init_params, seed=seed,
+            verbose=verbose, init_params=init_params, seed=seed, mesh=mesh,
         )

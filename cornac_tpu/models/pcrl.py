@@ -138,6 +138,7 @@ class PCRL(Recommender, ANNMixin):
         w_determinist=True,
         init_params=None,
         seed=None,
+        mesh=None,
     ):
         Recommender.__init__(self, name=name, trainable=trainable, verbose=verbose)
         self.k = k
@@ -147,6 +148,7 @@ class PCRL(Recommender, ANNMixin):
         self.learning_rate = learning_rate
         self.w_determinist = w_determinist
         self.seed = seed
+        self.mesh = mesh
 
         self.init_params = {} if init_params is None else init_params
         self.Theta = self.init_params.get("Theta", None)
@@ -189,6 +191,8 @@ class PCRL(Recommender, ANNMixin):
         opt_state = optimizer.init(params)
 
         bsz = min(self.batch_size, d)
+        if self.mesh is not None:
+            bsz = max(self.mesh.size, bsz - bsz % self.mesh.size)
         n_pad = (-d) % bsz
         C_pad = np.concatenate(
             [C_np, np.zeros((n_pad, c_dim), np.float32)]
@@ -196,6 +200,28 @@ class PCRL(Recommender, ANNMixin):
         n_batches = C_pad.shape[0] // bsz
         C_d = jnp.asarray(C_pad)
         w_det = self.w_determinist
+
+        # mesh: the PF sweep's rating edges shard over the data axis
+        # (val == 0 padding edges have ratio 0 -> exactly inert, same as
+        # HPF's CAVI), the neural phase runs data-parallel over the item
+        # batches; Gamma tables + nets replicate
+        batch_shard2 = None
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            from ..parallel import replicate_all, shard_batch
+
+            pad_e = (-len(train_set.uir_tuple[0])) % self.mesh.size
+            if pad_e:
+                z = lambda a: jnp.concatenate([a, jnp.zeros(pad_e, a.dtype)])
+                rid, cid, val = z(rid), z(cid), z(val)
+            rid, cid, val = (shard_batch(self.mesh, e) for e in (rid, cid, val))
+            batch_shard2 = NamedSharding(
+                self.mesh, P(tuple(self.mesh.axis_names), None)
+            )
+            params, opt_state, G_s, G_r, L_s, L_r, C_d = replicate_all(
+                self.mesh, params, opt_state, G_s, G_r, L_s, L_r, C_d
+            )
 
         @partial(jax.jit, donate_argnums=(0, 1, 2, 3))
         def epoch(params, opt_state, G_s, G_r, L_s, L_r, key):
@@ -209,6 +235,9 @@ class PCRL(Recommender, ANNMixin):
                 params, opt_state, loss_sum = carry
                 Cb = jax.lax.dynamic_slice(C_d, (b * bsz, 0), (bsz, c_dim))
                 Zb = jax.lax.dynamic_slice(Zik_pad, (b * bsz, 0), (bsz, k))
+                if batch_shard2 is not None:
+                    Cb = jax.lax.with_sharding_constraint(Cb, batch_shard2)
+                    Zb = jax.lax.with_sharding_constraint(Zb, batch_shard2)
                 loss, grads = jax.value_and_grad(_elbo_loss)(
                     params, Cb, Zb, Tk[None, :], jax.random.fold_in(key, b),
                     w_det,

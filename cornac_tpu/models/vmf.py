@@ -40,6 +40,7 @@ class VMF(Recommender):
         use_gpu=False,
         init_params=None,
         seed=None,
+        mesh=None,
     ):
         super().__init__(name=name, trainable=trainable, verbose=verbose)
         self.k = k
@@ -54,6 +55,7 @@ class VMF(Recommender):
         self.lambda_e = lambda_e
         self.use_gpu = use_gpu  # API parity
         self.seed = seed
+        self.mesh = mesh
 
         self.init_params = {} if init_params is None else init_params
 
@@ -97,11 +99,28 @@ class VMF(Recommender):
 
         n = len(rid)
         bsz = min(self.batch_size, n)
+        if self.mesh is not None:
+            bsz = max(self.mesh.size, bsz - bsz % self.mesh.size)
         n_batches = (n + bsz - 1) // bsz
         lu, lv, lp, le = self.lambda_u, self.lambda_v, self.lambda_p, self.lambda_e
 
         optimizer = optax.rmsprop(self.learning_rate, decay=self.gamma)
         opt_state = optimizer.init(params)
+
+        # data-parallel over the mesh: params/opt/features/streams
+        # replicated, per-step minibatch sharded (GSPMD psums)
+        batch_shard = None
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            from ..parallel import replicate_all
+
+            batch_shard = NamedSharding(
+                self.mesh, P(tuple(self.mesh.axis_names))
+            )
+            params, opt_state, rid_d, cid_d, rat_d, F_d = replicate_all(
+                self.mesh, params, opt_state, rid_d, cid_d, rat_d, F_d
+            )
 
         def loss_fn(p, u, i, r):
             U_u, V_i, P_u = p["U"][u], p["V"][i], p["P"][u]
@@ -130,6 +149,8 @@ class VMF(Recommender):
                 def step(b, carry):
                     params, opt_state, loss_sum = carry
                     idx = jax.lax.dynamic_slice(perm, (b * bsz,), (bsz,))
+                    if batch_shard is not None:
+                        idx = jax.lax.with_sharding_constraint(idx, batch_shard)
                     u, i, r = rid_d[idx], cid_d[idx], rat_d[idx]
                     loss, grads = jax.value_and_grad(loss_fn)(params, u, i, r)
                     updates, opt_state = optimizer.update(grads, opt_state, params)

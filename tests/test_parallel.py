@@ -775,6 +775,85 @@ def test_mesh_training_matches_single_device_explainable():
         )
 
 
+def test_mesh_training_matches_single_device_misc_tail():
+    """The last mesh-coverage batch: IBPR/OnlineIBPR/COE (angular /
+    euclidean triplets), PCRL (PF sweep + neural item batches), CausalRec/
+    VMF (visual), CVAECF (social VAE), DMRL (multimodal), GCMC
+    (edge-parallel message passing) — all factor-identical to
+    single-device."""
+    import numpy as np
+
+    from cornac_tpu.data import GraphModality, ImageModality, TextModality
+    from cornac_tpu.data.text import BaseTokenizer
+    from cornac_tpu.eval_methods import RatioSplit
+    from cornac_tpu.models import (
+        COE,
+        DMRL,
+        GCMC,
+        IBPR,
+        PCRL,
+        VMF,
+        CausalRec,
+        CVAECF,
+        OnlineIBPR,
+    )
+    from cornac_tpu.parallel import make_mesh
+
+    rng = np.random.RandomState(31)
+    n_items = 40
+    pairs = list({(rng.randint(30), rng.randint(n_items)) for _ in range(400)})
+    data = [(f"u{u}", f"i{i}", float(rng.randint(1, 6))) for u, i in pairs]
+    feats = rng.normal(size=(n_items, 12)).astype(np.float32)
+    image = ImageModality(features=feats, ids=[f"i{x}" for x in range(n_items)])
+    item_edges = list(
+        {(f"i{rng.randint(n_items)}", f"i{rng.randint(n_items)}", 1.0)
+         for _ in range(120)}
+    )
+    user_edges = list(
+        {(f"u{rng.randint(30)}", f"u{rng.randint(30)}", 1.0) for _ in range(90)}
+    )
+    words = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta"]
+    docs = [" ".join(rng.choice(words, size=6).tolist()) for _ in range(n_items)]
+    text = TextModality(
+        corpus=docs, ids=[f"i{x}" for x in range(n_items)],
+        tokenizer=BaseTokenizer(), max_vocab=20,
+    )
+    mesh = make_mesh(data_parallel=8)
+
+    cases = [
+        (IBPR, dict(k=4, max_iter=3, batch_size=16, seed=7), {}),
+        (OnlineIBPR, dict(k=4, max_iter=3, batch_size=16, seed=7), {}),
+        (COE, dict(k=4, max_iter=3, batch_size=16, seed=7), {}),
+        (PCRL, dict(k=4, z_dims=[8], max_iter=3, batch_size=16, seed=7),
+         dict(item_graph=GraphModality(data=item_edges))),
+        (CausalRec, dict(k=4, k2=4, n_epochs=3, batch_size=16, seed=7),
+         dict(item_image=image)),
+        (VMF, dict(k=4, d=4, n_epochs=3, batch_size=16, seed=7),
+         dict(item_image=image)),
+        (CVAECF, dict(z_dim=4, h_dim=4, autoencoder_structure=[8],
+                      n_epochs=3, batch_size=16, seed=7),
+         dict(user_graph=GraphModality(data=user_edges))),
+        (DMRL, dict(embedding_dim=8, num_factors=2, num_neg=4, epochs=3,
+                    batch_size=16, seed=7),
+         dict(item_text=text)),
+        (GCMC, dict(gcn_agg_units=8, gcn_out_units=8, max_iter=5, seed=7),
+         {}),
+    ]
+    for cls, kw, split_kw in cases:
+        rs = RatioSplit(
+            data=data, test_size=0.2, rating_threshold=2.5, seed=123,
+            **split_kw,
+        )
+        plain = cls(verbose=False, **kw).fit(rs.train_set)
+        sharded = cls(verbose=False, mesh=mesh, **kw).fit(rs.train_set)
+        batch = np.arange(8)
+        np.testing.assert_allclose(
+            plain.score_batch(batch), sharded.score_batch(batch),
+            rtol=5e-4, atol=5e-5,
+            err_msg=cls.__name__,
+        )
+
+
 def test_mesh_training_matches_single_device_social_streams():
     """MCF (item net stream) and SoRec (social stream) with row-sharded
     tables + caches must reproduce the single-device factors."""
