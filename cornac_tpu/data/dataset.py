@@ -30,6 +30,18 @@ from scipy.sparse import csc_matrix, csr_matrix, dok_matrix
 from ..utils import estimate_batches, get_rng, validate_format
 
 
+
+def _id_map_kwargs(global_uid_map, global_iid_map):
+    """Constructor kwargs shared by every dataset builder: the global id
+    maps plus the entity counts they imply."""
+    return dict(
+        num_users=len(global_uid_map),
+        num_items=len(global_iid_map),
+        uid_map=global_uid_map,
+        iid_map=global_iid_map,
+    )
+
+
 class Dataset:
     """Preference data with dense user/item indices.
 
@@ -292,13 +304,10 @@ class Dataset:
         )
 
         return cls(
-            num_users=len(global_uid_map),
-            num_items=len(global_iid_map),
-            uid_map=global_uid_map,
-            iid_map=global_iid_map,
             uir_tuple=uir_tuple,
             timestamps=timestamps,
             seed=seed,
+            **_id_map_kwargs(global_uid_map, global_iid_map),
         )
 
     @classmethod
@@ -616,12 +625,9 @@ class BasketDataset(Dataset):
         extra_data = [data[i][4] for i in valid_idx] if fmt == "UBITJson" else None
 
         return cls(
-            num_users=len(global_uid_map),
             num_baskets=len(global_bid_map),
-            num_items=len(global_iid_map),
-            uid_map=global_uid_map,
             bid_map=global_bid_map,
-            iid_map=global_iid_map,
+            **_id_map_kwargs(global_uid_map, global_iid_map),
             uir_tuple=uir_tuple,
             basket_indices=np.asarray(b_indices, dtype="int"),
             timestamps=timestamps,
@@ -806,12 +812,9 @@ class SequentialDataset(Dataset):
         )
 
         return cls(
-            num_users=len(global_uid_map),
             num_sessions=len(set(s_indices)),
-            num_items=len(global_iid_map),
-            uid_map=global_uid_map,
             sid_map=global_sid_map,
-            iid_map=global_iid_map,
+            **_id_map_kwargs(global_uid_map, global_iid_map),
             uir_tuple=uir_tuple,
             session_indices=session_indices,
             timestamps=timestamps,
@@ -919,12 +922,9 @@ class PurchaseViewDataset(Dataset):
         )
 
         full_purchase = Dataset(
-            num_users=len(global_uid_map),
-            num_items=len(global_iid_map),
-            uid_map=global_uid_map,
-            iid_map=global_iid_map,
             uir_tuple=purchase_set.uir_tuple,
             seed=seed,
+            **_id_map_kwargs(global_uid_map, global_iid_map),
         )
         return cls(full_purchase, view_set.matrix)
 

@@ -67,13 +67,10 @@ class Recommender:
         # attributes excluded from saving (bulky data handles)
         self.ignored_attrs = ["train_set", "val_set", "test_set"]
 
-        self.num_users = None
-        self.num_items = None
-        self.uid_map = None
-        self.iid_map = None
-        self.max_rating = None
-        self.min_rating = None
-        self.global_mean = None
+        # train-set statistics captured at fit time (one tuple drives
+        # both the None-init here and the snapshot in fit())
+        for attr in self._DATASET_SNAPSHOT:
+            setattr(self, attr, None)
 
         self.__user_ids = None
         self.__item_ids = None
@@ -226,6 +223,11 @@ class Recommender:
         self._ckpt_cfg = None
         return self
 
+    _DATASET_SNAPSHOT = (
+        "num_users", "num_items", "uid_map", "iid_map",
+        "min_rating", "max_rating", "global_mean",
+    )
+
     def fit(self, train_set, val_set=None):
         """Capture train-set statistics; subclasses call super().fit() first
         and then run their training loop."""
@@ -239,19 +241,11 @@ class Recommender:
         if val_set is not None:
             val_set.reset()
 
-        self.num_users = train_set.num_users
-        self.num_items = train_set.num_items
-        self.uid_map = train_set.uid_map
-        self.iid_map = train_set.iid_map
-        self.min_rating = train_set.min_rating
-        self.max_rating = train_set.max_rating
-        self.global_mean = train_set.global_mean
-
+        for attr in self._DATASET_SNAPSHOT:
+            setattr(self, attr, getattr(train_set, attr))
         self.train_set = train_set
         self.val_set = val_set
-
         self.is_fitted = True
-
         return self
 
     def knows_user(self, user_idx):
@@ -407,14 +401,13 @@ class Recommender:
         )
         item_scores = all_item_scores[item_indices]
 
-        if k != -1:  # partial sort: O(n + k log k)
-            partitioned_idx = np.argpartition(item_scores, -k)
-            top_k_idx = partitioned_idx[-k:]
-            sorted_top_k_idx = top_k_idx[np.argsort(item_scores[top_k_idx])]
-            partitioned_idx[-k:] = sorted_top_k_idx
-            ranked_items = item_indices[partitioned_idx[::-1]]
+        if k != -1:  # partial selection: O(n + k log k), best-first head
+            head = np.argpartition(-item_scores, k - 1)[:k]
+            head = head[np.argsort(-item_scores[head], kind="stable")]
+            tail = np.delete(np.arange(len(item_scores)), np.sort(head))
+            ranked_items = item_indices[np.concatenate([head, tail])]
         else:
-            ranked_items = item_indices[item_scores.argsort()[::-1]]
+            ranked_items = item_indices[np.argsort(-item_scores)]
 
         return ranked_items, item_scores
 
