@@ -71,12 +71,19 @@ def model_specs():
                     n_filters=16, dropout_rate=0.5, max_text_length=50,
                     max_num_review=8, batch_size=64, max_iter=2,
                     seed=SEED, verbose=False)
+    hrdr_kw = dict(embedding_size=32, id_embedding_size=8,
+                   n_factors=8, attention_size=8, kernel_sizes=[3],
+                   n_filters=16, n_user_mlp_factors=16,
+                   n_item_mlp_factors=16, dropout_rate=0.5,
+                   max_text_length=50, max_num_review=8, batch_size=64,
+                   max_iter=2, seed=SEED, verbose=False)
     return {
         # (kwargs, needs) — same kwargs on both sides
         "WMF": (wmf_kw, set()),
         "CDL": (cdl_kw, {"text"}),
         "PCRL": (pcrl_kw, {"graph"}),
         "NARRE": (narre_kw, {"reviews"}),
+        "HRDR": (hrdr_kw, {"reviews"}),
     }
 
 

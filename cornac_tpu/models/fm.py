@@ -337,6 +337,7 @@ class FM(Recommender):
         verbose=True,
         init_params=None,
         seed=None,
+        mesh=None,
     ):
         super().__init__(name=name, trainable=trainable, verbose=verbose)
         self.num_threads = num_threads  # no-op: no host threading on TPU
@@ -353,6 +354,7 @@ class FM(Recommender):
         self.method = method.lower()
         self.batch_size = batch_size
         self.seed = seed
+        self.mesh = mesh
 
         if self.method not in ("sgd", "sgda", "als", "mcmc"):
             raise ValueError("Unknown method: {}".format(method))
@@ -387,14 +389,27 @@ class FM(Recommender):
             self._fit_als(rid, cid_off, val)
         else:
             n = len(rid)
+            w_d, V_d = jnp.asarray(self.w), jnp.asarray(self.V)
+            rid_d = jnp.asarray(rid, dtype=jnp.int32)
+            cid_d = jnp.asarray(cid_off, dtype=jnp.int32)
+            val_d = jnp.asarray(val, dtype=jnp.float32)
+            if self.mesh is not None and self.method in ("sgd", "sgda"):
+                # row-shard the feature tables over the model axis (PMF's
+                # treatment); padded rows are never indexed, sliced below
+                from ..parallel import replicate_all, shard_tables
+
+                w_d, V_d = shard_tables(self.mesh, w_d, V_d)
+                rid_d, cid_d, val_d = replicate_all(
+                    self.mesh, rid_d, cid_d, val_d
+                )
             w0, w, V, _ = _fm_sgd(
                 jnp.float32(self.w0),
-                jnp.asarray(self.w),
-                jnp.asarray(self.V),
+                w_d,
+                V_d,
                 jax.random.PRNGKey(rng.randint(2**31)),
-                jnp.asarray(rid, dtype=jnp.int32),
-                jnp.asarray(cid_off, dtype=jnp.int32),
-                jnp.asarray(val, dtype=jnp.float32),
+                rid_d,
+                cid_d,
+                val_d,
                 jnp.float32(self.learning_rate),
                 (
                     jnp.float32(self.reg0),
@@ -407,6 +422,8 @@ class FM(Recommender):
                 use_v=self.k2 > 0,
                 n_epochs=jnp.int32(self.max_iter),
             )
+            n_feat_ = self.num_users + self.num_items
+            w, V = w[:n_feat_], V[:n_feat_]
             self.w0 = float(w0)
             self.w = np.asarray(w)
             self.V = np.asarray(V)

@@ -367,3 +367,19 @@ class RefDuckModel:
         else:
             ranked_items = item_indices[item_scores.argsort()[::-1]]
         return ranked_items, item_scores
+
+
+def load_ref_next_basket():
+    """Extend ``refcornac`` with the reference's NextBasketEvaluation (for
+    the Beacon head-to-head). Returns the refcornac root."""
+    root = load_ref_tf_models()
+    em = root.eval_methods
+    if hasattr(em, "NextBasketEvaluation"):
+        return root
+    nbe = _load(
+        "refcornac.eval_methods.next_basket_evaluation",
+        os.path.join(REF, "eval_methods/next_basket_evaluation.py"),
+    )
+    em.next_basket_evaluation = nbe
+    em.NextBasketEvaluation = nbe.NextBasketEvaluation
+    return root

@@ -854,6 +854,32 @@ def test_mesh_training_matches_single_device_misc_tail():
         )
 
 
+def test_mesh_training_matches_single_device_fm():
+    """FM's SGD learner with row-sharded feature tables must reproduce
+    the single-device factors."""
+    import numpy as np
+
+    from cornac_tpu.eval_methods import RatioSplit
+    from cornac_tpu.models import FM
+    from cornac_tpu.parallel import make_mesh
+
+    rng = np.random.RandomState(41)
+    data = [
+        (f"u{rng.randint(30)}", f"i{rng.randint(50)}", float(rng.randint(1, 6)))
+        for _ in range(400)
+    ]
+    rs = RatioSplit(data=data, test_size=0.2, rating_threshold=2.5, seed=123)
+    mesh = make_mesh(data_parallel=2)
+    kw = dict(k2=4, max_iter=5, method="sgd", seed=7, verbose=False)
+    plain = FM(**kw).fit(rs.train_set)
+    sharded = FM(mesh=mesh, **kw).fit(rs.train_set)
+    batch = np.arange(8)
+    np.testing.assert_allclose(
+        plain.score_batch(batch), sharded.score_batch(batch),
+        rtol=5e-4, atol=5e-5,
+    )
+
+
 def test_mesh_training_matches_single_device_social_streams():
     """MCF (item net stream) and SoRec (social stream) with row-sharded
     tables + caches must reproduce the single-device factors."""
