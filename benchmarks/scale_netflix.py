@@ -125,7 +125,7 @@ def run_bpr(ds, k=32, epochs=3, batch_size=65536):
     )
 
 
-def run_wmf(ds, k=64, sweeps=2, batch_size=256):
+def run_wmf(ds, k=64, sweeps=4, batch_size=256):
     """batch_size is the per-solve chunk width — a framework knob: at 128
     the sweep is per-chunk-latency-bound (3889 sequential dispatches,
     33 s/sweep measured); 256 halves the chunk count. Larger widths OOM at
@@ -136,7 +136,11 @@ def run_wmf(ds, k=64, sweeps=2, batch_size=256):
     nnz = len(ds.uir_tuple[0])
     # verbose=True chunks per sweep (one device execution each — the
     # tunneled worker kills executions past ~2 min)
-    # distinct seeds per fit — the tunnel memoizes identical executions
+    # distinct seeds per fit (the tunnel memoizes identical executions),
+    # and a WIDE differential: each fit carries ~100 s of host prep +
+    # tunnel transfer whose run-to-run noise swamps a 2-sweep delta
+    # (observed 6.9/13.8/42 s "per sweep" across three 2-sweep runs;
+    # the 4-sweep differential is stable at ~2.5 s)
     kw = dict(k=k, batch_size=batch_size, verbose=True)
     WMF(max_iter=1, seed=1, **kw).fit(ds)
     t0 = time.time()
