@@ -20,9 +20,12 @@ rs = RatioSplit(
     sentiment=SentimentModality(data=sentiment),
 )
 
+# demo-sized iteration budget; the reference example's full-convergence
+# setting on real Amazon data is max_iter=200000 (same fused device
+# loop, just longer) — raise it for a production fit
 lrppm = LRPPM(
     n_factors=8, ld=1.0, reg=0.01, alpha=1.0,
-    n_samples=200, n_ranking_samples=1000, max_iter=200000, lr=0.1,
+    n_samples=200, n_ranking_samples=1000, max_iter=20000, lr=0.1,
     seed=123, verbose=True,
 )
 
