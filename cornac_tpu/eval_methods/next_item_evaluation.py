@@ -51,81 +51,87 @@ def ranking_eval(
     verbose=False,
     batch_size=256,
 ):
-    """Evaluate ranking metrics over test-session prediction positions."""
-    if len(metrics) == 0:
-        return [], []
+    """Evaluate ranking metrics over test-session prediction positions.
 
-    avg_results = []
-    session_results = [defaultdict(list) for _ in enumerate(metrics)]
-    user_results = [defaultdict(list) for _ in enumerate(metrics)]
+    The flat task list (one entry per prediction position) feeds the
+    batched device scorer; per-position metric values are then
+    aggregated by numpy group-by over the grouping key (user or
+    session, depending on the averaging mode)."""
+    if not metrics:
+        return [], []
 
     n_items = train_set.num_items if exclude_unknowns else test_set.num_items
 
-    # collect all prediction positions: (sid, user, history, target)
+    # one flat pass over the test sessions: every prediction position
+    # becomes (group_key, user, history, target)
     tasks = []
-    user_sessions = defaultdict(list)
-    session_ids = []
     for [sid], [mapped_ids], [session_items] in test_set.si_iter(
         batch_size=1, shuffle=False
     ):
         if len(session_items) < 2:  # too short to predict from
             continue
-        user_idx = test_set.uir_tuple[0][mapped_ids[0]]
-        if user_based:
-            user_sessions[user_idx].append(sid)
-        session_ids.append(sid)
+        user_idx = int(test_set.uir_tuple[0][mapped_ids[0]])
+        group = user_idx if user_based else sid
+        first = 1 if mode == "next" else len(session_items) - 1
+        tasks.extend(
+            (group, user_idx, list(session_items[:pos]), session_items[pos])
+            for pos in range(first, len(session_items))
+        )
 
-        start_pos = 1 if mode == "next" else len(session_items) - 1
-        for test_pos in range(start_pos, len(session_items)):
-            tasks.append(
-                (sid, user_idx, list(session_items[:test_pos]), session_items[test_pos])
-            )
-
+    # score + metric every position in device-sized chunks
+    task_groups, values = [], []  # aligned: values[j] is (n_metrics,)
     for start in range(0, len(tasks), batch_size):
         chunk = tasks[start : start + batch_size]
-        users = np.asarray([t[1] for t in chunk])
-        histories = [t[2] for t in chunk]
         targets = np.asarray([t[3] for t in chunk])
-
         scores = _fit_width(
             np.asarray(
-                model.score_history_batch(users, histories), dtype=np.float64
+                model.score_history_batch(
+                    np.asarray([t[1] for t in chunk]),
+                    [t[2] for t in chunk],
+                ),
+                dtype=np.float64,
             ),
             n_items,
         )
 
-        pos_mask = np.zeros((len(chunk), n_items), dtype=bool)
-        in_range = targets < n_items
-        pos_mask[np.flatnonzero(in_range), targets[in_range]] = True
-        keep = pos_mask.any(axis=1)
-        if not keep.any():
+        usable = np.flatnonzero(targets < n_items)
+        if not len(usable):
             continue
+        pos_mask = np.zeros((len(usable), n_items), dtype=bool)
+        pos_mask[np.arange(len(usable)), targets[usable]] = True
         cand_mask = np.ones_like(pos_mask)
+        ctx = RankingContext(scores[usable], pos_mask, cand_mask)
+        per_metric = np.stack(
+            [np.asarray(mt.batch_compute(ctx), dtype=float) for mt in metrics]
+        )  # (n_metrics, n_usable)
+        task_groups.extend(chunk[j][0] for j in usable)
+        values.append(per_metric)
 
-        ctx = RankingContext(
-            np.where(cand_mask, scores, -np.inf)[keep],
-            pos_mask[keep],
-            cand_mask[keep],
-        )
-        kept_idx = np.flatnonzero(keep)
-        for i, mt in enumerate(metrics):
-            values = mt.batch_compute(ctx)
-            for local, v in zip(kept_idx, values):
-                sid, user_idx = chunk[local][0], chunk[local][1]
-                if user_based:
-                    user_results[i][user_idx].append(float(v))
-                else:
-                    session_results[i][sid].append(float(v))
+    if not values:
+        nan = float("nan")
+        return [nan] * len(metrics), [defaultdict(list) for _ in metrics]
 
-    for i, mt in enumerate(metrics):
+    values = np.concatenate(values, axis=1)  # (n_metrics, n_positions)
+    group_arr = np.asarray(task_groups)
+    uniq, inverse = np.unique(group_arr, return_inverse=True)
+    counts = np.bincount(inverse).astype(float)
+
+    avg_results = []
+    per_user = []
+    for mi in range(len(metrics)):
+        bucket = defaultdict(list)
         if user_based:
-            user_ids = list(user_sessions.keys())
-            user_avg = [np.mean(user_results[i][u]) for u in user_ids]
-            avg_results.append(np.mean(user_avg) if user_avg else float("nan"))
+            # mean over users of each user's per-position mean
+            sums = np.bincount(inverse, weights=values[mi])
+            avg_results.append(float((sums / counts).mean()))
+            for g, v in zip(group_arr.tolist(), values[mi].tolist()):
+                bucket[g].append(v)
         else:
-            flat = [s for sid in session_ids for s in session_results[i][sid]]
-            avg_results.append(np.mean(flat) if flat else float("nan"))
-    return avg_results, user_results
+            # plain mean over positions; per-user results stay empty in
+            # session-averaged mode (as in the per-user protocol contract)
+            avg_results.append(float(values[mi].mean()))
+        per_user.append(bucket)
+    return avg_results, per_user
 
 
 class NextItemEvaluation(BaseMethod):
