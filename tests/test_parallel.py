@@ -195,6 +195,44 @@ class TestPallasRanking:
         assert i.shape == (3, 50)
         assert len(set(np.asarray(i)[0].tolist())) == 50  # all items, no dupes
 
+    def test_bf16_mode_agrees_with_f32(self):
+        from cornac_tpu.ops.pallas_ranking import fused_topk
+
+        U, V, b, k = self._data(B=8, N=400, bias=True)
+        s32, i32 = fused_topk(U, V, k, bias=b, force="xla")
+        s16, i16 = fused_topk(U, V, k, bias=b, force="xla", precision="bf16")
+        # bf16 operands + f32 accumulation: near-ties may swap, so the
+        # contract is high set overlap + close scores (exact agreement
+        # was measured at Netflix shape, benchmarks/serving_netflix.py)
+        overlap = np.mean(
+            [
+                len(set(a.tolist()) & set(b_.tolist())) / k
+                for a, b_ in zip(np.asarray(i16), np.asarray(i32))
+            ]
+        )
+        assert overlap >= 0.9, overlap
+        np.testing.assert_allclose(
+            np.asarray(s16), np.asarray(s32), rtol=2e-2, atol=2e-2
+        )
+
+    def test_recall_target_mode_contract(self):
+        from cornac_tpu.ops.pallas_ranking import fused_topk
+
+        U, V, b, k = self._data(B=8, N=400, bias=True)
+        s32, i32 = fused_topk(U, V, k, bias=b, force="xla")
+        sa, ia = fused_topk(
+            U, V, k, bias=b, force="xla", recall_target=0.9
+        )
+        assert ia.shape == (8, k)
+        # measured recall against the exact selection must clear the target
+        recall = np.mean(
+            [
+                len(set(a.tolist()) & set(b_.tolist())) / k
+                for a, b_ in zip(np.asarray(ia), np.asarray(i32))
+            ]
+        )
+        assert recall >= 0.9
+
 
 def test_bpr_mesh_training_matches_single_device():
     """BPR(mesh=...) row-shards the tables under GSPMD; the math is the
