@@ -70,6 +70,36 @@ class TestMembership:
         # n_items % 32 != 0: per-row padding bits must never read as set
         self._check(53, 45, 0.1, 1)
 
+    def test_btree_degree_cap_falls_back_to_csr(self):
+        """A user with degree beyond the 2-level b+tree cap (64*63) must
+        push the builder to the CSR binary search."""
+        import scipy.sparse as sp
+
+        from cornac_tpu.ops.membership import build_membership
+
+        n_items = 5000
+        r = np.zeros(4100, np.int64)  # one mega-user, degree 4100 > 4032
+        c = np.arange(4100, dtype=np.int64)
+        M = sp.csr_matrix(
+            (np.ones(len(r), np.float32), (r, c)), shape=(3, n_items)
+        )
+        m = build_membership(M, bitmap_max_bytes=0)
+        assert m.kind == "csr"
+        # and just under the cap builds the btree
+        M2 = sp.csr_matrix(
+            (np.ones(4000, np.float32), (r[:4000], c[:4000])),
+            shape=(3, n_items),
+        )
+        m2 = build_membership(M2, bitmap_max_bytes=0)
+        assert m2.kind == "btree"
+        import jax.numpy as jnp
+
+        q_u = jnp.asarray([0, 0, 1], jnp.int32)
+        q_i = jnp.asarray([3999, 4000, 0], jnp.int32)
+        np.testing.assert_array_equal(
+            np.asarray(m2.query(q_u, q_i)), [True, False, False]
+        )
+
     def test_beyond_int32_cells(self):
         # 80k x 33k = 2.6G dense cells (> 2^31): the flat-key bitmap would
         # overflow int32; the row-major word index must not
