@@ -35,12 +35,24 @@ def rmsprop_stream_epoch(
     model val ~ sigmoid(A[row] . B[col]) (or the identity link)."""
     eps = 1e-8
     n_batches = perm.shape[0] // batch_size
+    # fast-row-gather layout (see bpr._bpr_epochs): pad the four
+    # row-addressed tables to 256-byte-multiple widths; padded columns
+    # stay exactly zero (zero grads -> zero cache -> zero updates)
+    k = A.shape[1]
+    pad_cols = (-k) % 64
+    if pad_cols:
+        pc = ((0, 0), (0, pad_cols))
+        A, B = jnp.pad(A, pc), jnp.pad(B, pc)
+        cache_a, cache_b = jnp.pad(cache_a, pc), jnp.pad(cache_b, pc)
+    # one (n, 2) row gather per draw instead of two thin gathers
+    pairs = jnp.stack([rows, cols], axis=1)
 
     def body(b, carry):
         A, B, cache_a, cache_b, loss = carry
         idx = jax.lax.dynamic_slice(perm, (b * batch_size,), (batch_size,))
         m = jax.lax.dynamic_slice(mask, (b * batch_size,), (batch_size,))
-        r, c, v = rows[idx], cols[idx], vals[idx]
+        pr = pairs[idx]
+        r, c, v = pr[:, 0], pr[:, 1], vals[idx]
         pa, pb = A[r], B[c]
         s = jnp.sum(pa * pb, axis=1)
         if non_linear:
@@ -67,9 +79,13 @@ def rmsprop_stream_epoch(
         B = B.at[c].add(lr_b * gb / (jnp.sqrt(cb) + eps) * m[:, None])
         return A, B, cache_a, cache_b, loss
 
-    return jax.lax.fori_loop(
+    A, B, cache_a, cache_b, loss = jax.lax.fori_loop(
         0, n_batches, body, (A, B, cache_a, cache_b, jnp.float32(0.0))
     )
+    if pad_cols:
+        A, B = A[:, :k], B[:, :k]
+        cache_a, cache_b = cache_a[:, :k], cache_b[:, :k]
+    return A, B, cache_a, cache_b, loss
 
 
 def run_stream_epoch(
