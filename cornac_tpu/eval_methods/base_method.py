@@ -74,36 +74,43 @@ def rating_eval(model, metrics, test_set, user_based=False, verbose=False):
     ``model.rate_batch`` call instead of the reference's per-triplet Python
     generator (``base_method.py:70-83``).
     """
-    if len(metrics) == 0:
+    if not metrics:
         return [], []
-
-    avg_results = []
-    user_results = []
 
     (u_indices, i_indices, r_values) = test_set.uir_tuple
     r_preds = np.asarray(
         model.rate_batch(u_indices, i_indices), dtype="float"
     )
 
+    groups = None
+    if user_based:
+        # one stable sort shared by every metric: slices of `order` are
+        # each user's test positions
+        order = np.argsort(u_indices, kind="stable")
+        sorted_u = u_indices[order]
+        cuts = np.flatnonzero(np.diff(sorted_u)) + 1
+        groups = [
+            (int(sorted_u[s]), order[s:e])
+            for s, e in zip(
+                np.concatenate(([0], cuts)),
+                np.concatenate((cuts, [len(sorted_u)])),
+            )
+        ]
+
+    avg_results, user_results = [], []
     for mt in metrics:
-        if user_based:
-            # group squared/absolute errors by user
-            order = np.argsort(u_indices, kind="stable")
-            sorted_u = u_indices[order]
-            boundaries = np.flatnonzero(np.diff(sorted_u)) + 1
-            group_starts = np.concatenate(([0], boundaries))
-            group_ends = np.concatenate((boundaries, [len(sorted_u)]))
-            per_user = {}
-            for s, e in zip(group_starts, group_ends):
-                idx = order[s:e]
-                per_user[int(sorted_u[s])] = mt.compute(
-                    gt_ratings=r_values[idx], pd_ratings=r_preds[idx]
-                ).item()
-            user_results.append(per_user)
-            avg_results.append(sum(per_user.values()) / len(per_user))
-        else:
+        if groups is None:
             user_results.append({})
             avg_results.append(mt.compute(gt_ratings=r_values, pd_ratings=r_preds))
+            continue
+        by_user = {
+            uid: mt.compute(
+                gt_ratings=r_values[idx], pd_ratings=r_preds[idx]
+            ).item()
+            for uid, idx in groups
+        }
+        user_results.append(by_user)
+        avg_results.append(sum(by_user.values()) / len(by_user))
 
     return avg_results, user_results
 
@@ -228,68 +235,49 @@ def ranking_eval_per_user(
     """Reference-faithful per-user evaluation loop (slow path). Kept for
     models whose ``rank`` has special behavior and as the oracle against
     which the batched path is tested."""
-    if len(metrics) == 0:
+    if not metrics:
         return [], []
 
     max_k = max(m.k for m in metrics)
+    per_user = [{} for _ in metrics]
+    width = test_set.num_items
+    kept = train_set.num_items if exclude_unknowns else width
 
-    avg_results = []
-    user_results = [{} for _ in enumerate(metrics)]
-
-    test_mat = test_set.csr_matrix
-    train_mat = train_set.csr_matrix
-    val_mat = None if val_set is None else val_set.csr_matrix
-
-    def pos_items(csr_row):
-        return [
-            item_idx
-            for (item_idx, rating) in zip(csr_row.indices, csr_row.data)
-            if rating >= rating_threshold
-        ]
+    def thresholded(mat, user_idx):
+        """Boolean width-vector of this user's >= threshold items."""
+        out = np.zeros(width, dtype=bool)
+        if mat is not None and user_idx < mat.shape[0]:
+            row = mat.getrow(user_idx)
+            out[row.indices[row.data >= rating_threshold]] = True
+        return out
 
     for user_idx in np.unique(test_set.uir_tuple[0]):
-        test_pos_items = pos_items(test_mat.getrow(user_idx))
-        if len(test_pos_items) == 0:
+        positive = thresholded(test_set.csr_matrix, user_idx)
+        if not positive.any():
             continue
+        held = positive | thresholded(train_set.csr_matrix, user_idx)
+        if val_set is not None:
+            held |= thresholded(val_set.csr_matrix, user_idx)
+        negative = ~held
 
-        u_gt_pos_mask = np.zeros(test_set.num_items, dtype="int")
-        u_gt_pos_mask[test_pos_items] = 1
-
-        val_pos_items = [] if val_mat is None else pos_items(val_mat.getrow(user_idx))
-        train_pos_items = (
-            pos_items(train_mat.getrow(user_idx))
-            if user_idx < train_mat.shape[0]
-            else []
-        )
-
-        u_gt_neg_mask = np.ones(test_set.num_items, dtype="int")
-        u_gt_neg_mask[test_pos_items + val_pos_items + train_pos_items] = 0
-
-        if exclude_unknowns:
-            u_gt_pos_mask = u_gt_pos_mask[: train_set.num_items]
-            u_gt_neg_mask = u_gt_neg_mask[: train_set.num_items]
-
-        item_indices = np.nonzero(u_gt_pos_mask + u_gt_neg_mask)[0]
-        u_gt_pos_items = np.nonzero(u_gt_pos_mask)[0]
-        u_gt_neg_items = np.nonzero(u_gt_neg_mask)[0]
+        # exclude_unknowns truncates the item space to the train prefix
+        positive, negative = positive[:kept], negative[:kept]
+        candidates = np.flatnonzero(positive | negative)
 
         item_rank, item_scores = model.rank(
-            user_idx=user_idx, item_indices=item_indices, k=max_k
+            user_idx=user_idx, item_indices=candidates, k=max_k
         )
-
         for i, mt in enumerate(metrics):
-            user_results[i][user_idx] = mt.compute(
-                gt_pos=u_gt_pos_items,
-                gt_neg=u_gt_neg_items,
+            per_user[i][user_idx] = mt.compute(
+                gt_pos=np.flatnonzero(positive),
+                gt_neg=np.flatnonzero(negative),
                 pd_rank=item_rank,
                 pd_scores=item_scores,
-                item_indices=item_indices,
+                item_indices=candidates,
             )
 
-    for i, mt in enumerate(metrics):
-        avg_results.append(sum(user_results[i].values()) / len(user_results[i]))
-
-    return avg_results, user_results
+    avg = [sum(d.values()) / len(d) for d in per_user]
+    return avg, per_user
 
 
 class BaseMethod:
