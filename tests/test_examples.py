@@ -232,6 +232,7 @@ def synthetic_datasets(monkeypatch):
 DATASET_EXAMPLES = [
     "bpr_netflix.py",
     "ease_movielens.py",
+    "ann_example.py",
     "hpf_movielens.py",
     "knn_movielens.py",
     "skm_movielens.py",
