@@ -317,6 +317,27 @@ def test_sansa_tiny_catalog_sparse_budget(split):
         assert np.diff(m.weights[1].tocsc().indptr).max() <= 1
 
 
+def test_fm_sgd_stays_finite_at_scale():
+    """Regression (r4): batch-summed SGD gradients diverged to nan at
+    ~48k interactions / batch 1024 / lr 0.01 — the clip in _fm_sgd must
+    keep the fit finite where the reference's sequential per-sample
+    updates self-correct."""
+    import numpy as np
+
+    from cornac_tpu.eval_methods import RatioSplit
+    from cornac_tpu.models import FM
+
+    rng = np.random.RandomState(0)
+    data = [
+        (f"u{u}", f"i{i}", float(rng.randint(1, 6)))
+        for u, i in {(rng.randint(900), rng.randint(1600)) for _ in range(60000)}
+    ]
+    rs = RatioSplit(data=data, test_size=0.2, rating_threshold=4.0, seed=123)
+    m = FM(k2=8, max_iter=10, method="sgd", seed=123).fit(rs.train_set)
+    assert np.isfinite(m.w0)
+    assert np.isfinite(m.w).all() and np.isfinite(m.V).all()
+
+
 def test_fm_mcmc_gibbs_learns(split):
     """method='mcmc' is a real Gibbs sampler (libFM fm_learn_mcmc.h
     semantics): seeded draws are reproducible and the final sample fits the
