@@ -103,25 +103,23 @@ class BaseSearch(Recommender):
         assert val_set is not None
         Recommender.fit(self, train_set, val_set)
 
-        sign = 1.0 if self.metric.higher_better else -1.0
+        # higher_better flips via a sign so one comparison serves both
+        direction = 1.0 if self.metric.higher_better else -1.0
         self.trial_results = []  # (params, score) per evaluated point
-        self.best_score = None
-        self.best_model = None
-        self.best_params = None
+        incumbent = None  # (signed score, raw score, params, model)
 
         for params in self._build_param_set():
             if self.verbose:
                 print("[{}] trying {}".format(self.name, params))
-            model = self.model.clone(params).fit(train_set, val_set)
-            score = self._validation_score(model, train_set, val_set)
+            trial = self.model.clone(params).fit(train_set, val_set)
+            score = self._validation_score(trial, train_set, val_set)
             self.trial_results.append((params, score))
-            if self.best_score is None or sign * score > sign * self.best_score:
-                self.best_score, self.best_model, self.best_params = (
-                    score, model, params,
-                )
+            if incumbent is None or direction * score > incumbent[0]:
+                incumbent = (direction * score, score, params, trial)
             else:
-                del model
+                del trial  # free the losing trial's buffers eagerly
 
+        _, self.best_score, self.best_params, self.best_model = incumbent
         if self.verbose:
             print(
                 "[{}] best {} = {:.4f} at {}".format(
