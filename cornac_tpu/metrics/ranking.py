@@ -111,11 +111,14 @@ def _device_rank_and_ties(scores, pos_mask, cand_mask):
 # --------------------------------------------------------------------- #
 # fully-fused device evaluation
 # --------------------------------------------------------------------- #
-# Row-wise pair counts (AUC numerators) are accumulated in int32 on
-# device; they are bounded by N^2 per user, so the fused path is only
-# used when N^2 fits int32. Larger catalogs fall back to the
-# rank/tie-transfer path (int64 finishing on host).
-_FUSED_MAX_ITEMS = 40_000
+# Per-positive counts stay < N on device and AUC uses the
+# mean-of-fractions form, so exactness holds to N = 2^24 (f32-exact
+# integers); the practical gate is the host-side dense mask memory of
+# the eval batch (B x N bools) — 200k items x 1024 users = 200 MB.
+# Larger catalogs fall back to the rank/tie-transfer path (int64
+# finishing on host). Was 40k in r3 (int32 N^2 pair accumulation,
+# removed in r4).
+_FUSED_MAX_ITEMS = 200_000
 
 _RANK_SENTINEL = 2**31 - 1
 
@@ -240,11 +243,17 @@ def _fused_metrics_kernel(specs):
                         )
                     )
             elif kind == "auc":
-                neg_lt = jnp.sum(
-                    jnp.where(valid, c_lt - p_lt, 0), axis=1, dtype=jnp.int32
-                ).astype(jnp.float32)
-                denom = (n_pos * n_neg).astype(jnp.float32)
-                outs.append(neg_lt / jnp.maximum(denom, 1.0))
+                # mean-of-fractions form: each per-positive negatives-below
+                # count is < N (exact in f32 up to 2^24 items), so no
+                # N^2-scale integer accumulation exists — algebraically
+                # identical to sum(neg_lt) / (n_pos * n_neg)
+                frac = jnp.where(
+                    valid, (c_lt - p_lt).astype(jnp.float32), 0.0
+                ) / jnp.maximum(n_neg, 1).astype(jnp.float32)[:, None]
+                outs.append(
+                    jnp.sum(frac, axis=1)
+                    / jnp.maximum(n_pos, 1).astype(jnp.float32)
+                )
             elif kind == "map":
                 c_ge = (n_cand[:, None] - c_lt).astype(jnp.float32)
                 p_ge = (n_pos[:, None] - p_lt).astype(jnp.float32)

@@ -284,6 +284,40 @@ def test_fused_device_engine_matches_host():
         )
 
 
+def test_fused_device_engine_beyond_old_item_gate():
+    """r4 lifted the fused gate from 40k items (int32 N^2 AUC pair
+    accumulation) to 200k via the mean-of-fractions AUC; the kernel must
+    stay exact vs the host engine past the old boundary."""
+    from cornac_tpu.metrics import AUC, MAP, NDCG, RankingContext, Recall
+    from cornac_tpu.metrics.ranking import (
+        _FUSED_MAX_ITEMS, batch_eval_device, metric_device_specs,
+    )
+
+    assert _FUSED_MAX_ITEMS > 40_000
+    rng = np.random.RandomState(12)
+    N = 50_000  # past the r3 gate
+    scores = rng.randn(4, N).astype(np.float32)
+    pos = np.zeros((4, N), bool)
+    for b in range(4):
+        pos[b, rng.choice(N, size=30, replace=False)] = True
+    cand = np.ones((4, N), bool)
+    cand[:, ::97] = False
+    cand |= pos
+
+    metrics = [AUC(), MAP(), NDCG(k=10), Recall(k=20)]
+    fused = batch_eval_device(
+        scores, pos, cand, metric_device_specs(metrics)
+    )
+    ctx = RankingContext(
+        np.where(cand, scores.astype(np.float64), -np.inf), pos, cand
+    )
+    for i, m in enumerate(metrics):
+        np.testing.assert_allclose(
+            fused[:, i], m.batch_compute(ctx), rtol=1e-5, atol=1e-6,
+            err_msg=m.name,
+        )
+
+
 def test_fused_specs_reject_unsupported():
     from cornac_tpu.metrics import NDCG, RankingMetric
     from cornac_tpu.metrics.ranking import metric_device_specs
