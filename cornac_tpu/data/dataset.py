@@ -427,32 +427,32 @@ class Dataset:
             )
             yield batch_users, batch_pos, batch_neg
 
+    def _entity_iter(self, axis, batch_size, shuffle):
+        """Batches of the distinct entity ids on one side of the data."""
+        distinct = np.unique(self.uir_tuple[axis])
+        for batch_ids in self.idx_iter(len(distinct), batch_size, shuffle):
+            yield distinct[batch_ids]
+
     def user_iter(self, batch_size=1, shuffle=False):
         """Yield batches of distinct user indices present in the data."""
-        user_indices = np.unique(self.uir_tuple[0])
-        for batch_ids in self.idx_iter(len(user_indices), batch_size, shuffle):
-            yield user_indices[batch_ids]
+        return self._entity_iter(0, batch_size, shuffle)
 
     def item_iter(self, batch_size=1, shuffle=False):
         """Yield batches of distinct item indices present in the data."""
-        item_indices = np.unique(self.uir_tuple[1])
-        for batch_ids in self.idx_iter(len(item_indices), batch_size, shuffle):
-            yield item_indices[batch_ids]
+        return self._entity_iter(1, batch_size, shuffle)
 
     # ------------------------------------------------------------------ #
     # modalities / persistence
     # ------------------------------------------------------------------ #
+    _MODALITY_ATTRS = (
+        "user_feature", "item_feature", "user_text", "item_text",
+        "user_image", "item_image", "user_graph", "item_graph",
+        "sentiment", "review_text",
+    )
+
     def add_modalities(self, **kwargs):
-        self.user_feature = kwargs.get("user_feature", None)
-        self.item_feature = kwargs.get("item_feature", None)
-        self.user_text = kwargs.get("user_text", None)
-        self.item_text = kwargs.get("item_text", None)
-        self.user_image = kwargs.get("user_image", None)
-        self.item_image = kwargs.get("item_image", None)
-        self.user_graph = kwargs.get("user_graph", None)
-        self.item_graph = kwargs.get("item_graph", None)
-        self.sentiment = kwargs.get("sentiment", None)
-        self.review_text = kwargs.get("review_text", None)
+        for attr in self._MODALITY_ATTRS:
+            setattr(self, attr, kwargs.get(attr, None))
 
     def __deepcopy__(self, memo):
         cls = self.__class__
