@@ -87,7 +87,10 @@ def emit(metric, value, unit, **detail):
     )
 
 
-def run_bpr(ds, k=32, epochs=3, batch_size=65536):
+def run_bpr(ds, k=32, epochs=6, batch_size=65536):
+    # 6-epoch differential: each fit carries ~45-70 s of host prep +
+    # tunnel transfer whose run-to-run noise swamps a 3-epoch delta
+    # (observed 13.1 vs 9.1 M samples/s across two 3-epoch runs)
     from cornac_tpu.models import BPR
 
     nnz = len(ds.uir_tuple[0])
