@@ -41,15 +41,9 @@ def _fit_width(scores, n_items):
 
 
 def ranking_eval(
-    model,
-    metrics,
-    train_set,
-    test_set,
-    user_based=False,
-    exclude_unknowns=True,
-    mode="last",
-    verbose=False,
-    batch_size=256,
+    model, metrics, train_set, test_set,
+    user_based=False, exclude_unknowns=True,
+    mode="last", verbose=False, batch_size=256,
 ):
     """Evaluate ranking metrics over test-session prediction positions.
 
@@ -138,30 +132,18 @@ class NextItemEvaluation(BaseMethod):
     """Next-item evaluation protocol over SequentialDatasets."""
 
     def __init__(
-        self,
-        data=None,
-        test_size=0.2,
-        val_size=0.0,
-        fmt="SIT",
-        seed=None,
-        mode="last",
-        exclude_unknowns=True,
-        verbose=False,
+        self, data=None, test_size=0.2, val_size=0.0, fmt="SIT",
+        seed=None, mode="last", exclude_unknowns=True, verbose=False,
         **kwargs,
     ):
         # test_size/val_size mirror the reference signature
         # (next_item_evaluation.py:211-212); there as here the direct
         # constructor performs no split — the from_splits/from_timestamps/
         # leave_last_out classmethods do — so they are stored, not acted on.
-        self.test_size = test_size
-        self.val_size = val_size
+        self.test_size, self.val_size = test_size, val_size
         super().__init__(
-            data=data,
-            fmt=fmt,
-            seed=seed,
-            exclude_unknowns=exclude_unknowns,
-            verbose=verbose,
-            **kwargs,
+            data=data, fmt=fmt, seed=seed, verbose=verbose,
+            exclude_unknowns=exclude_unknowns, **kwargs,
         )
         if mode not in EVALUATION_MODES:
             raise ValueError(f"{mode} is not supported. ({EVALUATION_MODES})")
@@ -221,25 +203,13 @@ class NextItemEvaluation(BaseMethod):
 
     @staticmethod
     def eval(
-        model,
-        train_set,
-        test_set,
-        exclude_unknowns,
-        ranking_metrics,
-        user_based=False,
-        verbose=False,
-        mode="last",
-        **kwargs,
+        model, train_set, test_set, exclude_unknowns, ranking_metrics,
+        user_based=False, verbose=False, mode="last", **kwargs,
     ):
         avg, per_user = ranking_eval(
-            model=model,
-            metrics=ranking_metrics,
-            train_set=train_set,
-            test_set=test_set,
-            user_based=user_based,
-            exclude_unknowns=exclude_unknowns,
-            mode=mode,
-            verbose=verbose,
+            model, ranking_metrics, train_set, test_set,
+            user_based=user_based, exclude_unknowns=exclude_unknowns,
+            mode=mode, verbose=verbose,
         )
         names = [mt.name for mt in ranking_metrics]
         return Result(
@@ -253,13 +223,8 @@ class NextItemEvaluation(BaseMethod):
         start = time.time()
         model.transform(split)
         result = self.eval(
-            model=model,
-            train_set=self.train_set,
-            test_set=split,
-            exclude_unknowns=self.exclude_unknowns,
-            ranking_metrics=ranking_metrics,
-            user_based=user_based,
-            mode=self.mode,
+            model, self.train_set, split, self.exclude_unknowns,
+            ranking_metrics, user_based=user_based, mode=self.mode,
             verbose=self.verbose,
         )
         return result, time.time() - start
@@ -314,23 +279,13 @@ class NextItemEvaluation(BaseMethod):
 
     @classmethod
     def from_splits(
-        cls,
-        train_data,
-        test_data,
-        val_data=None,
-        fmt="SIT",
-        exclude_unknowns=False,
-        seed=None,
-        verbose=False,
-        **kwargs,
+        cls, train_data, test_data, val_data=None, fmt="SIT",
+        exclude_unknowns=False, seed=None, verbose=False, **kwargs,
     ):
         """Build from pre-split sequential data."""
         method = cls(
-            fmt=fmt,
-            exclude_unknowns=exclude_unknowns,
-            seed=seed,
-            verbose=verbose,
-            **kwargs,
+            fmt=fmt, exclude_unknowns=exclude_unknowns,
+            seed=seed, verbose=verbose, **kwargs,
         )
         return method.build(
             train_data=train_data, test_data=test_data, val_data=val_data
@@ -338,15 +293,8 @@ class NextItemEvaluation(BaseMethod):
 
     @classmethod
     def from_timestamps(
-        cls,
-        data,
-        test_timestamp,
-        val_timestamp=None,
-        fmt="USIT",
-        exclude_unknowns=True,
-        mode="last",
-        seed=None,
-        verbose=False,
+        cls, data, test_timestamp, val_timestamp=None, fmt="USIT",
+        exclude_unknowns=True, mode="last", seed=None, verbose=False,
         **kwargs,
     ):
         """Global temporal split: each session goes wholly to the split
@@ -357,8 +305,8 @@ class NextItemEvaluation(BaseMethod):
 
         if val_timestamp is not None and val_timestamp >= test_timestamp:
             raise ValueError(
-                "val_timestamp ({}) must be strictly smaller than "
-                "test_timestamp ({}).".format(val_timestamp, test_timestamp)
+                f"val_timestamp ({val_timestamp}) must come strictly "
+                f"before test_timestamp ({test_timestamp})."
             )
 
         has_user = fmt in ("USIT", "USITJson")
@@ -390,8 +338,8 @@ class NextItemEvaluation(BaseMethod):
             )
         if not test_data:
             raise ValueError(
-                "Empty test partition: no session ends at or after "
-                "test_timestamp ({}).".format(test_timestamp)
+                f"Empty test partition: no session ends at or after "
+                f"test_timestamp ({test_timestamp})."
             )
         if val_timestamp is not None and not val_data:
             warnings.warn(
@@ -400,27 +348,15 @@ class NextItemEvaluation(BaseMethod):
             val_data = None
 
         return cls.from_splits(
-            train_data=train_data,
-            test_data=test_data,
-            val_data=val_data,
-            fmt=fmt,
-            exclude_unknowns=exclude_unknowns,
-            seed=seed,
-            verbose=verbose,
-            mode=mode,
-            **kwargs,
+            train_data, test_data, val_data=val_data, fmt=fmt,
+            exclude_unknowns=exclude_unknowns, seed=seed,
+            verbose=verbose, mode=mode, **kwargs,
         )
 
     @classmethod
     def leave_last_out(
-        cls,
-        data,
-        fmt="UIRT",
-        exclude_unknowns=True,
-        mode="last",
-        seed=None,
-        verbose=False,
-        **kwargs,
+        cls, data, fmt="UIRT", exclude_unknowns=True, mode="last",
+        seed=None, verbose=False, **kwargs,
     ):
         """Per-user leave-last-out: each user's chronological interactions
         form one session; last item -> test, second-to-last -> val. Standard
@@ -455,13 +391,7 @@ class NextItemEvaluation(BaseMethod):
             )
 
         return cls.from_splits(
-            train_data=train_data,
-            test_data=test_data,
-            val_data=val_data,
-            fmt="USIT",
-            exclude_unknowns=exclude_unknowns,
-            seed=seed,
-            verbose=verbose,
-            mode=mode,
-            **kwargs,
+            train_data, test_data, val_data=val_data, fmt="USIT",
+            exclude_unknowns=exclude_unknowns, seed=seed,
+            verbose=verbose, mode=mode, **kwargs,
         )

@@ -65,33 +65,20 @@ class PropensityStratifiedEvaluation(BaseMethod):
     closed-loop, IPS-weighted, per-stratum, and unbiased aggregate results."""
 
     def __init__(
-        self,
-        data,
-        test_size=0.2,
-        val_size=0.0,
-        n_strata=2,
-        rating_threshold=1.0,
-        seed=None,
-        exclude_unknowns=True,
-        verbose=False,
-        **kwargs,
+        self, data, test_size=0.2, val_size=0.0, n_strata=2,
+        rating_threshold=1.0, seed=None, exclude_unknowns=True,
+        verbose=False, **kwargs,
     ):
-        BaseMethod.__init__(
-            self,
-            data=data,
-            rating_threshold=rating_threshold,
-            seed=seed,
-            exclude_unknowns=exclude_unknowns,
-            verbose=verbose,
-            **kwargs,
+        super().__init__(
+            data=data, rating_threshold=rating_threshold, seed=seed,
+            exclude_unknowns=exclude_unknowns, verbose=verbose, **kwargs,
         )
 
         self.n_strata = n_strata
         self.props = self._estimate_propensities()
 
-        self.train_size, self.val_size, self.test_size = RatioSplit.validate_size(
-            val_size, test_size, len(data)
-        )
+        sizes = RatioSplit.validate_size(val_size, test_size, len(data))
+        self.train_size, self.val_size, self.test_size = sizes
         self._split()
 
     def _estimate_propensities(self):
@@ -102,7 +89,7 @@ class PropensityStratifiedEvaluation(BaseMethod):
         alpha, fmin = fit_discrete_powerlaw(counts.astype(np.float64))
 
         if self.verbose:
-            print("Powerlaw exponential estimates: %f, min=%d" % (alpha, fmin))
+            print(f"Power-law fit: alpha={alpha:.6f}, xmin={int(fmin)}")
 
         prop = np.where(counts > fmin, counts.astype(np.float64) ** alpha,
                         counts.astype(np.float64))
@@ -113,14 +100,12 @@ class PropensityStratifiedEvaluation(BaseMethod):
         return out
 
     def _split(self):
-        data_idx = self.rng.permutation(len(self.data))
-        train_idx = data_idx[: self.train_size]
-        test_idx = data_idx[-self.test_size :]
-        val_idx = data_idx[self.train_size : -self.test_size]
+        perm = self.rng.permutation(len(self.data))
+        tr, te = perm[: self.train_size], perm[-self.test_size :]
+        va = perm[self.train_size : -self.test_size]
 
-        train_data = safe_indexing(self.data, train_idx)
-        test_data = safe_indexing(self.data, test_idx)
-        val_data = safe_indexing(self.data, val_idx) if len(val_idx) > 0 else None
+        train_data, test_data = (safe_indexing(self.data, ix) for ix in (tr, te))
+        val_data = safe_indexing(self.data, va) if len(va) > 0 else None
 
         self._build_datasets(
             train_data=train_data, test_data=test_data, val_data=val_data
@@ -223,32 +208,19 @@ class PropensityStratifiedEvaluation(BaseMethod):
         from .base_method import ranking_eval
 
         rat_avg, rat_user = rating_eval(
-            model=model,
-            metrics=self.rating_metrics,
-            test_set=test_set,
-            user_based=user_based,
+            model, self.rating_metrics, test_set, user_based=user_based
         )
         if props is None:
             rank_avg, rank_user = ranking_eval(
-                model=model,
-                metrics=self.ranking_metrics,
-                train_set=self.train_set,
-                test_set=test_set,
-                val_set=val_set,
-                rating_threshold=self.rating_threshold,
-                exclude_unknowns=self.exclude_unknowns,
-                verbose=self.verbose,
+                model, self.ranking_metrics, self.train_set, test_set,
+                val_set=val_set, rating_threshold=self.rating_threshold,
+                exclude_unknowns=self.exclude_unknowns, verbose=self.verbose,
             )
         else:
             rank_avg, rank_user = self._ips_ranking_eval(
-                model=model,
-                metrics=self.ranking_metrics,
-                test_set=test_set,
-                val_set=val_set,
+                model, self.ranking_metrics, test_set, val_set
             )
-        names = [
-            mt.name for mt in self.rating_metrics + self.ranking_metrics
-        ]
+        names = [mt.name for mt in self.rating_metrics + self.ranking_metrics]
         return Result(
             model.name,
             OrderedDict(zip(names, rat_avg + rank_avg)),
@@ -258,10 +230,9 @@ class PropensityStratifiedEvaluation(BaseMethod):
     def evaluate(self, model, metrics, user_based, show_validation=True):
         result = PSTResult(model.name)
 
-        if self.train_set is None:
-            raise ValueError("no train_set available — build/split the data first")
-        if self.test_set is None:
-            raise ValueError("no test_set available — build/split the data first")
+        for attr in ("train_set", "test_set"):
+            if getattr(self, attr) is None:
+                raise ValueError(f"no {attr} available — build/split the data first")
 
         self._reset()
         self.rating_metrics, self.ranking_metrics = self.organize_metrics(metrics)
@@ -276,44 +247,19 @@ class PropensityStratifiedEvaluation(BaseMethod):
         if self.verbose:
             print("\n[{}] evaluating...".format(model.name))
 
-        # closed-loop evaluation on the sampled test set
-        test_result = self._eval(
-            model=model,
-            test_set=self.test_set,
-            val_set=self.val_set,
-            user_based=user_based,
-        )
-        test_result.metric_avg_results["SIZE"] = self.test_set.num_ratings
-        result.append(test_result)
-
-        # inverse-propensity-scored evaluation
-        ips_result = self._eval(
-            model=model,
-            test_set=self.test_set,
-            val_set=self.val_set,
-            user_based=user_based,
-            props=self.props,
-        )
-        ips_result.metric_avg_results["SIZE"] = self.test_set.num_ratings
-        result.append(ips_result)
-
-        # per-stratum evaluation
-        for _, qtest_set in self.stratified_sets.items():
-            qtest_result = self._eval(
-                model=model,
-                test_set=qtest_set,
-                val_set=self.val_set,
-                user_based=user_based,
-            )
-            qtest_result.metric_avg_results["SIZE"] = qtest_set.num_ratings
-            result.append(qtest_result)
+        # one row per protocol view: closed-loop on the sampled test set,
+        # IPS-weighted on the same set, then one row per propensity stratum
+        views = [(self.test_set, None), (self.test_set, self.props)]
+        views += [(q, None) for q in self.stratified_sets.values()]
+        for split, props in views:
+            row = self._eval(model, split, self.val_set, user_based, props=props)
+            row.metric_avg_results["SIZE"] = split.num_ratings
+            result.append(row)
 
         result.organize()
 
         val_result = None
         if show_validation and self.val_set is not None:
-            val_result = self._eval(
-                model=model, test_set=self.val_set, val_set=None, user_based=user_based
-            )
+            val_result = self._eval(model, self.val_set, None, user_based)
 
         return result, val_result
