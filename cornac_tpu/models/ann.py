@@ -105,7 +105,7 @@ class BaseANN(Recommender):
         user_idx = np.array([self.uid_map.get(uid, -1) for uid in batch_users])
         if (user_idx == -1).any():
             unknown = [u for u, i in zip(batch_users, user_idx) if i == -1]
-            raise ValueError(f"{unknown} are unknown to the model.")
+            raise ValueError(f"user ids {unknown} were never seen during training")
 
         k_eff = k if k > 0 else self.item_vectors.shape[0]
         # over-fetch when removing seen items so k survives filtering
@@ -122,7 +122,7 @@ class BaseANN(Recommender):
             if remove_seen:
                 if csr is None:
                     raise ValueError(
-                        "train_set must be provided to remove seen items."
+                        "remove_seen=True requires a train_set"
                     )
                 seen = set(csr.getrow(uidx).indices) if uidx < csr.shape[0] else set()
                 row = [i for i in row if i not in seen]

@@ -128,24 +128,24 @@ class Recommender:
     def _get_init_params(cls):
         """Constructor parameter names — this introspected signature doubles
         as the config schema for clone()/hyperopt."""
-        init = getattr(cls.__init__, "deprecated_original", cls.__init__)
-        if init is object.__init__:
+        ctor = getattr(cls.__init__, "deprecated_original", cls.__init__)
+        if ctor is object.__init__:
             return []
-        init_signature = inspect.signature(init)
-        return sorted(
-            p.name for p in init_signature.parameters.values() if p.name != "self"
-        )
+        params = inspect.signature(ctor).parameters
+        return sorted(n for n in params if n != "self")
 
     def clone(self, new_params=None):
         """Fresh instance with (optionally overridden) constructor params."""
-        new_params = {} if new_params is None else new_params
-        init_params = {}
-        for name in self._get_init_params():
+        overrides = new_params or {}
+
+        def current(name):
             if name in self._process_local_attrs:  # share, don't copy
-                init_params[name] = new_params.get(name, getattr(self, name, None))
-                continue
-            init_params[name] = new_params.get(name, copy.deepcopy(getattr(self, name)))
-        return self.__class__(**init_params)
+                return getattr(self, name, None)
+            return copy.deepcopy(getattr(self, name))
+
+        return self.__class__(
+            **{n: overrides.get(n, current(n)) for n in self._get_init_params()}
+        )
 
     # ------------------------------------------------------------------ #
     # persistence
@@ -155,40 +155,41 @@ class Recommender:
         if save_dir is None:
             return
 
+        def dump(obj, path):
+            with open(path, "wb") as f:
+                pickle.dump(obj, f, protocol=pickle.HIGHEST_PROTOCOL)
+
         model_dir = os.path.join(save_dir, self.name)
         os.makedirs(model_dir, exist_ok=True)
-        timestamp = datetime.now().strftime("%Y-%m-%d_%H-%M-%S-%f")
-        model_file = os.path.join(model_dir, "{}.pkl".format(timestamp))
+        stamp = datetime.now().strftime("%Y-%m-%d_%H-%M-%S-%f")
+        model_file = os.path.join(model_dir, f"{stamp}.pkl")
 
-        saved_model = copy.deepcopy(self)
-        with open(model_file, "wb") as f:
-            pickle.dump(saved_model, f, protocol=pickle.HIGHEST_PROTOCOL)
+        snapshot = copy.deepcopy(self)  # __deepcopy__ strips data handles
+        dump(snapshot, model_file)
         if self.verbose:
-            print("{} model is saved to {}".format(self.name, model_file))
+            print(f"{self.name} model is saved to {model_file}")
 
-        metadata = {} if metadata is None else metadata
-        metadata["model_classname"] = type(saved_model).__name__
-        metadata["model_file"] = os.path.basename(model_file)
+        meta = dict(metadata or {})
+        meta["model_classname"] = type(snapshot).__name__
+        meta["model_file"] = os.path.basename(model_file)
 
         if save_trainset:
-            trainset_file = model_file + ".trainset"
-            with open(trainset_file, "wb") as f:
-                pickle.dump(self.train_set, f, protocol=pickle.HIGHEST_PROTOCOL)
-            metadata["trainset_file"] = os.path.basename(trainset_file)
+            dump(self.train_set, model_file + ".trainset")
+            meta["trainset_file"] = meta["model_file"] + ".trainset"
 
         with open(model_file + ".meta", "w", encoding="utf-8") as f:
-            json.dump(metadata, f, ensure_ascii=False, indent=4)
+            json.dump(meta, f, ensure_ascii=False, indent=4)
 
         return model_file
 
     @staticmethod
     def load(model_path, trainable=False):
         """Load the newest ``.pkl`` in a directory, or an exact file path."""
-        if os.path.isdir(model_path):
-            model_file = sorted(glob("{}/*.pkl".format(model_path)))[-1]
-        else:
-            model_file = model_path
-
+        model_file = (
+            sorted(glob(f"{model_path}/*.pkl"))[-1]
+            if os.path.isdir(model_path)
+            else model_path
+        )
         with open(model_file, "rb") as f:
             model = pickle.load(f)
         model.trainable = trainable
@@ -232,9 +233,7 @@ class Recommender:
         """Capture train-set statistics; subclasses call super().fit() first
         and then run their training loop."""
         if self.is_fitted:
-            warnings.warn(
-                "Model is already fitted. Re-fitting will overwrite the previous model."
-            )
+            warnings.warn("re-fitting an already-fitted model overwrites it")
 
         self.reset_info()
         train_set.reset()
@@ -272,7 +271,7 @@ class Recommender:
     def score(self, user_idx, item_idx=None):
         """Score one (user, item) pair, or all known items when
         ``item_idx`` is None."""
-        raise NotImplementedError("The algorithm is not able to make score prediction!")
+        raise NotImplementedError("this model does not implement score prediction")
 
     def default_score(self):
         """Cold-start fallback score."""
@@ -383,23 +382,22 @@ class Recommender:
         """Rank candidate items for one user; returns (ranked_items, scores
         aligned with ``item_indices``)."""
         try:
-            known_item_scores = self.score(user_idx, **kwargs)
+            known = np.asarray(self.score(user_idx, **kwargs), dtype=np.float64)
         except ScoreException:
-            known_item_scores = np.ones(self.total_items) * self.default_score()
+            known = np.full(self.total_items, self.default_score())
 
         # unknown items (beyond what score() covers) get the minimum score
-        if len(known_item_scores) == self.total_items:
-            all_item_scores = known_item_scores
+        if len(known) == self.total_items:
+            full = known
         else:
-            all_item_scores = np.ones(self.total_items) * np.min(known_item_scores)
-            all_item_scores[: self.num_items] = known_item_scores
+            full = np.full(self.total_items, known.min())
+            full[: self.num_items] = known
 
-        item_indices = (
-            np.arange(self.num_items)
-            if item_indices is None
-            else np.asarray(item_indices)
-        )
-        item_scores = all_item_scores[item_indices]
+        if item_indices is None:
+            item_indices = np.arange(self.num_items)
+        else:
+            item_indices = np.asarray(item_indices)
+        item_scores = full[item_indices]
 
         if k != -1:  # partial selection: O(n + k log k), best-first head
             head = np.argpartition(-item_scores, k - 1)[:k]
@@ -415,27 +413,25 @@ class Recommender:
         """Top-k recommendation by raw user ID, returning raw item IDs."""
         user_idx = self.uid_map.get(user_id, -1)
         if user_idx == -1:
-            raise ValueError(f"{user_id} is unknown to the model.")
+            raise ValueError(f"user id {user_id!r} was never seen during training")
 
         if k < -1 or k > self.total_items:
             raise ValueError(
-                f"k={k} is invalid, there are {self.total_users} users in total."
+                f"k={k} is out of range for a catalog of {self.total_items} items"
             )
 
-        item_indices = np.arange(self.total_items)
+        candidates = np.arange(self.total_items)
         if remove_seen:
-            seen_mask = np.zeros(len(item_indices), dtype="bool")
             if train_set is None:
-                raise ValueError("train_set must be provided to remove seen items.")
-            if user_idx < train_set.csr_matrix.shape[0]:
-                seen_mask[train_set.csr_matrix.getrow(user_idx).indices] = True
-                item_indices = item_indices[~seen_mask]
+                raise ValueError("remove_seen=True requires a train_set")
+            csr = train_set.csr_matrix
+            if user_idx < csr.shape[0]:
+                keep = np.ones(len(candidates), dtype=bool)
+                keep[csr.getrow(user_idx).indices] = False
+                candidates = candidates[keep]
 
-        item_rank, _ = self.rank(user_idx, item_indices)
-        if k != -1:
-            item_rank = item_rank[:k]
-
-        return [self.item_ids[i] for i in item_rank]
+        ranked, _ = self.rank(user_idx, candidates)
+        return [self.item_ids[i] for i in (ranked if k == -1 else ranked[:k])]
 
     def recommend_batch(self, user_ids, k=-1, remove_seen=False, train_set=None):
         """Batch top-k recommendation by raw user IDs (device-batched when
@@ -445,7 +441,7 @@ class Recommender:
         user_idx = np.array([self.uid_map.get(uid, -1) for uid in user_ids])
         if (user_idx == -1).any():
             unknown = [uid for uid, i in zip(user_ids, user_idx) if i == -1]
-            raise ValueError(f"{unknown} are unknown to the model.")
+            raise ValueError(f"user ids {unknown} were never seen during training")
 
         if k > 0:
             recs = self._topk_recommend_device(user_idx, k, remove_seen, train_set)
@@ -455,7 +451,7 @@ class Recommender:
         scores = np.asarray(self.score_batch(user_idx), dtype=np.float64)
         if remove_seen:
             if train_set is None:
-                raise ValueError("train_set must be provided to remove seen items.")
+                raise ValueError("remove_seen=True requires a train_set")
             csr = train_set.csr_matrix
             for b, u in enumerate(user_idx):
                 if u < csr.shape[0]:
@@ -492,7 +488,7 @@ class Recommender:
         fetch = k
         if remove_seen:
             if train_set is None:
-                raise ValueError("train_set must be provided to remove seen items.")
+                raise ValueError("remove_seen=True requires a train_set")
             csr = train_set.csr_matrix
             max_seen = int(np.diff(csr.indptr).max(initial=0))
             fetch = min(k + max_seen, V.shape[0])
@@ -535,16 +531,10 @@ class Recommender:
 
         if self.stopped_epoch > 0:
             print("Early stopping:")
-            print(
-                "- best epoch = {}, stopped epoch = {}".format(
-                    self.best_epoch, self.stopped_epoch
-                )
-            )
-            print(
-                "- best monitored value = {:.6f} (delta = {:.6f})".format(
-                    self.best_value, current_value - self.best_value
-                )
-            )
+            print(f"- best epoch = {self.best_epoch}, "
+                  f"stopped epoch = {self.stopped_epoch}")
+            print(f"- best monitored value = {self.best_value:.6f} "
+                  f"(delta = {current_value - self.best_value:.6f})")
             return True
         return False
 
@@ -556,7 +546,7 @@ class NextBasketRecommender(Recommender):
         super().__init__(name=name, trainable=trainable, verbose=verbose)
 
     def score(self, user_idx, history_baskets, **kwargs):
-        raise NotImplementedError("The algorithm is not able to make score prediction!")
+        raise NotImplementedError("this model does not implement score prediction")
 
     def score_baskets_batch(self, user_indices, histories):
         """(B, total_items) scores for a batch of (user, history-baskets)
@@ -584,7 +574,7 @@ class NextItemRecommender(Recommender):
         super().__init__(name=name, trainable=trainable, verbose=verbose)
 
     def score(self, user_idx, history_items, **kwargs):
-        raise NotImplementedError("The algorithm is not able to make score prediction!")
+        raise NotImplementedError("this model does not implement score prediction")
 
     def score_history_batch(self, user_indices, histories):
         """(B, total_items) scores for a batch of (user, history) pairs — the
