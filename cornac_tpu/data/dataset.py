@@ -61,23 +61,13 @@ class Dataset:
     """
 
     def __init__(
-        self,
-        num_users,
-        num_items,
-        uid_map,
-        iid_map,
-        uir_tuple,
-        timestamps=None,
-        seed=None,
+        self, num_users, num_items, uid_map, iid_map, uir_tuple,
+        timestamps=None, seed=None,
     ):
-        self.num_users = num_users
-        self.num_items = num_items
-        self.uid_map = uid_map
-        self.iid_map = iid_map
-        self.uir_tuple = uir_tuple
-        self.timestamps = timestamps
-        self.seed = seed
-        self.rng = get_rng(seed)
+        self.num_users, self.num_items = num_users, num_items
+        self.uid_map, self.iid_map = uid_map, iid_map
+        self.uir_tuple, self.timestamps = uir_tuple, timestamps
+        self.seed, self.rng = seed, get_rng(seed)
 
         r_values = uir_tuple[2]
         self.num_ratings = len(r_values)
@@ -240,13 +230,8 @@ class Dataset:
     # ------------------------------------------------------------------ #
     @classmethod
     def build(
-        cls,
-        data,
-        fmt="UIR",
-        global_uid_map=None,
-        global_iid_map=None,
-        seed=None,
-        exclude_unknowns=False,
+        cls, data, fmt="UIR", global_uid_map=None, global_iid_map=None,
+        seed=None, exclude_unknowns=False,
     ):
         """Construct a Dataset, extending the shared global ID maps.
 
@@ -256,17 +241,11 @@ class Dataset:
         """
         fmt = validate_format(fmt, ["UIR", "UIRT"])
 
-        if global_uid_map is None:
-            global_uid_map = OrderedDict()
-        if global_iid_map is None:
-            global_iid_map = OrderedDict()
+        global_uid_map = OrderedDict() if global_uid_map is None else global_uid_map
+        global_iid_map = OrderedDict() if global_iid_map is None else global_iid_map
 
-        u_indices = []
-        i_indices = []
-        r_values = []
-        valid_idx = []
-        ui_set = set()
-        dup_count = 0
+        u_indices, i_indices, r_values, valid_idx = [], [], [], []
+        ui_set, dup_count = set(), 0
 
         for idx, (uid, iid, rating, *_rest) in enumerate(data):
             if exclude_unknowns and (
@@ -313,12 +292,12 @@ class Dataset:
     @classmethod
     def from_uir(cls, data, seed=None):
         """Build from (user, item, rating) triplets."""
-        return cls.build(data, fmt="UIR", seed=seed)
+        return cls.build(data, "UIR", seed=seed)
 
     @classmethod
     def from_uirt(cls, data, seed=None):
         """Build from (user, item, rating, timestamp) quadruplets."""
-        return cls.build(data, fmt="UIRT", seed=seed)
+        return cls.build(data, "UIRT", seed=seed)
 
     def reset(self):
         """Re-seed the iterator RNG for reproducible epochs."""
@@ -339,11 +318,11 @@ class Dataset:
 
     def idx_iter(self, idx_range, batch_size=1, shuffle=False):
         """Yield batches of indices over ``range(idx_range)``."""
-        indices = np.arange(idx_range)
+        order = np.arange(idx_range)
         if shuffle:
-            self.rng.shuffle(indices)
-        for start in range(0, len(indices), batch_size):
-            yield indices[start : start + batch_size]
+            self.rng.shuffle(order)
+        for start in range(0, len(order), batch_size):
+            yield order[start : start + batch_size]
 
     def _sample_negatives(self, users, reject_fn, population=None, max_rounds=100):
         """Vectorized rejection sampling of negative items.
@@ -497,32 +476,16 @@ class BasketDataset(Dataset):
     """
 
     def __init__(
-        self,
-        num_users,
-        num_baskets,
-        num_items,
-        uid_map,
-        bid_map,
-        iid_map,
-        uir_tuple,
-        basket_indices=None,
-        timestamps=None,
-        extra_data=None,
+        self, num_users, num_baskets, num_items, uid_map, bid_map, iid_map,
+        uir_tuple, basket_indices=None, timestamps=None, extra_data=None,
         seed=None,
     ):
         super().__init__(
-            num_users=num_users,
-            num_items=num_items,
-            uid_map=uid_map,
-            iid_map=iid_map,
-            uir_tuple=uir_tuple,
-            timestamps=timestamps,
-            seed=seed,
+            num_users, num_items, uid_map, iid_map, uir_tuple,
+            timestamps=timestamps, seed=seed,
         )
-        self.num_baskets = num_baskets
-        self.bid_map = bid_map
-        self.basket_indices = basket_indices
-        self.extra_data = extra_data
+        self.num_baskets, self.bid_map = num_baskets, bid_map
+        self.basket_indices, self.extra_data = basket_indices, extra_data
         basket_sizes = np.bincount(basket_indices)
         basket_sizes = basket_sizes[basket_sizes > 0]
         self.max_basket_size = int(np.max(basket_sizes))
@@ -581,26 +544,17 @@ class BasketDataset(Dataset):
 
     @classmethod
     def build(
-        cls,
-        data,
-        fmt="UBI",
-        global_uid_map=None,
-        global_bid_map=None,
-        global_iid_map=None,
-        seed=None,
-        exclude_unknowns=False,
+        cls, data, fmt="UBI", global_uid_map=None, global_bid_map=None,
+        global_iid_map=None, seed=None, exclude_unknowns=False,
     ):
         """Construct from (user, basket, item[, ts[, json]]) tuples. Note the
         reference excludes only unknown *items* (``dataset.py:815``); we keep
         that behavior so basket continuity across splits is preserved."""
         fmt = validate_format(fmt, ["UBI", "UBIT", "UBITJson"])
 
-        if global_uid_map is None:
-            global_uid_map = OrderedDict()
-        if global_bid_map is None:
-            global_bid_map = OrderedDict()
-        if global_iid_map is None:
-            global_iid_map = OrderedDict()
+        global_uid_map = OrderedDict() if global_uid_map is None else global_uid_map
+        global_bid_map = OrderedDict() if global_bid_map is None else global_bid_map
+        global_iid_map = OrderedDict() if global_iid_map is None else global_iid_map
 
         u_indices, b_indices, i_indices, valid_idx = [], [], [], []
         for idx, (uid, bid, iid, *_rest) in enumerate(data):
@@ -637,15 +591,15 @@ class BasketDataset(Dataset):
 
     @classmethod
     def from_ubi(cls, data, seed=None):
-        return cls.build(data, fmt="UBI", seed=seed)
+        return cls.build(data, "UBI", seed=seed)
 
     @classmethod
     def from_ubit(cls, data, seed=None):
-        return cls.build(data, fmt="UBIT", seed=seed)
+        return cls.build(data, "UBIT", seed=seed)
 
     @classmethod
     def from_ubitjson(cls, data, seed=None):
-        return cls.build(data, fmt="UBITJson", seed=seed)
+        return cls.build(data, "UBITJson", seed=seed)
 
     def ub_iter(self, batch_size=1, shuffle=False):
         """Yield (users, list-of-their-basket-ids) batches."""
@@ -677,32 +631,16 @@ class SequentialDataset(Dataset):
     """
 
     def __init__(
-        self,
-        num_users,
-        num_sessions,
-        num_items,
-        uid_map,
-        sid_map,
-        iid_map,
-        uir_tuple,
-        session_indices=None,
-        timestamps=None,
-        extra_data=None,
-        seed=None,
+        self, num_users, num_sessions, num_items, uid_map, sid_map,
+        iid_map, uir_tuple, session_indices=None, timestamps=None,
+        extra_data=None, seed=None,
     ):
         super().__init__(
-            num_users=num_users,
-            num_items=num_items,
-            uid_map=uid_map,
-            iid_map=iid_map,
-            uir_tuple=uir_tuple,
-            timestamps=timestamps,
-            seed=seed,
+            num_users, num_items, uid_map, iid_map, uir_tuple,
+            timestamps=timestamps, seed=seed,
         )
-        self.num_sessions = num_sessions
-        self.sid_map = sid_map
-        self.session_indices = session_indices
-        self.extra_data = extra_data
+        self.num_sessions, self.sid_map = num_sessions, sid_map
+        self.session_indices, self.extra_data = session_indices, extra_data
         session_sizes = list(Counter(session_indices).values())
         self.max_session_size = int(np.max(session_sizes))
         self.min_session_size = int(np.min(session_sizes))
@@ -760,25 +698,16 @@ class SequentialDataset(Dataset):
 
     @classmethod
     def build(
-        cls,
-        data,
-        fmt="SIT",
-        global_uid_map=None,
-        global_sid_map=None,
-        global_iid_map=None,
-        seed=None,
-        exclude_unknowns=False,
+        cls, data, fmt="SIT", global_uid_map=None, global_sid_map=None,
+        global_iid_map=None, seed=None, exclude_unknowns=False,
     ):
         """Construct from session tuples; user column optional depending on
         format. Row order within a session is the ground-truth sequence."""
         fmt = validate_format(fmt, ["SIT", "USIT", "SITJson", "USITJson"])
 
-        if global_uid_map is None:
-            global_uid_map = OrderedDict()
-        if global_sid_map is None:
-            global_sid_map = OrderedDict()
-        if global_iid_map is None:
-            global_iid_map = OrderedDict()
+        global_uid_map = OrderedDict() if global_uid_map is None else global_uid_map
+        global_sid_map = OrderedDict() if global_sid_map is None else global_sid_map
+        global_iid_map = OrderedDict() if global_iid_map is None else global_iid_map
 
         has_user = fmt in ("USIT", "USITJson")
         u_indices, s_indices, i_indices, valid_idx = [], [], [], []
@@ -824,19 +753,19 @@ class SequentialDataset(Dataset):
 
     @classmethod
     def from_sit(cls, data, seed=None):
-        return cls.build(data, fmt="SIT", seed=seed)
+        return cls.build(data, "SIT", seed=seed)
 
     @classmethod
     def from_usit(cls, data, seed=None):
-        return cls.build(data, fmt="USIT", seed=seed)
+        return cls.build(data, "USIT", seed=seed)
 
     @classmethod
     def from_sitjson(cls, data, seed=None):
-        return cls.build(data, fmt="SITJson", seed=seed)
+        return cls.build(data, "SITJson", seed=seed)
 
     @classmethod
     def from_usitjson(cls, data, seed=None):
-        return cls.build(data, fmt="USITJson", seed=seed)
+        return cls.build(data, "USITJson", seed=seed)
 
     def num_batches(self, batch_size):
         return estimate_batches(len(self.sessions), batch_size)

@@ -56,10 +56,8 @@ def _validate_stopwords(stop_words):
     if stop_words == "english":
         return ENGLISH_STOPWORDS
     if isinstance(stop_words, str):
-        raise ValueError("Invalid built-in stop-words list: %s" % stop_words)
-    if stop_words is None:
-        return None
-    return frozenset(stop_words)
+        raise ValueError(f"unknown built-in stop-words list: {stop_words}")
+    return None if stop_words is None else frozenset(stop_words)
 
 
 def rm_tags(t):
@@ -106,16 +104,16 @@ class BaseTokenizer(Tokenizer):
 
     def __init__(self, sep=" ", pre_rules=None, stop_words=None):
         self.sep = sep
-        self.pre_rules = DEFAULT_PRE_RULES if pre_rules is None else pre_rules
+        self.pre_rules = pre_rules if pre_rules is not None else DEFAULT_PRE_RULES
         self.stop_words = _validate_stopwords(stop_words)
 
     def tokenize(self, t):
         for rule in self.pre_rules:
             t = rule(t)
-        tokens = t.split(self.sep)
+        toks = t.split(self.sep)
         if self.stop_words is not None:
-            tokens = [tok for tok in tokens if tok not in self.stop_words]
-        return tokens
+            toks = [tok for tok in toks if tok not in self.stop_words]
+        return toks
 
     def batch_tokenize(self, texts):
         return [self.tokenize(t) for t in texts]
@@ -191,26 +189,17 @@ class CountVectorizer:
     """Corpus -> CSR matrix of token counts (scikit-learn-style API)."""
 
     def __init__(
-        self,
-        tokenizer=None,
-        vocab=None,
-        max_doc_freq=1.0,
-        min_doc_freq=1,
-        max_features=None,
-        binary=False,
+        self, tokenizer=None, vocab=None, max_doc_freq=1.0, min_doc_freq=1,
+        max_features=None, binary=False,
     ):
-        self.tokenizer = BaseTokenizer() if tokenizer is None else tokenizer
-        self.vocab = vocab
         if max_doc_freq < 0 or min_doc_freq < 0:
-            raise ValueError("negative value for max_doc_freq or min_doc_freq")
-        self.max_doc_freq = max_doc_freq
-        self.min_doc_freq = min_doc_freq
+            raise ValueError("doc-frequency bounds must be non-negative")
         if max_features is not None and max_features <= 0:
-            raise ValueError(
-                "max_features=%r, neither a positive integer nor None" % max_features
-            )
+            raise ValueError(f"max_features={max_features!r} must be positive or None")
+        self.tokenizer = tokenizer if tokenizer is not None else BaseTokenizer()
+        self.vocab, self.binary = vocab, binary
+        self.max_doc_freq, self.min_doc_freq = max_doc_freq, min_doc_freq
         self.max_features = max_features
-        self.binary = binary
 
     def _limit_features(self, X, max_doc_count, min_doc_count):
         """Prune vocabulary terms by document frequency / max_features."""
@@ -226,7 +215,7 @@ class CountVectorizer:
         if max_doc_count < X.shape[0]:
             mask &= doc_freq <= max_doc_count
         if min_doc_count > 1:
-            mask &= doc_freq >= min_doc_count
+            mask &= min_doc_count <= doc_freq
 
         if self.max_features is not None and mask.sum() > self.max_features:
             # terms are already ordered by corpus frequency via Vocabulary
@@ -313,38 +302,22 @@ class TfidfVectorizer(CountVectorizer):
     """Corpus -> TF-IDF CSR matrix (smooth idf, optional sublinear tf)."""
 
     def __init__(
-        self,
-        tokenizer=None,
-        vocab=None,
-        max_doc_freq=1.0,
-        min_doc_freq=1,
-        max_features=None,
-        binary=False,
-        norm="l2",
-        use_idf=True,
-        smooth_idf=True,
-        sublinear_tf=False,
+        self, tokenizer=None, vocab=None, max_doc_freq=1.0, min_doc_freq=1,
+        max_features=None, binary=False, norm="l2", use_idf=True,
+        smooth_idf=True, sublinear_tf=False,
     ):
         super().__init__(
-            tokenizer=tokenizer,
-            vocab=vocab,
-            max_doc_freq=max_doc_freq,
-            min_doc_freq=min_doc_freq,
-            max_features=max_features,
-            binary=binary,
+            tokenizer=tokenizer, vocab=vocab, max_doc_freq=max_doc_freq,
+            min_doc_freq=min_doc_freq, max_features=max_features, binary=binary,
         )
-        self.norm = norm
-        self.use_idf = use_idf
-        self.smooth_idf = smooth_idf
-        self.sublinear_tf = sublinear_tf
+        self.norm, self.use_idf = norm, use_idf
+        self.smooth_idf, self.sublinear_tf = smooth_idf, sublinear_tf
 
     def _build_idf(self, X):
-        n_samples, n_features = X.shape
-        doc_freq = np.bincount(X.indices, minlength=n_features)
-        doc_freq = doc_freq + int(self.smooth_idf)
-        n_samples += int(self.smooth_idf)
-        idf = np.log(n_samples / doc_freq) + 1
-        self.idf = sp.diags(idf, offsets=0, shape=(n_features, n_features), format="csr")
+        n_docs, n_terms = X.shape
+        doc_freq = np.bincount(X.indices, minlength=n_terms) + int(self.smooth_idf)
+        idf = 1.0 + np.log((n_docs + int(self.smooth_idf)) / doc_freq)
+        self.idf = sp.diags(idf, offsets=0, shape=(n_terms, n_terms), format="csr")
 
     def _tfidf(self, X):
         X = (
@@ -385,27 +358,16 @@ class TextModality(FeatureModality):
     """
 
     def __init__(
-        self,
-        corpus=None,
-        ids=None,
-        tokenizer=None,
-        vocab=None,
-        max_vocab=None,
-        max_doc_freq=1.0,
-        min_doc_freq=1,
-        tfidf_params=None,
+        self, corpus=None, ids=None, tokenizer=None, vocab=None,
+        max_vocab=None, max_doc_freq=1.0, min_doc_freq=1, tfidf_params=None,
         **kwargs,
     ):
         super().__init__(ids=ids, **kwargs)
-        self.corpus = corpus
-        self.tokenizer = BaseTokenizer() if tokenizer is None else tokenizer
-        self.vocab = vocab
-        self.max_vocab = max_vocab
-        self.max_doc_freq = max_doc_freq
-        self.min_doc_freq = min_doc_freq
+        self.corpus, self.vocab, self.max_vocab = corpus, vocab, max_vocab
+        self.tokenizer = tokenizer if tokenizer is not None else BaseTokenizer()
+        self.max_doc_freq, self.min_doc_freq = max_doc_freq, min_doc_freq
         self.tfidf_params = tfidf_params
-        self.sequences = None
-        self.count_matrix = None
+        self.sequences, self.count_matrix = None, None
         self._tfidf_matrix = None
 
     @property
@@ -505,30 +467,18 @@ class ReviewModality(TextModality):
     optionally grouped into one document per user or per item."""
 
     def __init__(
-        self,
-        data=None,
-        group_by=None,
-        tokenizer=None,
-        vocab=None,
-        max_vocab=None,
-        max_doc_freq=1.0,
-        min_doc_freq=1,
-        tfidf_params=None,
+        self, data=None, group_by=None, tokenizer=None, vocab=None,
+        max_vocab=None, max_doc_freq=1.0, min_doc_freq=1, tfidf_params=None,
         **kwargs,
     ):
         super().__init__(
-            tokenizer=tokenizer,
-            vocab=vocab,
-            max_vocab=max_vocab,
-            max_doc_freq=max_doc_freq,
-            min_doc_freq=min_doc_freq,
-            tfidf_params=tfidf_params,
-            **kwargs,
+            tokenizer=tokenizer, vocab=vocab, max_vocab=max_vocab,
+            max_doc_freq=max_doc_freq, min_doc_freq=min_doc_freq,
+            tfidf_params=tfidf_params, **kwargs,
         )
-        self.raw_data = data
-        if group_by not in ["user", "item", None]:
-            raise ValueError("group_by should be in ['user', 'item', None]")
-        self.group_by = group_by
+        if group_by not in ("user", "item", None):
+            raise ValueError("group_by must be one of 'user', 'item', or None")
+        self.raw_data, self.group_by = data, group_by
 
     def _build_corpus(self, uid_map, iid_map, dok_matrix):
         if self.group_by is None:
