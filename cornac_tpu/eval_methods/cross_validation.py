@@ -1,6 +1,9 @@
 """k-fold cross-validation protocol.
 
 Parity with reference ``cornac/eval_methods/cross_validation.py:25-143``.
+The fold-assignment vector consumes the seeded stream in the same order
+(one shuffle of the balanced labels, then one draw for the remainder), so
+fold contents match the reference for a given seed.
 """
 
 import numpy as np
@@ -11,8 +14,9 @@ from .base_method import BaseMethod
 
 
 class CrossValidation(BaseMethod):
-    """Partition ratings into ``n_folds``; each fold serves once as the test
-    (and validation) set while the rest trains a fresh clone of the model."""
+    """Assign every rating to one of ``n_folds``; each fold serves once as
+    the test (and validation) set while a fresh clone of the model trains on
+    the remaining folds."""
 
     def __init__(
         self,
@@ -25,8 +29,7 @@ class CrossValidation(BaseMethod):
         verbose=False,
         **kwargs,
     ):
-        BaseMethod.__init__(
-            self,
+        super().__init__(
             data=data,
             rating_threshold=rating_threshold,
             seed=seed,
@@ -40,63 +43,59 @@ class CrossValidation(BaseMethod):
         self.current_fold = 0
         self.current_split = None
 
-        self._partition = self._validate_partition(partition)
+        if partition is not None:
+            partition = np.asarray(partition)
+            if partition.shape[0] != self.n_ratings:
+                raise ValueError(
+                    f"partition labels one entry per rating: got "
+                    f"{partition.shape[0]} labels for {self.n_ratings} ratings"
+                )
+            if np.unique(partition).size != self.n_folds:
+                raise ValueError(
+                    f"partition uses {np.unique(partition).size} distinct fold "
+                    f"labels but n_folds={self.n_folds}"
+                )
+        else:
+            partition = self._draw_fold_labels()
+        self._partition = partition
 
-    def _partition_data(self):
-        """Random assignment of each rating to one of n_folds."""
-        fold_size = int(self.n_ratings / self.n_folds)
-        remain_size = self.n_ratings - fold_size * self.n_folds
+    def _draw_fold_labels(self):
+        """Balanced random fold labels: every fold gets ``n // k`` ratings,
+        and each leftover rating lands on an independently drawn fold."""
+        per_fold, leftover = divmod(self.n_ratings, self.n_folds)
 
-        partition = np.repeat(np.arange(self.n_folds), fold_size)
-        self.rng.shuffle(partition)
+        labels = np.repeat(np.arange(self.n_folds), per_fold)
+        self.rng.shuffle(labels)
+        if leftover:
+            spill = self.rng.choice(self.n_folds, size=leftover, replace=True, p=None)
+            labels = np.concatenate((labels, spill))
+        return labels
 
-        if remain_size > 0:
-            remain_partition = self.rng.choice(
-                self.n_folds, size=remain_size, replace=True, p=None
-            )
-            partition = np.concatenate((partition, remain_partition))
-
-        return partition
-
-    def _validate_partition(self, partition):
-        if partition is None:
-            return self._partition_data()
-        if len(partition) != self.n_ratings:
-            raise ValueError(
-                "The partition length must be equal to the number of ratings"
-            )
-        if len(set(partition)) != self.n_folds:
-            raise ValueError(
-                "Number of folds in given partition different from %s" % self.n_folds
-            )
-        return partition
-
-    def _get_train_test(self):
+    def _build_fold(self, fold):
+        """Materialize train/test sets with ``fold`` held out."""
+        self.current_fold = fold
         if self.verbose:
-            print("Fold: {}".format(self.current_fold + 1))
+            print(f"Fold: {fold + 1}")
 
-        test_idx = np.where(self._partition == self.current_fold)[0]
-        train_idx = np.where(self._partition != self.current_fold)[0]
-
-        train_data = safe_indexing(self.data, train_idx)
-        test_data = safe_indexing(self.data, test_idx)
-        self.build(train_data=train_data, test_data=test_data, val_data=test_data)
-
-    def _next_fold(self):
-        self.current_fold = (self.current_fold + 1) % self.n_folds
+        mask = self._partition == fold
+        held = safe_indexing(self.data, np.flatnonzero(mask))
+        rest = safe_indexing(self.data, np.flatnonzero(~mask))
+        self.build(train_data=rest, test_data=held, val_data=held)
 
     def evaluate(self, model, metrics, user_based, show_validation):
-        result = CVResult(model.name)
+        agg = CVResult(model.name)
 
-        for _ in range(self.n_folds):
-            self._get_train_test()
-            new_model = model.clone()  # fresh model per fold
-            fold_result, _ = BaseMethod.evaluate(
-                self, new_model, metrics, user_based, show_validation=False
+        for fold in range(self.n_folds):
+            self._build_fold(fold)
+            per_fold, _ = BaseMethod.evaluate(
+                self,
+                model.clone(),  # fresh parameters per fold
+                metrics,
+                user_based,
+                show_validation=False,
             )
-            result.append(fold_result)
-            self._next_fold()
+            agg.append(per_fold)
+        self.current_fold = 0
 
-        result.organize()
-
-        return result, None
+        agg.organize()
+        return agg, None

@@ -5,14 +5,15 @@ permutation comes from the same seeded legacy RandomState so split contents
 match the reference for a given seed.
 """
 
-from math import ceil
+import math
 
 from ..utils.common import safe_indexing
 from .base_method import BaseMethod
 
 
 class RatioSplit(BaseMethod):
-    """Shuffle the data, then carve out test/val/train slices.
+    """Shuffle the data once, then carve consecutive slices of the permuted
+    index vector into train / val / test.
 
     ``test_size`` / ``val_size`` are proportions when < 1, absolute counts
     otherwise.
@@ -38,56 +39,55 @@ class RatioSplit(BaseMethod):
             **kwargs,
         )
 
-        self.train_size, self.val_size, self.test_size = self.validate_size(
-            val_size=val_size,
-            test_size=test_size,
-            data_size=kwargs.get("data_size", len(data)),
-        )
+        n_total = kwargs.get("data_size", len(data))
+        sizes = self.validate_size(val_size, test_size, n_total)
+        self.train_size, self.val_size, self.test_size = sizes
         self._split()
 
     @staticmethod
     def validate_size(val_size, test_size, data_size):
-        """Resolve proportions/counts into integer (train, val, test) sizes."""
-        if val_size is None:
-            val_size = 0.0
-        elif val_size < 0:
-            raise ValueError("val_size={} should be greater than zero".format(val_size))
-        elif val_size >= data_size:
-            raise ValueError(
-                f"val_size={val_size} should be smaller than data_size={data_size}"
+        """Resolve the two held-out sizes into integer ``(train, val, test)``
+        counts.
+
+        Each requested size goes through the same normalization: ``None``
+        means zero, a value in ``[0, 1)`` is a fraction of ``data_size``
+        (rounded up), and anything >= 1 is taken as an absolute count.
+        """
+        resolved = {}
+        for name, requested in (("val_size", val_size), ("test_size", test_size)):
+            if requested is None:
+                requested = 0.0
+            if requested < 0:
+                raise ValueError(f"{name}={requested} cannot be negative")
+            if requested >= data_size:
+                msg = (
+                    f"{name}={requested} must leave room inside "
+                    f"data_size={data_size}"
+                )
+                raise ValueError(msg)
+            resolved[name] = (
+                math.ceil(requested * data_size) if requested < 1 else int(requested)
             )
 
-        if test_size is None:
-            test_size = 0.0
-        elif test_size < 0:
-            raise ValueError(f"test_size={test_size} should be greater than zero")
-        elif test_size >= data_size:
-            raise ValueError(
-                f"test_size={test_size} should be smaller than data_size={data_size}"
+        held_out = resolved["val_size"] + resolved["test_size"]
+        if held_out >= data_size:
+            msg = (
+                f"held-out total val+test={held_out} must leave at least one "
+                f"training interaction out of data_size={data_size}"
             )
+            raise ValueError(msg)
 
-        if val_size < 1:
-            val_size = ceil(val_size * data_size)
-        if test_size < 1:
-            test_size = ceil(test_size * data_size)
-
-        if val_size + test_size >= data_size:
-            raise ValueError(
-                f"val_size + test_size ({val_size + test_size}) should be smaller "
-                f"than data_size={data_size}"
-            )
-
-        train_size = data_size - (val_size + test_size)
-        return int(train_size), int(val_size), int(test_size)
+        return data_size - held_out, resolved["val_size"], resolved["test_size"]
 
     def _split(self):
-        data_idx = self.rng.permutation(len(self.data))
-        train_idx = data_idx[: self.train_size]
-        test_idx = data_idx[-self.test_size :]
-        val_idx = data_idx[self.train_size : -self.test_size]
+        # one draw from the seeded stream; slice boundaries are cumulative
+        # offsets into the permuted index vector
+        shuffled = self.rng.permutation(len(self.data))
+        val_end = self.train_size + self.val_size
+        held_val = shuffled[self.train_size : val_end]
 
-        train_data = safe_indexing(self.data, train_idx)
-        test_data = safe_indexing(self.data, test_idx)
-        val_data = safe_indexing(self.data, val_idx) if len(val_idx) > 0 else None
-
-        self.build(train_data=train_data, test_data=test_data, val_data=val_data)
+        self.build(
+            train_data=safe_indexing(self.data, shuffled[: self.train_size]),
+            test_data=safe_indexing(self.data, shuffled[val_end:]),
+            val_data=safe_indexing(self.data, held_val) if held_val.size else None,
+        )

@@ -1,9 +1,13 @@
 """StratifiedSplit: per-user or per-item (optionally chronological) split.
 
 Parity with reference ``cornac/eval_methods/stratified_split.py:25-145``.
+Groups are discovered with the same shared-sort idiom as ``rating_eval``
+(one stable argsort + boundary cuts) instead of a Python dict loop, but the
+per-group RNG draws happen in first-appearance order of the group key so
+split contents match the reference for a given seed.
 """
 
-from collections import defaultdict
+import numpy as np
 
 from ..utils.common import safe_indexing
 from .base_method import BaseMethod
@@ -11,10 +15,12 @@ from .ratio_split import RatioSplit
 
 
 class StratifiedSplit(BaseMethod):
-    """Group interactions by user or item, then split each group into
-    train/val/test. With ``chrono=True`` the training portion of each group
-    keeps chronological order and the held-out portion is sampled from the
-    tail."""
+    """Slice each user's (or item's) interactions into train/val/test.
+
+    With ``chrono=True`` data is first ordered globally by timestamp; each
+    group keeps its chronological head for training and samples val/test
+    from a shuffled tail.
+    """
 
     def __init__(
         self,
@@ -40,17 +46,12 @@ class StratifiedSplit(BaseMethod):
             **kwargs,
         )
 
-        if group_by not in ["user", "item"]:
-            raise ValueError(
-                "group_by option must be either 'user' or 'item' but {}".format(
-                    group_by
-                )
-            )
-
-        if chrono and (fmt != "UIRT" or len(self.data[0]) != 4):
-            raise ValueError(
-                'Input data must be in "UIRT" format for sorting chronologically.'
-            )
+        if group_by not in ("user", "item"):
+            raise ValueError(f"group_by accepts 'user' or 'item', got {group_by!r}")
+        has_time = fmt == "UIRT" and len(self.data[0]) == 4
+        if chrono and not has_time:
+            msg = 'chrono=True needs timestamps: supply 4-column data with fmt="UIRT"'
+            raise ValueError(msg)
 
         self.chrono = chrono
         self.group_by = group_by
@@ -59,38 +60,51 @@ class StratifiedSplit(BaseMethod):
 
         self._split()
 
+    def _group_slices(self, data):
+        """Yield each group's positions (into ``data``) in first-appearance
+        order of the group key, via one shared stable sort."""
+        col = 0 if self.group_by == "user" else 1
+        keys = np.asarray([row[col] for row in data])
+
+        order = np.argsort(keys, kind="stable")
+        cuts = np.flatnonzero(keys[order][1:] != keys[order][:-1]) + 1
+        starts = np.concatenate(([0], cuts))
+        ends = np.concatenate((cuts, [keys.size]))
+
+        # a stable sort puts each group's earliest position first, so
+        # ordering groups by that position recovers first-appearance order
+        for g in np.argsort(order[starts], kind="stable"):
+            yield order[starts[g] : ends[g]]
+
     def _split(self):
-        data = sorted(self.data, key=lambda x: x[3]) if self.chrono else self.data
+        data = sorted(self.data, key=lambda row: row[3]) if self.chrono else self.data
 
-        grouped_indices = defaultdict(list)
-        for idx, (uid, iid, *_rest) in enumerate(data):
-            key = uid if self.group_by == "user" else iid
-            grouped_indices[key].append(idx)
-
-        train_idx, test_idx, val_idx = [], [], []
-
-        for rating_indices in grouped_indices.values():
-            n_ratings = len(rating_indices)
-            n_train, _, n_test = RatioSplit.validate_size(
-                self.val_size, self.test_size, n_ratings
+        buckets = {"train": [], "val": [], "test": []}
+        for positions in self._group_slices(data):
+            sizes = RatioSplit.validate_size(
+                self.val_size, self.test_size, positions.size
             )
-
-            if self.chrono:
-                # keep the (chronological) head for training; shuffle the tail
-                # before carving out val/test
-                rating_indices = (
-                    rating_indices[:n_train]
-                    + self.rng.permutation(rating_indices[n_train:]).tolist()
-                )
+            n_train, n_test = sizes[0], sizes[2]
+            if not self.chrono:
+                arranged = self.rng.permutation(positions)
             else:
-                rating_indices = self.rng.permutation(rating_indices).tolist()
+                # chronological head trains as-is; only the tail is shuffled
+                tail = self.rng.permutation(positions[n_train:])
+                arranged = np.concatenate((positions[:n_train], tail))
 
-            train_idx += rating_indices[:n_train]
-            test_idx += rating_indices[-n_test:]
-            val_idx += rating_indices[n_train:-n_test]
+            buckets["train"].append(arranged[:n_train])
+            buckets["val"].append(arranged[n_train : positions.size - n_test])
+            buckets["test"].append(arranged[positions.size - n_test :])
 
-        train_data = safe_indexing(data, train_idx)
-        test_data = safe_indexing(data, test_idx)
-        val_data = safe_indexing(data, val_idx) if len(val_idx) > 0 else None
-
-        self.build(train_data=train_data, test_data=test_data, val_data=val_data)
+        picked = {
+            name: np.concatenate(parts) if parts else np.empty(0, dtype=int)
+            for name, parts in buckets.items()
+        }
+        val_data = (
+            safe_indexing(data, picked["val"]) if picked["val"].size else None
+        )
+        self.build(
+            train_data=safe_indexing(data, picked["train"]),
+            test_data=safe_indexing(data, picked["test"]),
+            val_data=val_data,
+        )

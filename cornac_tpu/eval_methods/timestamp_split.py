@@ -5,20 +5,26 @@ Parity with reference ``cornac/eval_methods/timestamp_split.py:23-212``.
 
 import warnings
 
+import numpy as np
+
 from ..utils.common import safe_indexing
 from .base_method import BaseMethod
 from .ratio_split import RatioSplit
 
 
 class TimestampSplit(BaseMethod):
-    """Partition interactions chronologically:
+    """Partition interactions along the time axis.
 
-    - train: timestamp < val_timestamp
-    - validation: val_timestamp <= timestamp < test_timestamp
-    - test: timestamp >= test_timestamp
+    Two cutoff timestamps define three half-open windows::
 
-    Cutoffs may be given directly (``val_timestamp``/``test_timestamp``) or
-    derived from ``test_size``/``val_size`` proportions of interactions.
+        train:      ts <  val_timestamp
+        validation: val_timestamp <= ts < test_timestamp
+        test:       ts >= test_timestamp
+
+    Callers pick exactly one configuration mode: pass both cutoffs
+    explicitly, or pass ``test_size`` (optionally ``val_size``) and let the
+    cutoffs be derived so the chronologically-latest fraction of
+    interactions lands in test.
     """
 
     def __init__(
@@ -47,84 +53,99 @@ class TimestampSplit(BaseMethod):
 
         if fmt != "UIRT" or len(self.data[0]) != 4:
             raise ValueError(
-                'Input data must be in "UIRT" format for splitting by timestamp.'
+                "TimestampSplit needs a timestamp column: load the data with "
+                'fmt="UIRT" (4 fields per interaction)'
             )
 
-        if (val_timestamp is not None or test_timestamp is not None) and (
-            test_size is not None or val_size is not None
-        ):
+        cutoff_mode = val_timestamp is not None or test_timestamp is not None
+        ratio_mode = test_size is not None or val_size is not None
+        if cutoff_mode and ratio_mode:
             raise ValueError(
-                "Provide either val_timestamp/test_timestamp or test_size/val_size, "
-                "not a mix of both."
+                "cutoff arguments (val_timestamp/test_timestamp) and ratio "
+                "arguments (test_size/val_size) are mutually exclusive"
             )
 
-        if val_timestamp is not None and test_timestamp is not None:
-            if val_timestamp >= test_timestamp:
+        if cutoff_mode:
+            if val_timestamp is None or test_timestamp is None:
                 raise ValueError(
-                    "val_timestamp ({}) must be strictly less than test_timestamp "
-                    "({}).".format(val_timestamp, test_timestamp)
+                    "cutoff mode needs both val_timestamp and test_timestamp "
+                    "(pass test_size instead to split by ratio)"
                 )
-            self.val_timestamp = val_timestamp
-            self.test_timestamp = test_timestamp
+            if not val_timestamp < test_timestamp:
+                raise ValueError(
+                    f"cutoffs out of order: val_timestamp={val_timestamp} must "
+                    f"precede test_timestamp={test_timestamp}"
+                )
+            self.val_timestamp, self.test_timestamp = val_timestamp, test_timestamp
         elif test_size is not None:
-            self.val_timestamp, self.test_timestamp = self._cutoffs_from_ratio(
-                test_size=test_size, val_size=val_size
+            self.val_timestamp, self.test_timestamp = self._derive_cutoffs(
+                test_size, val_size
             )
         else:
             raise ValueError(
-                "Provide either both val_timestamp and test_timestamp, or test_size "
-                "(optionally with val_size) to split by ratio."
+                "no split requested: pass val_timestamp+test_timestamp, or "
+                "test_size (optionally val_size)"
             )
 
         self._split()
 
-    def _cutoffs_from_ratio(self, test_size, val_size):
-        """Derive cutoff timestamps so the latest ``test_size`` fraction of
-        interactions forms the test set (ties stay on one side)."""
-        data_size = len(self.data)
-        train_count, val_count, test_count = RatioSplit.validate_size(
-            val_size=val_size, test_size=test_size, data_size=data_size
+    def _derive_cutoffs(self, test_size, val_size):
+        """Turn count/fraction sizes into the two cutoff timestamps.
+
+        The sorted timestamp vector is indexed at the train and train+val
+        boundaries; ``_split``'s ``<`` / ``>=`` comparisons then decide which
+        side tied timestamps fall on.
+        """
+        n_train, n_val, n_test = RatioSplit.validate_size(
+            val_size=val_size, test_size=test_size, data_size=len(self.data)
         )
-
-        if test_count == 0:
-            raise ValueError("test_size={} yields an empty test set.".format(test_size))
-
-        sorted_ts = sorted(row[3] for row in self.data)
-        test_timestamp = sorted_ts[train_count + val_count]
-        val_timestamp = sorted_ts[train_count] if val_count > 0 else test_timestamp
-
-        if val_timestamp == sorted_ts[0]:
+        if n_test == 0:
             raise ValueError(
-                "Training set is empty: the earliest timestamps are tied across the "
-                "requested train boundary. Use a smaller test_size/val_size or split "
-                "by absolute cutoffs instead."
-            )
-        if val_count > 0 and val_timestamp == test_timestamp:
-            warnings.warn(
-                "Validation window collapsed due to tied timestamps at the requested "
-                "boundary; val_set will be None."
+                f"test_size={test_size} resolves to zero test interactions"
             )
 
-        return val_timestamp, test_timestamp
+        timeline = np.sort(np.asarray([row[3] for row in self.data]))
+        test_cut = timeline[n_train + n_val]
+        val_cut = timeline[n_train] if n_val > 0 else test_cut
+
+        if val_cut == timeline[0]:
+            raise ValueError(
+                "every interaction at or after the first timestamp would be "
+                "held out (tied timestamps at the train boundary); shrink "
+                "test_size/val_size or pass explicit cutoffs"
+            )
+        if n_val > 0 and val_cut == test_cut:
+            warnings.warn(
+                "tied timestamps squeezed the validation window to nothing; "
+                "no val_set will be built"
+            )
+
+        return val_cut, test_cut
 
     def _split(self):
-        train_idx, val_idx, test_idx = [], [], []
-        for idx, row in enumerate(self.data):
-            ts = row[3]
-            if ts < self.val_timestamp:
-                train_idx.append(idx)
-            elif ts < self.test_timestamp:
-                val_idx.append(idx)
-            else:
-                test_idx.append(idx)
+        # one vectorized pass over the timestamp column; the two cutoffs
+        # induce three boolean masks
+        ts = np.asarray([row[3] for row in self.data])
+        before_val = ts < self.val_timestamp
+        before_test = ts < self.test_timestamp
 
-        if len(train_idx) == 0:
-            raise ValueError("Training set is empty. val_timestamp may be too small.")
-        if len(test_idx) == 0:
-            raise ValueError("Test set is empty. test_timestamp may be too large.")
+        train_idx = np.flatnonzero(before_val)
+        val_idx = np.flatnonzero(before_test & ~before_val)
+        test_idx = np.flatnonzero(~before_test)
 
-        train_data = safe_indexing(self.data, train_idx)
-        test_data = safe_indexing(self.data, test_idx)
-        val_data = safe_indexing(self.data, val_idx) if len(val_idx) > 0 else None
+        if train_idx.size == 0:
+            raise ValueError(
+                f"nothing precedes val_timestamp={self.val_timestamp}: the "
+                "training window is empty"
+            )
+        if test_idx.size == 0:
+            raise ValueError(
+                f"nothing at or after test_timestamp={self.test_timestamp}: "
+                "the test window is empty"
+            )
 
-        self.build(train_data=train_data, test_data=test_data, val_data=val_data)
+        self.build(
+            train_data=safe_indexing(self.data, train_idx),
+            test_data=safe_indexing(self.data, test_idx),
+            val_data=safe_indexing(self.data, val_idx) if val_idx.size else None,
+        )
