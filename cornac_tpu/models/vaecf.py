@@ -5,8 +5,12 @@ Capability parity with reference ``cornac/models/vaecf/recom_vaecf.py:22`` +
 ``vaecf/vaecf.py:37-160`` (torch VAE with mult/bern/gaus/pois likelihoods,
 Adam). TPU redesign: pure-JAX VAE over pytrees with optax Adam; when the
 binarized interaction matrix fits a device-memory budget the whole multi-
-epoch loop runs as one compiled program (user batches sliced on device),
-otherwise batches stream from host CSR.
+epoch loop runs as one compiled program (user batches sliced on device).
+Above that budget only the CSR *coordinates* go to the device (int32
+pairs, ~1% of the dense bytes at Netflix shape) and each user batch is
+densified on device by a masked scatter — still one compiled program per
+chunk. Only when even the coordinates blow their budget (or training is
+mesh-sharded out of HBM) does the loop stream per-batch index windows.
 """
 
 from functools import partial
@@ -26,6 +30,10 @@ EPS = 1e-10
 
 # keep the dense interaction matrix on device when below this budget
 _RESIDENT_BYTES = 512 * 1024 * 1024
+# above the dense budget, keep the *CSR indices* on device when they fit
+# this one (a Netflix-shape matrix is ~34 GB dense but <1 GB as int32
+# index pairs) and densify each user batch on device with one scatter
+_SPARSE_RESIDENT_BYTES = 4 * 1024 * 1024 * 1024
 
 LIKELIHOODS = ("mult", "bern", "gaus", "pois")
 
@@ -156,6 +164,47 @@ class VAECF(Recommender, ANNMixin):
             X = (self.r_mat > 0).astype(np.float32).toarray()
             if n_pad:
                 X = np.concatenate([X, np.zeros((n_pad, data_dim), np.float32)])
+        else:
+            # out-of-HBM: ship only the positive-entry coordinates. Each
+            # batch densifies on device (scatter of ones into a zeros
+            # block) so the tunnel carries int32 indices, not f32 zeros —
+            # ~99% less transfer than streaming dense rows at Netflix shape
+            csr = self.r_mat.tocsr()
+            keep = csr.data > 0
+            cols = csr.indices[keep].astype(np.int32)
+            rows_g = np.repeat(
+                np.arange(n_users, dtype=np.int32), np.diff(csr.indptr)
+            )[keep]
+            batch_counts = np.bincount(
+                rows_g // bsz, minlength=n_batches
+            ).astype(np.int32)
+            starts = np.concatenate(
+                ([0], np.cumsum(batch_counts[:-1]))
+            ).astype(np.int32)
+            cap = max(int(batch_counts.max(initial=0)), 1)
+            # sentinel tail: the fixed-size window at the last batch never
+            # reads past the arrays, and sentinel columns scatter-drop
+            cols = np.concatenate([cols, np.full(cap, data_dim, np.int32)])
+            rows_g = np.concatenate([rows_g, np.zeros(cap, np.int32)])
+            index_resident = (
+                self.mesh is None
+                and 8 * cols.size <= _SPARSE_RESIDENT_BYTES
+            )
+
+            def densify(cols_d, rows_d, start, count, b):
+                # fixed-cap window into the flat coordinate arrays; window
+                # positions past `count` belong to the next batch, so mask
+                # them to the out-of-range sentinel and let mode="drop"
+                # discard them
+                cw = jax.lax.dynamic_slice(cols_d, (start,), (cap,))
+                rw = jax.lax.dynamic_slice(rows_d, (start,), (cap,))
+                cw = jnp.where(jnp.arange(cap) < count, cw, data_dim)
+                rw = rw - b * bsz
+                return (
+                    jnp.zeros((bsz, data_dim), jnp.float32)
+                    .at[rw, cw]
+                    .set(1.0, mode="drop")
+                )
 
         @partial(jax.jit, donate_argnums=(0, 1))
         def run_epochs(params, opt_state, X_d, key, n_epochs, epoch_offset):
@@ -189,6 +238,57 @@ class VAECF(Recommender, ANNMixin):
                 0, n_epochs, epoch, (params, opt_state, jnp.float32(0.0))
             )
 
+        if not resident:
+
+            @partial(jax.jit, donate_argnums=(0, 1))
+            def run_epochs_sparse(
+                params, opt_state, cols_d, rows_d, starts_d, counts_d,
+                key, n_epochs, epoch_offset,
+            ):
+                def epoch(e, carry):
+                    params, opt_state, _ = carry
+                    ekey = jax.random.fold_in(key, epoch_offset + e)
+
+                    def step(b, carry):
+                        params, opt_state, loss_sum = carry
+                        x = densify(cols_d, rows_d, starts_d[b], counts_d[b], b)
+                        loss, grads = jax.value_and_grad(_vae_loss)(
+                            params,
+                            x,
+                            jax.random.fold_in(ekey, b),
+                            act,
+                            likelihood,
+                            beta,
+                        )
+                        updates, opt_state = optimizer.update(
+                            grads, opt_state, params
+                        )
+                        params = optax.apply_updates(params, updates)
+                        return params, opt_state, loss_sum + loss
+
+                    return jax.lax.fori_loop(
+                        0, n_batches, step, (params, opt_state, jnp.float32(0.0))
+                    )
+
+                return jax.lax.fori_loop(
+                    0, n_epochs, epoch, (params, opt_state, jnp.float32(0.0))
+                )
+
+            if index_resident:
+                # one upload of the coordinate arrays; every epoch after
+                # that runs as a single device program with zero transfer
+                cols_d = jnp.asarray(cols)
+                rows_d = jnp.asarray(rows_g)
+                starts_d = jnp.asarray(starts)
+                counts_d = jnp.asarray(batch_counts)
+            else:
+                # per-step index window (8*cap bytes vs bsz*n_items*4 dense)
+                densify_win = jax.jit(
+                    lambda cw, rw, b: jnp.zeros((bsz, data_dim), jnp.float32)
+                    .at[rw - b * bsz, cw]
+                    .set(1.0, mode="drop")
+                )
+
         if resident:
             X_d = jnp.asarray(X)
         if self.mesh is not None:
@@ -217,21 +317,28 @@ class VAECF(Recommender, ANNMixin):
                     params, opt_state, X_d, key, e, start
                 )
                 return (params, opt_state), loss_sum
-            # streaming: densify one host CSR row block per step; epoch/
-            # batch keys match the resident program so chunking/resume is
-            # stream-invariant (though the two modes are distinct streams)
+            if index_resident:
+                # coordinates already on device: run the chunk's epochs as
+                # one compiled program, same key folding as the dense one
+                params, opt_state, loss_sum = run_epochs_sparse(
+                    params, opt_state, cols_d, rows_d, starts_d, counts_d,
+                    key, e, start,
+                )
+                return (params, opt_state), loss_sum
+            # index streaming: transfer each batch's coordinate window and
+            # densify on device; epoch/batch keys match the resident
+            # program so chunking/resume is stream-invariant
             loss_sum = 0.0
             for ei in range(e):
                 ekey = jax.random.fold_in(key, start + ei)
                 epoch_sum = 0.0
                 for b in range(n_batches):
-                    rows = self.r_mat[b * bsz : b * bsz + bsz]
-                    x = (rows > 0).astype(np.float32).toarray()
-                    if x.shape[0] < bsz:
-                        x = np.concatenate(
-                            [x, np.zeros((bsz - x.shape[0], data_dim), np.float32)]
-                        )
-                    x = jnp.asarray(x)
+                    s, cnt = int(starts[b]), int(batch_counts[b])
+                    cw = cols[s : s + cap].copy()
+                    cw[cnt:] = data_dim  # next batch's spill: scatter-drop
+                    x = densify_win(
+                        jnp.asarray(cw), jnp.asarray(rows_g[s : s + cap]), b
+                    )
                     if self.mesh is not None:
                         from ..parallel import shard_batch
 

@@ -174,9 +174,11 @@ def test_vectorized_score_pairs_matches_loop():
 
 
 def test_vaecf_streaming_matches_resident(monkeypatch):
-    """Above the HBM budget VAECF streams host-CSR row blocks per step; the
-    random stream and batch slices match the resident whole-matrix program,
-    so the fitted scores must agree."""
+    """Above the dense-HBM budget VAECF keeps only the CSR coordinates on
+    device and densifies each batch with an on-device scatter; the random
+    stream and batch slices match the resident whole-matrix program, so the
+    fitted scores must agree. Same contract for the per-step index-window
+    fallback used when even the coordinates exceed their budget."""
     import numpy as np
 
     from cornac_tpu.eval_methods import RatioSplit
@@ -190,11 +192,16 @@ def test_vaecf_streaming_matches_resident(monkeypatch):
     kw = dict(k=4, autoencoder_structure=[8], n_epochs=4, batch_size=8, seed=11)
 
     resident = VAECF(**kw).fit(rs.train_set)
-    monkeypatch.setattr(vaecf_mod, "_RESIDENT_BYTES", 0)
-    streamed = VAECF(**kw).fit(rs.train_set)
+    want = resident.score_batch(np.arange(8))
 
-    batch = np.arange(8)
+    monkeypatch.setattr(vaecf_mod, "_RESIDENT_BYTES", 0)
+    sparse_resident = VAECF(**kw).fit(rs.train_set)
     np.testing.assert_allclose(
-        resident.score_batch(batch), streamed.score_batch(batch),
-        rtol=5e-4, atol=5e-5,
+        want, sparse_resident.score_batch(np.arange(8)), rtol=5e-4, atol=5e-5
+    )
+
+    monkeypatch.setattr(vaecf_mod, "_SPARSE_RESIDENT_BYTES", 0)
+    windowed = VAECF(**kw).fit(rs.train_set)
+    np.testing.assert_allclose(
+        want, windowed.score_batch(np.arange(8)), rtol=5e-4, atol=5e-5
     )
