@@ -135,6 +135,28 @@ def _fused_topk_xla(U, V, bias, k):
     return jax.lax.top_k(scores, k)
 
 
+@functools.partial(jax.jit, static_argnames=("k", "n_parts"))
+def _fused_topk_xla_twostage(U, V, bias, k, n_parts):
+    """Exact top-k via partitioned selection: split the catalog into
+    ``n_parts`` column blocks, take top-k inside each block, then one small
+    top-k over the k*n_parts survivors. Exact by construction (every global
+    top-k score wins its own block), and the per-block selections run over
+    rows 1/n_parts as wide — the selection network's work drops while the
+    scoring matmul is untouched. Replaces the reference's score-then-
+    argpartition host path (``utils/fast_dot.pyx:40``)."""
+    scores = U @ V.T + bias[None, :]
+    B, N = scores.shape
+    width = _round_up(N, n_parts) // n_parts
+    scores = jnp.pad(
+        scores, ((0, 0), (0, width * n_parts - N)), constant_values=NEG_INF
+    )
+    block_s, block_i = jax.lax.top_k(scores.reshape(B, n_parts, width), k)
+    block_i = block_i + (jnp.arange(n_parts) * width)[None, :, None]
+    cand_s, cand_i = block_s.reshape(B, -1), block_i.reshape(B, -1)
+    final_s, pos = jax.lax.top_k(cand_s, k)
+    return final_s, jnp.take_along_axis(cand_i, pos, axis=1)
+
+
 @functools.partial(jax.jit, static_argnames=("k", "recall_target"))
 def _fused_topk_xla_approx(U, V, bias, k, recall_target):
     # TPU PartialReduce: prunes the per-row candidate set before the
@@ -163,7 +185,7 @@ def _fused_topk_xla_bf16(U, V, bias, k):
 
 
 def fused_topk(U, V, k, bias=None, force=None, precision="f32",
-               recall_target=None):
+               recall_target=None, partitions=None):
     """Top-k items per user by dot-product score (+ optional item bias).
 
     Parameters
@@ -179,6 +201,9 @@ def fused_topk(U, V, k, bias=None, force=None, precision="f32",
         the TPU-native approximate mode (``jax.lax.approx_max_k``) —
         the serving analogue of the reference's approximate ANN
         backends, 4.5x faster at Netflix shape for recall 0.95.
+    partitions: None for one ``lax.top_k`` over the whole catalog, or an
+        int m to select in two exact stages (per-block top-k over m
+        catalog blocks, then top-k over the m*k survivors).
 
     Returns (scores (B, k), item indices (B, k)).
     """
@@ -198,6 +223,8 @@ def fused_topk(U, V, k, bias=None, force=None, precision="f32",
         mode = force
     if recall_target is not None:
         return _fused_topk_xla_approx(U, V, b, k, float(recall_target))
+    if partitions is not None and partitions > 1 and partitions * k < V.shape[0]:
+        return _fused_topk_xla_twostage(U, V, b, k, int(partitions))
     if precision == "bf16" and mode in ("xla", "pallas"):
         # the Pallas kernel is f32-only; bf16 routes through XLA
         return _fused_topk_xla_bf16(U, V, b, k)

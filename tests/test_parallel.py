@@ -215,6 +215,16 @@ class TestPallasRanking:
             np.asarray(s16), np.asarray(s32), rtol=2e-2, atol=2e-2
         )
 
+    @pytest.mark.parametrize("m", [2, 7, 16])
+    def test_two_stage_partitioned_is_exact(self, m):
+        from cornac_tpu.ops.pallas_ranking import fused_topk
+
+        U, V, b, k = self._data(B=9, N=1000, bias=True)
+        s1, i1 = fused_topk(U, V, k, bias=b, force="xla")
+        s2, i2 = fused_topk(U, V, k, bias=b, force="xla", partitions=m)
+        np.testing.assert_allclose(np.asarray(s2), np.asarray(s1), rtol=1e-6)
+        np.testing.assert_array_equal(np.asarray(i2), np.asarray(i1))
+
     def test_recall_target_mode_contract(self):
         from cornac_tpu.ops.pallas_ranking import fused_topk
 
