@@ -35,6 +35,7 @@ from ..data import (
 from ..experiment.result import Result
 from ..metrics import RankingContext, RankingMetric, RatingMetric
 from ..metrics.ranking import (
+    _EVAL_CELL_BUDGET,
     _FUSED_MAX_ITEMS,
     batch_eval_device,
     metric_device_specs,
@@ -151,12 +152,16 @@ def ranking_eval(
     # fused device path: when the model exposes a device batch scorer and
     # every metric has a fused implementation, ranks + tie counts + metric
     # values are computed in one device program per batch — only the
-    # (B, n_metrics) result is transferred back. AUC pair counts ride in
-    # int32, so the path is gated to catalogs where N^2 fits (beyond that
-    # the host/rank-transfer path takes over).
+    # (B, n_metrics) result is transferred back. Gated only by f32 count
+    # exactness (2^24 items); huge catalogs shrink the user batch below
+    # instead of leaving the device.
     fused_specs = (
         metric_device_specs(metrics) if n_items <= _FUSED_MAX_ITEMS else None
     )
+    # keep B*N bounded: masks and the score block are dense in B x N, so a
+    # 1.3M-item catalog evaluates ~50 users per call rather than falling
+    # back to the host path (flat memory in N, same math)
+    user_batch_size = max(1, min(user_batch_size, _EVAL_CELL_BUDGET // n_items))
 
     for start in range(0, len(test_users), user_batch_size):
         batch_users = test_users[start : start + user_batch_size]

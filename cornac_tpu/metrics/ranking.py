@@ -113,12 +113,18 @@ def _device_rank_and_ties(scores, pos_mask, cand_mask):
 # --------------------------------------------------------------------- #
 # Per-positive counts stay < N on device and AUC uses the
 # mean-of-fractions form, so exactness holds to N = 2^24 (f32-exact
-# integers); the practical gate is the host-side dense mask memory of
-# the eval batch (B x N bools) — 200k items x 1024 users = 200 MB.
-# Larger catalogs fall back to the rank/tie-transfer path (int64
-# finishing on host). Was 40k in r3 (int32 N^2 pair accumulation,
-# removed in r4).
-_FUSED_MAX_ITEMS = 200_000
+# integers) — that bound IS the gate. Catalog size no longer pushes eval
+# off the device: the eval loop shrinks its user batch so B*N cells stay
+# under _EVAL_CELL_BUDGET (dense masks and the score block scale with
+# B*N, so a Gowalla-shape catalog of ~1.3M items simply runs ~50 users
+# per device call instead of 1024). Was 200k items in r4 (flat gate),
+# 40k in r3 (int32 N^2 pair accumulation, removed in r4).
+_FUSED_MAX_ITEMS = 1 << 24
+
+# per-eval-batch score-cell cap (B*N): 64M cells = 256 MB f32 scores on
+# device + 64 MB per host-side bool mask — flat in N because the user
+# batch shrinks to compensate
+_EVAL_CELL_BUDGET = 64 * 1024 * 1024
 
 _RANK_SENTINEL = 2**31 - 1
 

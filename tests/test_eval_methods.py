@@ -120,6 +120,66 @@ class TestBatchedEvalParity:
             assert fast_avg[i] == pytest.approx(slow_avg[i], abs=tol), mt.name
             assert set(fast_user[i]) == set(slow_user[i])
 
+    def test_fused_path_at_giant_catalog(self, monkeypatch):
+        """Catalogs past the old 200k-item gate stay on the fused device
+        engine: the eval loop shrinks its user batch (B*N cell budget)
+        instead of falling back to the host path, and the result still
+        matches the per-user oracle."""
+        import jax.numpy as jnp
+
+        from cornac_tpu.data import Dataset
+        from cornac_tpu.eval_methods import base_method as bm
+
+        n_items = 210_000
+        rng = np.random.RandomState(5)
+        # every item appears once so the id map spans the full catalog
+        catalog = [(f"u{j % 6}", f"i{j}", 5.0) for j in range(n_items)]
+        train_set = Dataset.build(catalog)
+        test = [(f"u{j % 6}", f"i{rng.randint(n_items)}", 5.0) for j in range(60)]
+        test_set = Dataset.build(test, global_uid_map=train_set.uid_map,
+                                 global_iid_map=train_set.iid_map)
+
+        class Duck:
+            def _rows(self, users):
+                return np.stack(
+                    [np.random.RandomState(u).randn(n_items) for u in users]
+                ).astype(np.float32)
+
+            def score_batch(self, users):
+                return self._rows(np.asarray(users))
+
+            def score_batch_device(self, users):
+                return jnp.asarray(self._rows(np.asarray(users)))
+
+            def rank(self, user_idx, item_indices=None, k=-1):
+                scores = self._rows([user_idx])[0].astype(np.float64)
+                item_indices = np.asarray(item_indices)
+                item_scores = scores[item_indices]
+                ranked = item_indices[np.argsort(-item_scores, kind="stable")]
+                return ranked, item_scores
+
+        calls = []
+        orig = bm.batch_eval_device
+
+        def spy(*a, **kw):
+            calls.append(a[0].shape)
+            return orig(*a, **kw)
+
+        monkeypatch.setattr(bm, "batch_eval_device", spy)
+        # 2-user batches: force the shrink logic to actually iterate
+        monkeypatch.setattr(bm, "_EVAL_CELL_BUDGET", 2 * n_items)
+
+        metrics = [NDCG(k=10), Recall(k=20), AUC(), MAP()]
+        fast_avg, fast_user = ranking_eval(
+            Duck(), metrics, train_set, test_set, rating_threshold=1.0
+        )
+        slow_avg, _ = ranking_eval_per_user(
+            Duck(), metrics, train_set, test_set, rating_threshold=1.0
+        )
+        assert calls and all(s[0] <= 2 for s in calls), calls
+        for i, mt in enumerate(metrics):
+            assert fast_avg[i] == pytest.approx(slow_avg[i], abs=1e-5), mt.name
+
     def test_rating_eval_matches_loop(self):
         rs = RatioSplit(data=_uir_data(), test_size=0.2, seed=123)
         model = MF(k=4, max_iter=5, seed=123).fit(rs.train_set)

@@ -285,17 +285,19 @@ def test_fused_device_engine_matches_host():
 
 
 def test_fused_device_engine_beyond_old_item_gate():
-    """r4 lifted the fused gate from 40k items (int32 N^2 AUC pair
-    accumulation) to 200k via the mean-of-fractions AUC; the kernel must
-    stay exact vs the host engine past the old boundary."""
+    """r5 removed the flat catalog gate entirely (the eval loop shrinks its
+    user batch to keep B*N cells bounded; only the f32 count-exactness
+    limit of 2^24 items remains). The kernel must stay exact vs the host
+    engine past every historical boundary — this runs past the r4 200k
+    gate."""
     from cornac_tpu.metrics import AUC, MAP, NDCG, RankingContext, Recall
     from cornac_tpu.metrics.ranking import (
         _FUSED_MAX_ITEMS, batch_eval_device, metric_device_specs,
     )
 
-    assert _FUSED_MAX_ITEMS > 40_000
+    assert _FUSED_MAX_ITEMS >= 1 << 24
     rng = np.random.RandomState(12)
-    N = 50_000  # past the r3 gate
+    N = 250_000  # past the r4 gate
     scores = rng.randn(4, N).astype(np.float32)
     pos = np.zeros((4, N), bool)
     for b in range(4):
