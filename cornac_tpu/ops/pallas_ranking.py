@@ -143,7 +143,14 @@ def _fused_topk_xla_twostage(U, V, bias, k, n_parts):
     top-k score wins its own block), and the per-block selections run over
     rows 1/n_parts as wide — the selection network's work drops while the
     scoring matmul is untouched. Replaces the reference's score-then-
-    argpartition host path (``utils/fast_dot.pyx:40``)."""
+    argpartition host path (``utils/fast_dot.pyx:40``).
+
+    Measured at Netflix serving shape (benchmarks/micro_topk_twostage.py):
+    on the v5e this is 0.61x single-shot ``lax.top_k`` at the best m (32)
+    — XLA's top-k already prunes internally (PartialReduce) and the
+    reshape + gather merge only adds HBM traffic — so the exact default
+    stays single-shot; the mode is kept for catalogs/backends where the
+    tradeoff flips."""
     scores = U @ V.T + bias[None, :]
     B, N = scores.shape
     width = _round_up(N, n_parts) // n_parts

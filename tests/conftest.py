@@ -36,6 +36,7 @@ _SLOW_FILES = {
     "test_neural_models.py",
     "test_sequential.py",
     "test_examples.py",
+    "test_tutorials.py",
     "test_review_models.py",
     "test_text_models.py",
     "test_graph_visual_models.py",
