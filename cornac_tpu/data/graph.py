@@ -19,37 +19,38 @@ class GraphModality(FeatureModality):
     def __init__(self, **kwargs):
         super().__init__(**kwargs)
         self.raw_data = kwargs.get("data", None)
-        self.__matrix = None
-        self.__matrix_size = None
+        self._csr_cache = None
+        self._n_nodes = None
 
     @property
     def matrix(self):
         """Adjacency matrix in CSR format over dense indices."""
-        if self.__matrix is None:
-            assert self.__matrix_size is not None
-            self.__matrix = sp.csr_matrix(
+        if self._csr_cache is None:
+            if self._n_nodes is None:
+                raise ValueError("build() the modality before reading .matrix")
+            self._csr_cache = sp.csr_matrix(
                 (self.val, (self.map_rid, self.map_cid)),
-                shape=(self.__matrix_size, self.__matrix_size),
+                shape=(self._n_nodes, self._n_nodes),
             )
-        return self.__matrix
+        return self._csr_cache
 
     def _build_triplet(self, id_map):
-        map_rid, map_cid, val = [], [], []
-        for i, j, v in self.raw_data:
-            if (i not in id_map) or (j not in id_map):
-                continue
-            map_rid.append(id_map[i])
-            map_cid.append(id_map[j])
-            val.append(v)
-        self.map_rid = np.asarray(map_rid, dtype="int")
-        self.map_cid = np.asarray(map_cid, dtype="int")
+        # edges with either endpoint outside the id map are dropped
+        kept = [
+            (id_map[i], id_map[j], v)
+            for i, j, v in self.raw_data
+            if i in id_map and j in id_map
+        ]
+        rid, cid, val = zip(*kept) if kept else ((), (), ())
+        self.map_rid = np.asarray(rid, dtype="int")
+        self.map_cid = np.asarray(cid, dtype="int")
         self.val = np.asarray(val, dtype="float")
 
     def build(self, id_map=None, **kwargs):
         super().build(id_map=id_map)
-        self.__matrix = None
+        self._csr_cache = None
         if id_map is not None:
-            self.__matrix_size = int(max(id_map.values()) + 1)
+            self._n_nodes = int(max(id_map.values()) + 1)
             self._build_triplet(id_map)
         return self
 
@@ -65,19 +66,20 @@ class GraphModality(FeatureModality):
 
     def get_node_degree(self, in_ids=None, out_ids=None):
         """Dict: node index -> [in_degree, out_degree] over the subgraph
-        induced by (in_ids, out_ids)."""
-        if in_ids is None:
-            in_ids = self.map_cid
-        if out_ids is None:
-            out_ids = self.map_rid
-        in_ids = np.asarray(list(in_ids))
-        out_ids = np.asarray(list(out_ids))
-        mask = np.isin(self.map_rid, out_ids) & np.isin(self.map_cid, in_ids)
-        degree = {}
-        for i, j in zip(self.map_rid[mask], self.map_cid[mask]):
-            degree[i] = degree.get(i, np.asarray([0, 0])) + np.asarray([0, 1])
-            degree[j] = degree.get(j, np.asarray([0, 0])) + np.asarray([1, 0])
-        return degree
+        induced by (in_ids, out_ids). Degrees come from two bincounts over
+        the filtered edge list rather than a per-edge Python loop."""
+        sources = self.map_rid if out_ids is None else np.asarray(list(out_ids))
+        sinks = self.map_cid if in_ids is None else np.asarray(list(in_ids))
+        mask = np.isin(self.map_rid, sources) & np.isin(self.map_cid, sinks)
+        rows, cols = self.map_rid[mask], self.map_cid[mask]
+
+        width = int(max(rows.max(initial=-1), cols.max(initial=-1))) + 1
+        outs = np.bincount(rows, minlength=width)
+        ins = np.bincount(cols, minlength=width)
+        return {
+            int(node): np.asarray([ins[node], outs[node]])
+            for node in np.union1d(rows, cols)
+        }
 
     def batch(self, batch_ids):
         """Adjacency rows for a batch of node indices."""
@@ -104,19 +106,17 @@ class GraphModality(FeatureModality):
 
     @staticmethod
     def _to_triplet(mat, ids=None):
-        tuples = set()
-        n, k = mat.shape
-        if ids is None:
-            ids = range(n)
-        for row in range(n):
-            for col in range(k):
-                tuples.add((ids[row], ids[int(mat[row, col])], 1.0))
-        return tuples
+        label = (lambda x: x) if ids is None else (lambda x: ids[x])
+        return {
+            (label(row), label(int(col)), 1.0)
+            for row in range(mat.shape[0])
+            for col in mat[row]
+        }
 
     @staticmethod
     def _to_symmetric(triplets):
-        triplets.update([(j, i, v) for (i, j, v) in triplets])
-        return triplets
+        reversed_edges = {(j, i, v) for (i, j, v) in triplets}
+        return triplets | reversed_edges
 
     @classmethod
     def from_feature(

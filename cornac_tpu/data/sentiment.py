@@ -11,7 +11,13 @@ from .modality import Modality
 
 
 class SentimentModality(Modality):
-    """Aspect-opinion-polarity lexicon keyed by (user, item) pairs."""
+    """Aspect-opinion-polarity lexicon keyed by (user, item) pairs.
+
+    After :meth:`build`, ``user_sentiment[u][i]`` (and the transposed
+    ``item_sentiment``) point at the lexicon row for that pair, and
+    ``sentiment[row]`` holds its triples with aspects/opinions re-indexed
+    into dense ids (first-appearance order).
+    """
 
     def __init__(self, **kwargs):
         super().__init__(**kwargs)
@@ -25,42 +31,33 @@ class SentimentModality(Modality):
     def num_opinions(self):
         return len(self.opinion_id_map)
 
-    def _build_sentiment(self, uid_map, iid_map, dok_matrix):
-        self.user_sentiment = OrderedDict()
-        self.item_sentiment = OrderedDict()
-        aid_map = OrderedDict()
-        oid_map = OrderedDict()
-        sentiment = OrderedDict()
-        for idx, (raw_uid, raw_iid, tuples) in enumerate(self.raw_data):
-            user_idx = uid_map.get(raw_uid, None)
-            item_idx = iid_map.get(raw_iid, None)
-            if (
-                user_idx is None
-                or item_idx is None
-                or dok_matrix[user_idx, item_idx] == 0
-            ):
+    def _index_lexicon(self, uid_map, iid_map, dok_matrix):
+        by_user, by_item = OrderedDict(), OrderedDict()
+        aspects, opinions = OrderedDict(), OrderedDict()
+        kept = OrderedDict()
+
+        for row, (raw_uid, raw_iid, triples) in enumerate(self.raw_data):
+            u, i = uid_map.get(raw_uid), iid_map.get(raw_iid)
+            if u is None or i is None or dok_matrix[u, i] == 0:
+                # lexicon rows outside the observed train pairs are dropped
                 continue
-            self.user_sentiment.setdefault(user_idx, OrderedDict())[item_idx] = idx
-            self.item_sentiment.setdefault(item_idx, OrderedDict())[user_idx] = idx
-
-            mapped = []
-            for tup in tuples:
-                aspect, opinion, polarity = tup[0], tup[1], float(tup[2])
-                mapped.append(
-                    (
-                        aid_map.setdefault(aspect, len(aid_map)),
-                        oid_map.setdefault(opinion, len(oid_map)),
-                        polarity,
-                    )
+            by_user.setdefault(u, OrderedDict())[i] = row
+            by_item.setdefault(i, OrderedDict())[u] = row
+            kept[row] = [
+                (
+                    aspects.setdefault(t[0], len(aspects)),
+                    opinions.setdefault(t[1], len(opinions)),
+                    float(t[2]),
                 )
-            sentiment.setdefault(idx, mapped)
+                for t in triples
+            ]
 
-        self.sentiment = sentiment
-        self.aspect_id_map = aid_map
-        self.opinion_id_map = oid_map
+        self.user_sentiment, self.item_sentiment = by_user, by_item
+        self.sentiment = kept
+        self.aspect_id_map, self.opinion_id_map = aspects, opinions
 
     def build(self, uid_map=None, iid_map=None, dok_matrix=None, **kwargs):
         """Index the lexicon against the train set's observed pairs."""
         if uid_map is not None and iid_map is not None and dok_matrix is not None:
-            self._build_sentiment(uid_map, iid_map, dok_matrix)
+            self._index_lexicon(uid_map, iid_map, dok_matrix)
         return self

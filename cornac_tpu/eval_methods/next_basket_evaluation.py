@@ -21,6 +21,11 @@ from ..models import NextBasketRecommender
 from ..utils.common import safe_indexing
 from .ratio_split import RatioSplit
 
+# result-table breakdowns: every test basket / only repeated items /
+# only first-seen items, keyed by the suffix they carry in the output
+_BREAKDOWNS = ("conventional", "repetition", "exploration")
+_SUFFIX = {"conventional": "", "repetition": "-rep", "exploration": "-expl"}
+
 
 def ranking_eval(
     model,
@@ -37,12 +42,13 @@ def ranking_eval(
     if len(metrics) == 0:
         return [], []
 
-    avg_results = {"conventional": [], "repetition": [], "exploration": []}
-    user_results = {
-        "conventional": [{} for _ in enumerate(metrics)],
-        "repetition": [{} for _ in enumerate(metrics)],
-        "exploration": [{} for _ in enumerate(metrics)],
-    }
+    kinds = ["conventional"]
+    if repetition_eval:
+        kinds.append("repetition")
+    if exploration_eval:
+        kinds.append("exploration")
+    avg_results = {kind: [] for kind in _BREAKDOWNS}
+    user_results = {kind: [{} for _ in metrics] for kind in _BREAKDOWNS}
 
     n_items = train_set.num_items if exclude_unknowns else test_set.num_items
 
@@ -94,39 +100,19 @@ def ranking_eval(
                 for local, v in zip(kept, vals):
                     user_results[kind][i][chunk[local][0]] = float(v)
 
-    _run("conventional", lambda t: t[2])
-    if repetition_eval:
-        _run(
-            "repetition",
-            lambda t: [
-                i for i in t[2] if i in {x for b in t[1] for x in b}
-            ],
-        )
-    if exploration_eval:
-        _run(
-            "exploration",
-            lambda t: [
-                i for i in t[2] if i not in {x for b in t[1] for x in b}
-            ],
-        )
+    def seen_before(t):
+        return {item for basket in t[1] for item in basket}
 
-    for i, mt in enumerate(metrics):
-        avg_results["conventional"].append(
-            np.mean(list(user_results["conventional"][i].values()))
-            if user_results["conventional"][i]
-            else 0
-        )
-        if repetition_eval:
-            avg_results["repetition"].append(
-                np.mean(list(user_results["repetition"][i].values()))
-                if user_results["repetition"][i]
-                else 0
-            )
-        if exploration_eval:
-            avg_results["exploration"].append(
-                np.mean(list(user_results["exploration"][i].values()))
-                if user_results["exploration"][i]
-                else 0
+    selectors = {
+        "conventional": lambda t: t[2],
+        "repetition": lambda t: [i for i in t[2] if i in seen_before(t)],
+        "exploration": lambda t: [i for i in t[2] if i not in seen_before(t)],
+    }
+    for kind in kinds:
+        _run(kind, selectors[kind])
+        for per_user in user_results[kind]:
+            avg_results[kind].append(
+                float(np.mean(list(per_user.values()))) if per_user else 0
             )
 
     return avg_results, user_results
@@ -167,56 +153,41 @@ class NextBasketEvaluation(RatioSplit):
         self.exploration_eval = exploration_eval
 
     def _split(self):
-        user_arr = [u for (u, *_rest) in self.data]
-        all_users = np.unique(user_arr)
-        self.rng.shuffle(all_users)
+        # the split unit is the USER: shuffle the unique owners, carve the
+        # shuffled list into train/val/test, then pull each owner's rows
+        owners = np.asarray([row[0] for row in self.data])
+        shuffled = np.unique(owners)
+        self.rng.shuffle(shuffled)
+        val_end = self.train_size + self.val_size
 
-        train_users = set(all_users[: self.train_size])
-        test_users = set(all_users[-self.test_size :])
-        val_users = set(all_users[self.train_size : -self.test_size])
-
-        train_idx = [i for i, u in enumerate(user_arr) if u in train_users]
-        test_idx = [i for i, u in enumerate(user_arr) if u in test_users]
-        val_idx = [i for i, u in enumerate(user_arr) if u in val_users]
-
-        train_data = safe_indexing(self.data, train_idx)
-        test_data = safe_indexing(self.data, test_idx)
-        val_data = safe_indexing(self.data, val_idx) if len(val_idx) > 0 else None
-
-        self.build(train_data=train_data, test_data=test_data, val_data=val_data)
+        rows_of = lambda members: np.flatnonzero(np.isin(owners, members))
+        val_rows = rows_of(shuffled[self.train_size : val_end])
+        self.build(
+            train_data=safe_indexing(self.data, rows_of(shuffled[: self.train_size])),
+            test_data=safe_indexing(self.data, rows_of(shuffled[val_end:])),
+            val_data=safe_indexing(self.data, val_rows) if val_rows.size else None,
+        )
 
     def _build_datasets(self, train_data, test_data, val_data=None):
-        self.train_set = BasketDataset.build(
-            data=train_data,
-            fmt=self.fmt,
-            global_uid_map=self.global_uid_map,
-            global_iid_map=self.global_iid_map,
-            seed=self.seed,
-            exclude_unknowns=False,
-        )
-        self.test_set = BasketDataset.build(
-            data=test_data,
-            fmt=self.fmt,
-            global_uid_map=self.global_uid_map,
-            global_iid_map=self.global_iid_map,
-            seed=self.seed,
-            exclude_unknowns=self.exclude_unknowns,
-        )
-        if val_data is not None and len(val_data) > 0:
-            self.val_set = BasketDataset.build(
-                data=val_data,
-                fmt=self.fmt,
+        def as_baskets(rows, exclude_unknowns):
+            return BasketDataset.build(
+                data=rows, fmt=self.fmt, seed=self.seed,
                 global_uid_map=self.global_uid_map,
                 global_iid_map=self.global_iid_map,
-                seed=self.seed,
-                exclude_unknowns=self.exclude_unknowns,
+                exclude_unknowns=exclude_unknowns,
             )
 
-        self.total_baskets = 0 if self.val_set is None else self.val_set.num_baskets
-        self.total_baskets += self.test_set.num_baskets + self.train_set.num_baskets
+        # unknowns are only excluded from held-out sets (train defines them)
+        self.train_set = as_baskets(train_data, False)
+        self.test_set = as_baskets(test_data, self.exclude_unknowns)
+        if val_data is not None and len(val_data) > 0:
+            self.val_set = as_baskets(val_data, self.exclude_unknowns)
+
+        built = [s for s in (self.train_set, self.test_set, self.val_set) if s]
+        self.total_baskets = sum(s.num_baskets for s in built)
         if self.verbose:
-            print("Total users = {}".format(self.total_users))
-            print("Total baskets = {}".format(self.total_baskets))
+            print(f"Total users = {self.total_users}")
+            print(f"Total baskets = {self.total_baskets}")
 
     def _build_modalities(self):
         pass
@@ -236,26 +207,16 @@ class NextBasketEvaluation(RatioSplit):
             verbose=self.verbose,
         )
 
-        for i, mt in enumerate(ranking_metrics):
-            metric_avg_results[mt.name] = avg_results["conventional"][i]
-            metric_user_results[mt.name] = user_results["conventional"][i]
-
-        if self.repetition_eval:
+        active = [
+            kind for kind in _BREAKDOWNS
+            if kind == "conventional"
+            or getattr(self, f"{kind}_eval", False)
+        ]
+        for kind in active:
             for i, mt in enumerate(ranking_metrics):
-                metric_avg_results["{}-rep".format(mt.name)] = avg_results[
-                    "repetition"
-                ][i]
-                metric_user_results["{}-rep".format(mt.name)] = user_results[
-                    "repetition"
-                ][i]
-        if self.exploration_eval:
-            for i, mt in enumerate(ranking_metrics):
-                metric_avg_results["{}-expl".format(mt.name)] = avg_results[
-                    "exploration"
-                ][i]
-                metric_user_results["{}-expl".format(mt.name)] = user_results[
-                    "exploration"
-                ][i]
+                column = mt.name + _SUFFIX[kind]
+                metric_avg_results[column] = avg_results[kind][i]
+                metric_user_results[column] = user_results[kind][i]
 
         return Result(model.name, metric_avg_results, metric_user_results)
 
