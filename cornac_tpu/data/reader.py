@@ -134,18 +134,33 @@ class Reader:
     ):
         self.user_set = set(user_set) if user_set is not None else None
         self.item_set = set(item_set) if item_set is not None else None
-        self.min_uf = min_user_freq
-        self.min_if = min_item_freq
+        self.min_user_freq, self.min_item_freq = min_user_freq, min_item_freq
         self.num_top_freq_user = num_top_freq_user
         self.num_top_freq_item = num_top_freq_item
-        self.min_basket_size = min_basket_size
-        self.max_basket_size = max_basket_size
+        self.min_basket_size, self.max_basket_size = min_basket_size, max_basket_size
         self.min_basket_sequence = min_basket_sequence
-        self.min_sequence_size = min_sequence_size
-        self.max_sequence_size = max_sequence_size
+        self.min_sequence_size, self.max_sequence_size = (
+            min_sequence_size, max_sequence_size,
+        )
         self.bin_threshold = bin_threshold
-        self.encoding = encoding
-        self.errors = errors
+        self.encoding, self.errors = encoding, errors
+
+    @staticmethod
+    def _members_of(tuples, pos, allowed):
+        return [t for t in tuples if t[pos] in allowed]
+
+    @staticmethod
+    def _group_size_window(tuples, pos, lo, hi):
+        """Keep tuples whose group (by column ``pos``) has lo <= size
+        (<= hi when hi > 1); recounts after the lower cut like the
+        reference's two sequential passes."""
+        if lo > 1:
+            sizes = Counter(t[pos] for t in tuples)
+            tuples = [t for t in tuples if sizes[t[pos]] >= lo]
+        if hi > 1:
+            sizes = Counter(t[pos] for t in tuples)
+            tuples = [t for t in tuples if sizes[t[pos]] <= hi]
+        return tuples
 
     def _filter(self, tuples, fmt="UIR"):
         u_pos, i_pos, r_pos = fmt.find("U"), fmt.find("I"), fmt.find("R")
@@ -158,65 +173,45 @@ class Reader:
                 if t[r_pos] >= thr
             ]
 
-        if self.num_top_freq_user > 0:
-            freq = Counter(t[u_pos] for t in tuples)
-            keep = {k for k, _ in freq.most_common(self.num_top_freq_user)}
-            tuples = [t for t in tuples if t[u_pos] in keep]
+        for pos, top_n in ((u_pos, self.num_top_freq_user),
+                           (i_pos, self.num_top_freq_item)):
+            if top_n > 0:
+                freq = Counter(t[pos] for t in tuples)
+                tuples = self._members_of(
+                    tuples, pos, {k for k, _ in freq.most_common(top_n)}
+                )
 
-        if self.num_top_freq_item > 0:
-            freq = Counter(t[i_pos] for t in tuples)
-            keep = {k for k, _ in freq.most_common(self.num_top_freq_item)}
-            tuples = [t for t in tuples if t[i_pos] in keep]
+        for pos, allowed in ((u_pos, self.user_set), (i_pos, self.item_set)):
+            if allowed is not None:
+                tuples = self._members_of(tuples, pos, allowed)
 
-        if self.user_set is not None:
-            tuples = [t for t in tuples if t[u_pos] in self.user_set]
-
-        if self.item_set is not None:
-            tuples = [t for t in tuples if t[i_pos] in self.item_set]
-
-        if self.min_uf > 1:
-            freq = Counter(t[u_pos] for t in tuples)
-            tuples = [t for t in tuples if freq[t[u_pos]] >= self.min_uf]
-
-        if self.min_if > 1:
-            freq = Counter(t[i_pos] for t in tuples)
-            tuples = [t for t in tuples if freq[t[i_pos]] >= self.min_if]
+        for pos, floor in ((u_pos, self.min_user_freq),
+                           (i_pos, self.min_item_freq)):
+            if floor > 1:
+                freq = Counter(t[pos] for t in tuples)
+                tuples = [t for t in tuples if freq[t[pos]] >= floor]
 
         return tuples
 
     def _filter_basket(self, tuples, fmt="UBI"):
         u_pos, b_pos = fmt.find("U"), fmt.find("B")
-
-        if self.min_basket_size > 1:
-            sizes = Counter(t[b_pos] for t in tuples)
-            tuples = [t for t in tuples if sizes[t[b_pos]] >= self.min_basket_size]
-
-        if self.max_basket_size > 1:
-            sizes = Counter(t[b_pos] for t in tuples)
-            tuples = [t for t in tuples if sizes[t[b_pos]] <= self.max_basket_size]
-
+        tuples = self._group_size_window(
+            tuples, b_pos, self.min_basket_size, self.max_basket_size
+        )
         if self.min_basket_sequence > 1:
             n_baskets_of = Counter(
                 u for (u, _) in {(t[u_pos], t[b_pos]) for t in tuples}
             )
             tuples = [
-                t for t in tuples if n_baskets_of[t[u_pos]] >= self.min_basket_sequence
+                t for t in tuples
+                if n_baskets_of[t[u_pos]] >= self.min_basket_sequence
             ]
-
         return tuples
 
     def _filter_sequence(self, tuples, fmt="SIT"):
-        s_pos = fmt.find("S")
-
-        if self.min_sequence_size > 1:
-            sizes = Counter(t[s_pos] for t in tuples)
-            tuples = [t for t in tuples if sizes[t[s_pos]] >= self.min_sequence_size]
-
-        if self.max_sequence_size > 1:
-            sizes = Counter(t[s_pos] for t in tuples)
-            tuples = [t for t in tuples if sizes[t[s_pos]] <= self.max_sequence_size]
-
-        return tuples
+        return self._group_size_window(
+            tuples, fmt.find("S"), self.min_sequence_size, self.max_sequence_size
+        )
 
     def read(
         self, fpath, fmt="UIR", sep="\t", skip_lines=0, id_inline=False, parser=None, **kwargs
