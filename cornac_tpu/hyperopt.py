@@ -28,8 +28,8 @@ class SearchDomain:
     def __init__(self, name):
         self.name = name
 
-    def _sample(self, rng):
-        raise NotImplementedError()
+    def draw(self, rng):
+        raise NotImplementedError("subclasses define how to draw a value")
 
 
 class Discrete(SearchDomain):
@@ -41,7 +41,7 @@ class Discrete(SearchDomain):
         super().__init__(name=name)
         self.values = tuple(values)
 
-    def _sample(self, rng):
+    def draw(self, rng):
         return self.values[rng.randint(len(self.values))]
 
     def grid_points(self):
@@ -55,7 +55,7 @@ class Continuous(SearchDomain):
         super().__init__(name=name)
         self.low, self.high = low, high
 
-    def _sample(self, rng):
+    def draw(self, rng):
         return self.low + (self.high - self.low) * rng.random_sample()
 
 
@@ -66,12 +66,12 @@ class BaseSearch(Recommender):
     def __init__(self, model, space, metric, eval_method, name="BaseSearch"):
         super().__init__(name=name, verbose=model.verbose)
         self.model = model
-        self.space = sorted(space, key=lambda x: x.name)  # reproducible order
+        self.space = sorted(space, key=lambda dom: dom.name)  # reproducible order
         self.metric = metric
         self.eval_method = eval_method
 
-    def _build_param_set(self):
-        raise NotImplementedError()
+    def trial_points(self):
+        raise NotImplementedError("subclasses enumerate/sample their trials")
 
     def _validation_score(self, model, train_set, val_set):
         """Score one fitted trial on the validation set with the eval
@@ -100,7 +100,8 @@ class BaseSearch(Recommender):
         )[0][0]
 
     def fit(self, train_set, val_set=None):
-        assert val_set is not None
+        if val_set is None:
+            raise ValueError("hyperparameter search needs a validation set to score trials")
         Recommender.fit(self, train_set, val_set)
 
         # higher_better flips via a sign so one comparison serves both
@@ -108,7 +109,7 @@ class BaseSearch(Recommender):
         self.trial_results = []  # (params, score) per evaluated point
         incumbent = None  # (signed score, raw score, params, model)
 
-        for params in self._build_param_set():
+        for params in self.trial_points():
             if self.verbose:
                 print("[{}] trying {}".format(self.name, params))
             trial = self.model.clone(params).fit(train_set, val_set)
@@ -152,14 +153,14 @@ class GridSearch(BaseSearch):
     def __init__(self, model, space, metric, eval_method):
         super().__init__(
             model,
-            self._validate(space),
+            self._all_discrete(space),
             metric,
             eval_method,
             name="GridSearch_{}".format(model.name),
         )
 
     @staticmethod
-    def _validate(space):
+    def _all_discrete(space):
         bad = [d.name for d in space if not d.grid_capable]
         if bad:
             raise ValueError(
@@ -169,7 +170,7 @@ class GridSearch(BaseSearch):
             )
         return space
 
-    def _build_param_set(self):
+    def trial_points(self):
         axes = [(d.name, d.grid_points()) for d in self.space]
         points = [{}]
         for name_, values in axes:
@@ -188,10 +189,9 @@ class RandomSearch(BaseSearch):
         )
         self.n_trails = n_trails
 
-    def _build_param_set(self):
-        keys = [d.name for d in self.space]
+    def trial_points(self):
         rng = get_rng(getattr(self.model, "seed", None))
         return [
-            dict(zip(keys, [d._sample(rng) for d in self.space]))
+            {dom.name: dom.draw(rng) for dom in self.space}
             for _ in range(self.n_trails)
         ]
