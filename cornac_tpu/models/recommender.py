@@ -43,15 +43,15 @@ class ANNMixin:
 
     def get_vector_measure(self):
         """One of MEASURE_L2 / MEASURE_DOT / MEASURE_COSINE."""
-        raise NotImplementedError()
+        raise NotImplementedError("ANN-capable models declare their measure")
 
     def get_user_vectors(self):
         """Query vectors, one row per user."""
-        raise NotImplementedError()
+        raise NotImplementedError("ANN-capable models expose user vectors")
 
     def get_item_vectors(self):
         """Index vectors, one row per item."""
-        raise NotImplementedError()
+        raise NotImplementedError("ANN-capable models expose item vectors")
 
 
 class Recommender:
@@ -72,8 +72,8 @@ class Recommender:
         for attr in self._DATASET_SNAPSHOT:
             setattr(self, attr, None)
 
-        self.__user_ids = None
-        self.__item_ids = None
+        self._raw_user_ids = None
+        self._raw_item_ids = None
 
     # ------------------------------------------------------------------ #
     # bookkeeping
@@ -90,15 +90,15 @@ class Recommender:
 
     @property
     def user_ids(self):
-        if self.__user_ids is None:
-            self.__user_ids = list(self.uid_map.keys())
-        return self.__user_ids
+        if self._raw_user_ids is None:
+            self._raw_user_ids = list(self.uid_map.keys())
+        return self._raw_user_ids
 
     @property
     def item_ids(self):
-        if self.__item_ids is None:
-            self.__item_ids = list(self.iid_map.keys())
-        return self.__item_ids
+        if self._raw_item_ids is None:
+            self._raw_item_ids = list(self.iid_map.keys())
+        return self._raw_item_ids
 
     def reset_info(self):
         self.best_value = float("-inf")
@@ -363,13 +363,10 @@ class Recommender:
     def rate(self, user_idx, item_idx, clipping=True):
         """Pointwise rating prediction with optional clipping."""
         try:
-            rating_pred = self.score(user_idx, item_idx)
+            pred = self.score(user_idx, item_idx)
         except ScoreException:
-            rating_pred = self.default_score()
-
-        if clipping:
-            rating_pred = clip(rating_pred, self.min_rating, self.max_rating)
-        return rating_pred
+            pred = self.default_score()
+        return clip(pred, self.min_rating, self.max_rating) if clipping else pred
 
     def rate_batch(self, user_indices, item_indices, clipping=True):
         """Vectorized ``rate`` over aligned index arrays."""
@@ -510,7 +507,7 @@ class Recommender:
     # ------------------------------------------------------------------ #
     def monitor_value(self, train_set, val_set):
         """Value watched by ``early_stop``; override per model."""
-        raise NotImplementedError()
+        raise NotImplementedError("early-stopping models define what to watch")
 
     def early_stop(self, train_set, val_set, min_delta=0.0, patience=0):
         """Return True when training should stop (no improvement on the
