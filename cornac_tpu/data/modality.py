@@ -17,13 +17,13 @@ def fallback_feature(func):
     """Decorator: when raw ``features`` exist, serve them via
     ``FeatureModality.batch_feature`` instead of the wrapped batch method."""
 
-    def wrapper(self, *args, **kwargs):
-        if self.features is not None:
-            ids = args[0] if len(args) > 0 else kwargs["batch_ids"]
-            return FeatureModality.batch_feature(self, batch_ids=ids)
-        return func(self, *args, **kwargs)
+    def from_feature_matrix_if_present(self, *args, **kwargs):
+        if self.features is None:
+            return func(self, *args, **kwargs)
+        ids = args[0] if args else kwargs["batch_ids"]
+        return FeatureModality.batch_feature(self, batch_ids=ids)
 
-    return wrapper
+    return from_feature_matrix_if_present
 
 
 class FeatureModality(Modality):
@@ -49,13 +49,15 @@ class FeatureModality(Modality):
 
     @property
     def features(self):
-        return self.__features
+        return self._feat_matrix
 
     @features.setter
-    def features(self, input_features):
-        if input_features is not None:
-            assert len(input_features.shape) == 2
-        self.__features = input_features
+    def features(self, matrix):
+        if matrix is not None and len(matrix.shape) != 2:
+            raise ValueError(
+                f"features must be 2D (rows = entities), got shape {matrix.shape}"
+            )
+        self._feat_matrix = matrix
 
     @property
     def feature_dim(self):
@@ -94,12 +96,13 @@ class FeatureModality(Modality):
             self._realign(id_map)
 
         if self.normalized:
-            self.features = self.features - np.min(self.features)
-            self.features = self.features / (np.max(self.features) + 1e-10)
+            shifted = self.features - np.min(self.features)
+            self.features = shifted / (np.max(shifted) + 1e-10)
 
         return self
 
     def batch_feature(self, batch_ids):
         """Feature rows for a batch of entity indices."""
-        assert self.features is not None
+        if self.features is None:
+            raise ValueError("no feature matrix: build() the modality first")
         return self.features[batch_ids]

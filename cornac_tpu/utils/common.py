@@ -21,21 +21,17 @@ def sigmoid(x):
 def scale(values, target_min, target_max, source_min=None, source_max=None):
     """Affinely map ``values`` from [source_min, source_max] to
     [target_min, target_max] (reference ``common.py:34-69``)."""
-    if source_min is None:
-        source_min = np.min(values)
-    if source_max is None:
-        source_max = np.max(values)
-    if source_min == source_max:
-        source_min = 0.0
-    values = (values - source_min) / (source_max - source_min)
-    return values * (target_max - target_min) + target_min
+    lo = np.min(values) if source_min is None else source_min
+    hi = np.max(values) if source_max is None else source_max
+    if lo == hi:
+        lo = 0.0  # degenerate source range: treat values as already in [0, hi]
+    unit = (values - lo) / (hi - lo)
+    return unit * (target_max - target_min) + target_min
 
 
 def clip(values, lower_bound, upper_bound):
     """Clip values into [lower_bound, upper_bound]."""
-    values = np.where(values > upper_bound, upper_bound, values)
-    values = np.where(values < lower_bound, lower_bound, values)
-    return values
+    return np.minimum(np.maximum(values, lower_bound), upper_bound)
 
 
 def intersects(x, y, assume_unique=False):
@@ -50,22 +46,19 @@ def excepts(x, y, assume_unique=False):
 
 def safe_indexing(X, indices):
     """Subset rows/items of array-likes or plain lists by integer indices."""
-    if hasattr(X, "shape"):
-        if hasattr(X, "take") and (
-            hasattr(indices, "dtype") and indices.dtype.kind == "i"
-        ):
-            return X.take(indices, axis=0)
-        return X[indices]
-    return [X[idx] for idx in indices]
+    if not hasattr(X, "shape"):
+        return [X[idx] for idx in indices]
+    int_typed = getattr(indices, "dtype", None) is not None and indices.dtype.kind == "i"
+    if int_typed and hasattr(X, "take"):
+        return X.take(indices, axis=0)
+    return X[indices]
 
 
 def validate_format(input_format, valid_formats):
     """Raise ValueError when ``input_format`` is not supported."""
     if input_format not in valid_formats:
         raise ValueError(
-            "{} data format is not in valid formats ({})".format(
-                input_format, valid_formats
-            )
+            f"unsupported data format {input_format!r}; expected one of {valid_formats}"
         )
     return input_format
 
@@ -123,38 +116,32 @@ def inplace_csr_row_normalize_l2(X):
 def normalize(X, norm="l2", axis=1, copy=True):
     """Scale vectors individually to unit norm; dense or CSR sparse input."""
     if norm not in ("l1", "l2", "max"):
-        raise ValueError("'%s' is not a supported norm" % norm)
+        raise ValueError(f"unsupported norm {norm!r}; expected l1, l2, or max")
     if len(X.shape) != 2:
-        raise ValueError("input X must be 2D but shape={}".format(X.shape))
+        raise ValueError(f"normalize expects a 2D input, got shape {X.shape}")
 
-    X_out = X.copy() if copy else X
-    X_out = X_out if X_out.dtype in FLOAT_DTYPES else X_out.astype(np.float64)
-
+    out = X.copy() if copy else X
+    if out.dtype not in FLOAT_DTYPES:
+        out = out.astype(np.float64)
     if axis == 0:
-        X_out = X_out.T
+        out = out.T  # normalize columns by normalizing rows of the transpose
 
-    if sp.issparse(X_out):
-        X_out = X_out.tocsr()
-        if norm == "l1":
-            inplace_csr_row_normalize_l1(X_out)
-        elif norm == "l2":
-            inplace_csr_row_normalize_l2(X_out)
-        elif norm == "max":
-            norms = X_out.max(axis=1).toarray()
-            norms_elementwise = norms.repeat(np.diff(X_out.indptr))
-            mask = norms_elementwise != 0
-            X_out.data[mask] /= norms_elementwise[mask]
+    if sp.issparse(out):
+        out = out.tocsr()
+        if norm == "max":
+            per_row = out.max(axis=1).toarray()
+            denom = per_row.repeat(np.diff(out.indptr))
+            nonzero = denom != 0
+            out.data[nonzero] /= denom[nonzero]
+        else:
+            _inplace_csr_row_normalize(out, norm)
     else:
-        if norm == "l1":
-            norms = np.abs(X_out).sum(axis=1)
-        elif norm == "l2":
-            norms = np.sqrt((X_out**2).sum(axis=1))
-        elif norm == "max":
-            norms = np.max(X_out, axis=1)
-        norms[norms == 0] = 1.0
-        X_out /= norms.reshape(-1, 1)
+        row_norm = {
+            "l1": lambda m: np.abs(m).sum(axis=1),
+            "l2": lambda m: np.sqrt((m**2).sum(axis=1)),
+            "max": lambda m: np.max(m, axis=1),
+        }[norm](out)
+        row_norm[row_norm == 0] = 1.0
+        out /= row_norm.reshape(-1, 1)
 
-    if axis == 0:
-        X_out = X_out.T
-
-    return X_out
+    return out.T if axis == 0 else out
