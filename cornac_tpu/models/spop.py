@@ -21,25 +21,27 @@ class SPop(NextItemRecommender):
 
     def fit(self, train_set, val_set=None):
         super().fit(train_set=train_set, val_set=val_set)
-        self.item_freq = Counter(self.train_set.uir_tuple[1])
-        self._pop_row = np.zeros(self.total_items, dtype=np.float64)
-        max_freq = max(self.item_freq.values()) if self.item_freq else 1
-        for iid, freq in self.item_freq.items():
-            self._pop_row[iid] = freq / max_freq
+        counts = np.bincount(
+            np.asarray(self.train_set.uir_tuple[1]), minlength=self.total_items
+        )
+        self.item_freq = Counter({i: int(c) for i, c in enumerate(counts) if c})
+        self._pop_row = counts / np.float64(max(counts.max(initial=0), 1))
         return self
 
     def score(self, user_idx, history_items, **kwargs):
         item_scores = self._pop_row.copy()
         if self.use_session_popularity:
-            for iid, cnt in Counter(list(history_items)).items():
-                item_scores[iid] += cnt
+            recent = np.asarray(list(history_items), dtype=np.int64)
+            if recent.size:
+                item_scores += np.bincount(recent, minlength=item_scores.size)
         return item_scores
 
     def score_history_batch(self, user_indices, histories):
         out = np.tile(self._pop_row[: self.num_items], (len(user_indices), 1))
         if self.use_session_popularity:
             for b, h in enumerate(histories):
-                for iid, cnt in Counter(list(h)).items():
-                    if iid < self.num_items:
-                        out[b, iid] += cnt
+                recent = np.asarray(list(h), dtype=np.int64)
+                recent = recent[recent < self.num_items]
+                if recent.size:
+                    out[b] += np.bincount(recent, minlength=self.num_items)
         return out

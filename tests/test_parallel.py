@@ -473,6 +473,34 @@ def test_vaecf_mesh_training_matches_single_device():
     )
 
 
+def test_vaecf_mesh_index_window_streaming(monkeypatch):
+    """Mesh training above the dense-residency budget streams per-batch
+    coordinate windows (densify-on-device, then shard); the stream keys
+    match the resident program, so results must agree with the plain run."""
+    import numpy as np
+
+    from cornac_tpu.eval_methods import RatioSplit
+    from cornac_tpu.models import VAECF, vaecf as vaecf_mod
+    from cornac_tpu.parallel import make_mesh
+
+    rng = np.random.RandomState(4)
+    data = [
+        (f"u{rng.randint(24)}", f"i{rng.randint(40)}", 1.0) for _ in range(400)
+    ]
+    rs = RatioSplit(data=data, test_size=0.2, rating_threshold=0.5, seed=123)
+
+    kw = dict(k=4, autoencoder_structure=[8], n_epochs=3, batch_size=8, seed=11)
+    plain = VAECF(**kw).fit(rs.train_set)
+    monkeypatch.setattr(vaecf_mod, "_RESIDENT_BYTES", 0)
+    windowed = VAECF(mesh=make_mesh(), **kw).fit(rs.train_set)
+
+    batch = np.arange(8)
+    np.testing.assert_allclose(
+        plain.score_batch(batch), windowed.score_batch(batch),
+        rtol=5e-4, atol=5e-5,
+    )
+
+
 def test_vae_family_mesh_training_matches_single_device():
     """RecVAE and BiVAECF data-parallel mesh training must reproduce the
     single-device scores (same GSPMD program as VAECF's path)."""
