@@ -137,11 +137,8 @@ class Vocabulary:
 
     @staticmethod
     def _add_special_tokens(idx2tok):
-        for tok in reversed(SPECIAL_TOKENS):
-            if tok in idx2tok:
-                idx2tok.remove(tok)
-            idx2tok.insert(0, tok)
-        return idx2tok
+        # specials claim the lowest indices; duplicates in the input drop out
+        return SPECIAL_TOKENS + [t for t in idx2tok if t not in SPECIAL_TOKENS]
 
     @property
     def size(self):
@@ -210,30 +207,29 @@ class CountVectorizer:
         ):
             return X
 
-        doc_freq = np.bincount(X.indices, minlength=X.shape[1])
-        mask = np.ones(len(doc_freq), dtype=bool)
+        df = np.bincount(X.indices, minlength=X.shape[1])
+        keep = np.full(df.size, True)
         if max_doc_count < X.shape[0]:
-            mask &= doc_freq <= max_doc_count
+            keep &= df <= max_doc_count
         if min_doc_count > 1:
-            mask &= min_doc_count <= doc_freq
+            keep &= df >= min_doc_count
 
-        if self.max_features is not None and mask.sum() > self.max_features:
+        if self.max_features is not None and keep.sum() > self.max_features:
             # terms are already ordered by corpus frequency via Vocabulary
-            keep = np.arange(X.shape[1])[mask][: self.max_features]
-            mask = np.zeros(len(doc_freq), dtype=bool)
-            mask[keep] = True
+            head = np.flatnonzero(keep)[: self.max_features]
+            keep = np.full(df.size, False)
+            keep[head] = True
 
-        for index in np.sort(np.flatnonzero(~mask))[::-1]:
-            del self.vocab.idx2tok[index]
-        self.vocab.build_tok2idx()
-
-        kept = np.flatnonzero(mask)
-        if len(kept) == 0:
+        if not keep.any():
             raise ValueError(
                 "After pruning, no terms remain. Try a lower min_freq or a "
                 "higher max_doc_freq."
             )
-        return X[:, kept]
+        self.vocab.idx2tok = [
+            tok for tok, kept_tok in zip(self.vocab.idx2tok, keep) if kept_tok
+        ]
+        self.vocab.build_tok2idx()
+        return X[:, np.flatnonzero(keep)]
 
     def _count(self, sequences):
         """Counts matrix over vocabulary terms (special tokens excluded)."""
@@ -326,8 +322,7 @@ class TfidfVectorizer(CountVectorizer):
             else sp.csr_matrix(X, dtype=np.float64)
         )
         if self.sublinear_tf:
-            np.log(X.data, X.data)
-            X.data += 1
+            X.data = 1.0 + np.log(X.data)
         if self.use_idf:
             X = X * self.idf
         if self.norm:
@@ -437,13 +432,13 @@ class TextModality(FeatureModality):
         if self.sequences is None:
             raise ValueError("sequences have not been built yet")
 
+        rows = [self.sequences[mapped_id] for mapped_id in batch_ids]
         if max_length is None:
-            max_length = max(len(self.sequences[mapped_id]) for mapped_id in batch_ids)
+            max_length = max(len(row) for row in rows)
 
-        seq_mat = np.zeros((len(batch_ids), max_length), dtype="int")
-        for i, mapped_id in enumerate(batch_ids):
-            seq = self.sequences[mapped_id][:max_length]
-            seq_mat[i, : len(seq)] = seq
+        seq_mat = np.zeros((len(rows), max_length), dtype="int")
+        for out, row in zip(seq_mat, rows):
+            out[: min(len(row), max_length)] = row[:max_length]
         return seq_mat
 
     @fallback_feature
@@ -480,42 +475,36 @@ class ReviewModality(TextModality):
             raise ValueError("group_by must be one of 'user', 'item', or None")
         self.raw_data, self.group_by = data, group_by
 
+    def _observed_triples(self, uid_map, iid_map, dok_matrix):
+        """(user_idx, item_idx, review) for pairs present in the train
+        matrix; everything else in the raw lexicon is dropped."""
+        for raw_uid, raw_iid, review in self.raw_data:
+            u, i = uid_map.get(raw_uid), iid_map.get(raw_iid)
+            if u is not None and i is not None and dok_matrix[u, i] != 0:
+                yield u, i, review
+
     def _build_corpus(self, uid_map, iid_map, dok_matrix):
+        triples = self._observed_triples(uid_map, iid_map, dok_matrix)
+
         if self.group_by is None:
-            self.user_review = OrderedDict()
-            self.item_review = OrderedDict()
-            reviews = OrderedDict()
+            # one document per (user, item) review, indexed both ways
+            self.user_review, self.item_review = OrderedDict(), OrderedDict()
+            self.reviews = OrderedDict()
             corpus = []
-            for raw_uid, raw_iid, review in self.raw_data:
-                user_idx = uid_map.get(raw_uid, None)
-                item_idx = iid_map.get(raw_iid, None)
-                if (
-                    user_idx is None
-                    or item_idx is None
-                    or dok_matrix[user_idx, item_idx] == 0
-                ):
-                    continue
-                idx = len(reviews)
-                reviews.setdefault(idx, review)
-                self.user_review.setdefault(user_idx, OrderedDict())[item_idx] = idx
-                self.item_review.setdefault(item_idx, OrderedDict())[user_idx] = idx
+            for u, i, review in triples:
+                row = len(corpus)
+                self.reviews[row] = review
+                self.user_review.setdefault(u, OrderedDict())[i] = row
+                self.item_review.setdefault(i, OrderedDict())[u] = row
                 corpus.append(review)
-            self.reviews = reviews
             return corpus, None
 
+        # grouped: concatenate each entity's reviews into one document
         id_map = uid_map if self.group_by == "user" else iid_map
         corpus = ["" for _ in range(len(id_map))]
-        for raw_uid, raw_iid, review in self.raw_data:
-            user_idx = uid_map.get(raw_uid, None)
-            item_idx = iid_map.get(raw_iid, None)
-            if (
-                user_idx is None
-                or item_idx is None
-                or dok_matrix[user_idx, item_idx] == 0
-            ):
-                continue
-            _idx = user_idx if self.group_by == "user" else item_idx
-            corpus[_idx] = " ".join([corpus[_idx], review.strip()])
+        for u, i, review in triples:
+            row = u if self.group_by == "user" else i
+            corpus[row] = " ".join([corpus[row], review.strip()])
         return corpus, id_map
 
     def build(self, uid_map=None, iid_map=None, dok_matrix=None, **kwargs):
