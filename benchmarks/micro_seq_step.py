@@ -194,5 +194,43 @@ def main():
                       "detail": out}), flush=True)
 
 
+def gru_components():
+    """Same decomposition for GRU4Rec's (r5 fused-gate) training step: the
+    scan is the floor, so measure the full fused step on device at the
+    race batch shape and compare the component-sum epoch against the
+    differential per-epoch fit cost."""
+    bench._enable_compile_cache()
+    import jax
+    import jax.numpy as jnp
+
+    from cornac_tpu.eval_methods import NextItemEvaluation
+    from cornac_tpu.models import GRU4Rec
+    from head_to_head_seq import GRU_KW
+
+    train, test = split_sessions()
+    ev = NextItemEvaluation.from_splits(
+        train_data=train, test_data=test, fmt="USIT",
+        exclude_unknowns=True, seed=SEED, mode="next", verbose=False,
+    )
+    out = {}
+    kw1 = dict(GRU_KW, n_epochs=1)
+    kw6 = dict(GRU_KW, n_epochs=6)
+    t0 = time.perf_counter()
+    GRU4Rec(**kw1).fit(ev.train_set)
+    t1 = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    GRU4Rec(**kw6).fit(ev.train_set)
+    t6 = time.perf_counter() - t0
+    out["fit1_s"] = round(t1, 2)
+    out["fit6_s"] = round(t6, 2)
+    out["fit_epoch_steady_s"] = round((t6 - t1) / 5, 3)
+    print(json.dumps({"metric": "gru4rec_epoch_steady", "value":
+                      out["fit_epoch_steady_s"], "unit": "s/epoch",
+                      "detail": out}), flush=True)
+
+
 if __name__ == "__main__":
-    main()
+    if "--gru" in sys.argv:
+        gru_components()
+    else:
+        main()
