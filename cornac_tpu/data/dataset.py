@@ -244,46 +244,44 @@ class Dataset:
         global_uid_map = OrderedDict() if global_uid_map is None else global_uid_map
         global_iid_map = OrderedDict() if global_iid_map is None else global_iid_map
 
-        u_indices, i_indices, r_values, valid_idx = [], [], [], []
-        ui_set, dup_count = set(), 0
+        users, items, ratings, kept_rows = [], [], [], []
+        seen_pairs, n_dupes = set(), 0
 
-        for idx, (uid, iid, rating, *_rest) in enumerate(data):
+        for row, (uid, iid, rating, *_rest) in enumerate(data):
             if exclude_unknowns and (
                 uid not in global_uid_map or iid not in global_iid_map
             ):
                 continue
-            if (uid, iid) in ui_set:
-                dup_count += 1
+            if (uid, iid) in seen_pairs:
+                n_dupes += 1
                 continue
-            ui_set.add((uid, iid))
+            seen_pairs.add((uid, iid))
 
-            u_indices.append(global_uid_map.setdefault(uid, len(global_uid_map)))
-            i_indices.append(global_iid_map.setdefault(iid, len(global_iid_map)))
-            r_values.append(float(rating))
-            valid_idx.append(idx)
+            users.append(global_uid_map.setdefault(uid, len(global_uid_map)))
+            items.append(global_iid_map.setdefault(iid, len(global_iid_map)))
+            ratings.append(float(rating))
+            kept_rows.append(row)
 
-        if dup_count > 0:
+        if n_dupes:
             warnings.warn(
-                "dropped %d duplicate (user, item) observations" % dup_count
+                f"dropped {n_dupes} duplicate (user, item) observations"
             )
-
-        if len(ui_set) == 0:
+        if not seen_pairs:
             raise ValueError("no observations left after filtering")
 
-        uir_tuple = (
-            np.asarray(u_indices, dtype="int"),
-            np.asarray(i_indices, dtype="int"),
-            np.asarray(r_values, dtype="float"),
+        uir = (
+            np.asarray(users, dtype="int"),
+            np.asarray(items, dtype="int"),
+            np.asarray(ratings, dtype="float"),
         )
-
         timestamps = (
-            np.fromiter((int(data[i][3]) for i in valid_idx), dtype="int")
+            np.fromiter((int(data[i][3]) for i in kept_rows), dtype="int")
             if fmt == "UIRT"
             else None
         )
 
         return cls(
-            uir_tuple=uir_tuple,
+            uir_tuple=uir,
             timestamps=timestamps,
             seed=seed,
             **_id_map_kwargs(global_uid_map, global_iid_map),
