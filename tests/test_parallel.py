@@ -225,6 +225,17 @@ class TestPallasRanking:
         np.testing.assert_allclose(np.asarray(s2), np.asarray(s1), rtol=1e-6)
         np.testing.assert_array_equal(np.asarray(i2), np.asarray(i1))
 
+    def test_two_stage_degenerate_partitioning_falls_back(self):
+        # when m*k covers the catalog the per-block selection saves nothing
+        # (and blocks could be narrower than k): single-shot must kick in
+        from cornac_tpu.ops.pallas_ranking import fused_topk
+
+        U, V, b, k = self._data(B=4, N=100, k=30, bias=True)
+        s1, i1 = fused_topk(U, V, k, bias=b, force="xla")
+        s2, i2 = fused_topk(U, V, k, bias=b, force="xla", partitions=8)
+        np.testing.assert_array_equal(np.asarray(i2), np.asarray(i1))
+        np.testing.assert_allclose(np.asarray(s2), np.asarray(s1), rtol=1e-6)
+
     def test_recall_target_mode_contract(self):
         from cornac_tpu.ops.pallas_ranking import fused_topk
 
