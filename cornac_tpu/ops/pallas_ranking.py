@@ -164,6 +164,60 @@ def _fused_topk_xla_twostage(U, V, bias, k, n_parts):
     return final_s, jnp.take_along_axis(cand_i, pos, axis=1)
 
 
+@functools.partial(jax.jit, static_argnames=("k", "slack"))
+def _fused_topk_xla_threshold(U, V, bias, k, slack=8):
+    """EXACT top-k via approx-seeded threshold refinement.
+
+    ``lax.top_k`` over the full catalog dominates the exact serving step
+    (94% at Netflix shape, PERF.md). Observation: the k-th best score of
+    ANY k-subset is a lower bound on the true k-th best, so the k-th
+    candidate from the fast ``approx_max_k`` pass gives a provable
+    threshold t with {score >= t} ⊇ true top-k. The survivors compact
+    into a (B, slack*k) buffer by a cumsum-indexed scatter — O(N) VPU
+    work instead of a full selection — and one small exact ``top_k``
+    finishes. Scatter order is ascending item index, so score ties
+    resolve to the smaller index exactly like single-shot ``top_k``.
+    If ties at t overflow the buffer the program falls back to the
+    single-shot form (lax.cond), so the result is exact in all cases.
+
+    Measured at Netflix serving shape (benchmarks/micro_topk_refined.py):
+    0.04x single-shot — the (B, N) arbitrary-index scatter that compacts
+    survivors is serial-ish on TPU and dwarfs the selection it saves.
+    Kept (tested, exact) as documentation of the approach; with the
+    partitioned form at 0.61x (micro_topk_twostage.py), XLA's TopK
+    custom call stands as the exact-path floor on this chip."""
+    scores = U @ V.T + bias[None, :]
+    B, N = scores.shape
+    W = min(slack * k, N)
+
+    approx_s, _ = jax.lax.approx_max_k(scores, k, recall_target=0.95)
+    t = approx_s[:, -1:]  # (B, 1): <= true k-th best score, per row
+
+    keep = scores >= t
+    pos = jnp.cumsum(keep, axis=1) - 1  # survivor slot, ascending item index
+    n_keep = pos[:, -1] + 1
+    slot = jnp.where(keep & (pos < W), pos, W)  # overflow/non-survivor -> bin W
+
+    rows = jnp.arange(B, dtype=jnp.int32)[:, None]
+    iota = jnp.broadcast_to(jnp.arange(N, dtype=jnp.int32)[None, :], (B, N))
+    buf_s = jnp.full((B, W + 1), NEG_INF, jnp.float32).at[rows, slot].set(
+        scores, mode="drop"
+    )[:, :W]
+    buf_i = jnp.zeros((B, W + 1), jnp.int32).at[rows, slot].set(
+        iota, mode="drop"
+    )[:, :W]
+
+    def refined(_):
+        s, p = jax.lax.top_k(buf_s, k)
+        return s, jnp.take_along_axis(buf_i, p, axis=1)
+
+    def full(_):
+        s, i = jax.lax.top_k(scores, k)
+        return s, i
+
+    return jax.lax.cond(jnp.max(n_keep) > W, full, refined, operand=None)
+
+
 @functools.partial(jax.jit, static_argnames=("k", "recall_target"))
 def _fused_topk_xla_approx(U, V, bias, k, recall_target):
     # TPU PartialReduce: prunes the per-row candidate set before the

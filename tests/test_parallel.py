@@ -225,6 +225,30 @@ class TestPallasRanking:
         np.testing.assert_allclose(np.asarray(s2), np.asarray(s1), rtol=1e-6)
         np.testing.assert_array_equal(np.asarray(i2), np.asarray(i1))
 
+    def test_threshold_refined_exact(self):
+        # approx-seeded threshold refinement must reproduce single-shot
+        # top_k exactly, including tie order and the overflow fallback
+        import jax.numpy as jnp
+
+        from cornac_tpu.ops.pallas_ranking import (
+            _fused_topk_xla, _fused_topk_xla_threshold,
+        )
+
+        U, V, b, k = self._data(B=7, N=1200, bias=True)
+        U, V, b = jnp.asarray(U), jnp.asarray(V), jnp.asarray(b)
+        s1, i1 = _fused_topk_xla(U, V, b, k)
+        s2, i2 = _fused_topk_xla_threshold(U, V, b, k)
+        np.testing.assert_array_equal(np.asarray(i2), np.asarray(i1))
+        np.testing.assert_allclose(np.asarray(s2), np.asarray(s1), rtol=1e-6)
+
+        # massive ties: every score identical forces the overflow fallback
+        Ut = jnp.zeros((5, 8), jnp.float32)
+        Vt = jnp.zeros((600, 8), jnp.float32)
+        bt = jnp.zeros((600,), jnp.float32)
+        s3, i3 = _fused_topk_xla_threshold(Ut, Vt, bt, 10)
+        s4, i4 = _fused_topk_xla(Ut, Vt, bt, 10)
+        np.testing.assert_array_equal(np.asarray(i3), np.asarray(i4))
+
     def test_two_stage_degenerate_partitioning_falls_back(self):
         # when m*k covers the catalog the per-block selection saves nothing
         # (and blocks could be narrower than k): single-shot must kick in
