@@ -183,6 +183,16 @@ def load_refcornac():
         os.path.join(REF, "eval_methods/ratio_split.py"),
     )
     eval_methods.RatioSplit = ratio_split.RatioSplit
+    for mod_name, cls in (
+        ("stratified_split", "StratifiedSplit"),
+        ("timestamp_split", "TimestampSplit"),
+        ("cross_validation", "CrossValidation"),
+    ):
+        mod = _load(
+            "refcornac.eval_methods." + mod_name,
+            os.path.join(REF, f"eval_methods/{mod_name}.py"),
+        )
+        setattr(eval_methods, cls, getattr(mod, cls))
     root.eval_methods = eval_methods
 
     return root

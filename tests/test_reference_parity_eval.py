@@ -98,6 +98,66 @@ class TestSplitParity:
             assert list(a.uid_map.items()) == list(b.uid_map.items())
             assert list(a.iid_map.items()) == list(b.iid_map.items())
 
+    @staticmethod
+    def _same_splits(ours, theirs, with_val=False):
+        names = ("train_set", "test_set") + (("val_set",) if with_val else ())
+        for split in names:
+            a, b = getattr(ours, split), getattr(theirs, split)
+            for x, y in zip(a.uir_tuple, b.uir_tuple):
+                np.testing.assert_array_equal(x, y, err_msg=split)
+
+    def _uirt(self):
+        # every user and item appears >= 4 times: validate_size raises (in
+        # both frameworks, same semantics) on groups too small to hold a
+        # val+test share, so stratified grouping needs non-degenerate groups
+        rng = np.random.RandomState(8)
+        rows = [
+            (f"u{j % 20}", f"i{j % 40}", float(rng.randint(1, 6)), 1000 + j)
+            for j in range(160)
+        ]
+        rows += [
+            (f"u{rng.randint(20)}", f"i{rng.randint(40)}",
+             float(rng.randint(1, 6)), 2000 + j)
+            for j in range(140)
+        ]
+        return rows
+
+    @pytest.mark.parametrize("group_by", ["user", "item"])
+    @pytest.mark.parametrize("chrono", [False, True])
+    def test_stratified_split_contents_identical(self, ref, group_by, chrono):
+        """The r5 house-style rewrite keeps the per-group RNG draw order, so
+        seeded split contents must stay byte-identical to the reference."""
+        from cornac_tpu.eval_methods import StratifiedSplit
+
+        kw = dict(group_by=group_by, chrono=chrono, test_size=0.2,
+                  val_size=0.1, rating_threshold=1.0, seed=77, verbose=False)
+        self._same_splits(
+            StratifiedSplit(data=self._uirt(), **kw),
+            ref.eval_methods.StratifiedSplit(data=self._uirt(), **kw),
+            with_val=True,
+        )
+
+    def test_timestamp_split_contents_identical(self, ref):
+        from cornac_tpu.eval_methods import TimestampSplit
+
+        kw = dict(test_size=0.2, val_size=0.1, rating_threshold=1.0,
+                  seed=77, verbose=False)
+        self._same_splits(
+            TimestampSplit(data=self._uirt(), **kw),
+            ref.eval_methods.TimestampSplit(data=self._uirt(), **kw),
+            with_val=True,
+        )
+
+    def test_cross_validation_folds_identical(self, ref):
+        from cornac_tpu.eval_methods import CrossValidation
+
+        data = [t[:3] for t in self._uirt()]
+        ours = CrossValidation(data=data, n_folds=4, seed=77)
+        theirs = ref.eval_methods.CrossValidation(data=data, n_folds=4, seed=77)
+        np.testing.assert_array_equal(
+            np.asarray(ours._partition), np.asarray(theirs._partition)
+        )
+
 
 class TestEvalProtocolParity:
     @pytest.fixture(scope="class")
