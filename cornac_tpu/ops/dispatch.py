@@ -5,10 +5,14 @@ Replaces per-call-site guesswork with one resolved policy:
 * ``CORNAC_TPU_PALLAS=1`` (or ``on``)  — always use the Pallas kernels.
 * ``CORNAC_TPU_PALLAS=0`` (or ``off``) — always use the XLA fallbacks.
 * unset / ``auto`` — use Pallas on a directly-attached TPU backend, XLA
-  everywhere else. "Directly attached" excludes the axon remote-compile
-  PJRT plugin used by tunneled single-chip rigs: Mosaic kernel compilation
-  hangs indefinitely through that tunnel (plain XLA compiles fine), so the
-  axon platform must never be routed to Pallas automatically.
+  everywhere else. The axon remote-compile PJRT plugin (tunneled
+  single-chip rigs) stays on XLA: through r4 Mosaic compilation hung
+  indefinitely there; the r5 re-run found the hang gone (canary compiles
+  in ~36 s, both kernels execute and the top-k kernel is exact on
+  silicon — benchmarks/pallas_silicon.json, pallas_serving_race.py), but
+  the measured throughput is 0.42x the XLA path at Netflix serving shape
+  (the k-round streaming merge is VPU-serial), so XLA remains the right
+  default on that platform either way.
 
 Resolved once per process and cached; tests can override via the env var
 or by passing ``force=`` to the kernels directly.

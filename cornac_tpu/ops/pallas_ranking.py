@@ -10,9 +10,14 @@ O(n_items·d + k) instead of O(n_items·(d+B)).
 
 ``fused_topk`` resolves its path through :mod:`cornac_tpu.ops.dispatch`:
 Pallas on a directly-attached TPU, XLA matmul + ``top_k`` elsewhere
-(including the axon tunnel, where Mosaic hangs — see dispatch docstring).
-CPU tests exercise the kernel via interpret mode. Production call sites:
-``TPUExactANN.knn_query`` and ``Recommender.recommend_batch``.
+(including the axon tunnel — see the dispatch docstring for the r5
+measurement that keeps XLA the default there). CPU tests exercise the
+kernel via interpret mode; r5 validated it on real silicon
+(benchmarks/pallas_serving_race.py: exact vs XLA at Netflix serving
+shape — after fixing a tie-break divergence interpret mode could not
+see, Mosaic's argmax not sharing XLA's first-occurrence order).
+Production call sites: ``TPUExactANN.knn_query`` and
+``Recommender.recommend_batch``.
 """
 
 import functools
@@ -54,16 +59,20 @@ def _topk_kernel(u_ref, v_ref, b_ref, s_ref, i_ref, *, k, tile_n, d):
 
     cand_s = jnp.concatenate([s_ref[:], scores], axis=1)
     cand_i = jnp.concatenate([i_ref[:], col], axis=1)
-    colid = jax.lax.broadcasted_iota(jnp.int32, cand_s.shape, 1)
     tb = cand_s.shape[0]
     colk = jax.lax.broadcasted_iota(jnp.int32, (tb, k), 1)
+    int_max = jnp.int32(2**31 - 1)
 
     def select(t, carry):
         cand_s, new_s, new_i = carry
         m = jnp.max(cand_s, axis=1)
-        am = jnp.argmax(cand_s, axis=1)
-        pick = colid == am[:, None]
-        val_i = jnp.sum(jnp.where(pick, cand_i, 0), axis=1)
+        # explicit smallest-item-index tie-break: Mosaic's argmax does not
+        # share XLA's first-occurrence tie order (observed on silicon), so
+        # resolve ties by a min-reduce over the tied candidates' indices —
+        # exactly the host/XLA ranking order
+        tied = cand_s == m[:, None]
+        val_i = jnp.min(jnp.where(tied, cand_i, int_max), axis=1)
+        pick = tied & (cand_i == val_i[:, None])
         # one-hot column write (dynamic_update_slice has no Mosaic lowering)
         at_t = colk == t
         new_s = jnp.where(at_t, m[:, None], new_s)

@@ -195,6 +195,21 @@ class TestPallasRanking:
         assert i.shape == (3, 50)
         assert len(set(np.asarray(i)[0].tolist())) == 50  # all items, no dupes
 
+    def test_tie_break_matches_xla_across_tiles(self):
+        # duplicated item vectors in different item tiles score identically;
+        # the streaming merge must order ties by ascending item index like
+        # lax.top_k (Mosaic's argmax does not — the r5 silicon bug)
+        from cornac_tpu.ops.pallas_ranking import fused_topk
+
+        rng = np.random.RandomState(5)
+        V = rng.randn(1400, 16).astype(np.float32)
+        V[1300] = V[70]  # same vector, two tiles apart (tile_n=512)
+        V[900] = V[70]
+        U = rng.randn(6, 16).astype(np.float32)
+        s_ref, i_ref = fused_topk(U, V, 1400, force="xla")
+        s_pl, i_pl = fused_topk(U, V, 1400, force="pallas_interpret")
+        np.testing.assert_array_equal(np.asarray(i_pl), np.asarray(i_ref))
+
     def test_bf16_mode_agrees_with_f32(self):
         from cornac_tpu.ops.pallas_ranking import fused_topk
 
