@@ -75,15 +75,19 @@ def _sim_topk_kernel(
 
     cand_s = jnp.concatenate([s_ref[:], sim], axis=1)
     cand_i = jnp.concatenate([i_ref[:], col], axis=1)
-    colid = jax.lax.broadcasted_iota(jnp.int32, cand_s.shape, 1)
     colk = jax.lax.broadcasted_iota(jnp.int32, (tr, k), 1)
+    int_max = jnp.int32(2**31 - 1)
 
     def select(t, carry):
         cand_s, new_s, new_i = carry
         m = jnp.max(cand_s, axis=1)
-        am = jnp.argmax(cand_s, axis=1)
-        pick = colid == am[:, None]
-        val_i = jnp.sum(jnp.where(pick, cand_i, 0), axis=1)
+        # explicit smallest-column tie-break (ties are COMMON here — equal
+        # or zero similarities): Mosaic's argmax does not share XLA's
+        # first-occurrence tie order, observed on silicon in the ranking
+        # kernel's r5 hardware run, so resolve ties by a min-reduce
+        tied = cand_s == m[:, None]
+        val_i = jnp.min(jnp.where(tied, cand_i, int_max), axis=1)
+        pick = tied & (cand_i == val_i[:, None])
         at_t = colk == t
         new_s = jnp.where(at_t, m[:, None], new_s)
         new_i = jnp.where(at_t, val_i[:, None].astype(jnp.int32), new_i)
