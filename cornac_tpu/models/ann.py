@@ -187,7 +187,7 @@ class TPUExactANN(BaseANN):
 
     def knn_query(self, query, k):
         # fused score+top-k (ops/pallas_ranking.fused_topk): the Pallas
-        # kernel on directly-attached TPUs, XLA matmul+top_k elsewhere.
+        # kernel where dispatch routes to it, XLA matmul+top_k by default.
         # Replaces reference fast_dot (utils/fast_dot.pyx:25-43) + host
         # argpartition.
         from ..ops.pallas_ranking import fused_topk

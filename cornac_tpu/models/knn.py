@@ -188,7 +188,7 @@ class _KNNBase(Recommender):
     def _build_neighbor_index(self, num_neighbors, force=None):
         """Precompute the (n, k) neighbor table with the fused similarity
         top-k kernel (``ops.pallas_similarity.cosine_topk``): the Pallas
-        path on directly-attached TPUs never materializes the (n, n)
+        path (opt-in via ops/dispatch) never materializes the (n, n)
         similarity matrix. Replaces the reference's full-matrix
         ``similarity.pyx:51-107`` + per-query heap for neighbor queries."""
         from ..ops.pallas_similarity import cosine_topk

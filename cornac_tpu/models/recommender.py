@@ -463,7 +463,7 @@ class Recommender:
         """Fused device top-k for dot-measure ANN-capable models, or None.
 
         Routes through ``ops.pallas_ranking.fused_topk`` (Pallas kernel on
-        directly-attached TPUs, XLA elsewhere): the (B, n_items) score
+        backends where dispatch routes to it, XLA by default): the (B, n_items) score
         matrix stays on device; only (B, k') ids come back. Seen items are
         handled by over-fetching ``k + max_seen`` then filtering — same
         ordering as the host path (ties broken by lower item index)."""

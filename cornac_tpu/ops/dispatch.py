@@ -4,15 +4,17 @@ Replaces per-call-site guesswork with one resolved policy:
 
 * ``CORNAC_TPU_PALLAS=1`` (or ``on``)  — always use the Pallas kernels.
 * ``CORNAC_TPU_PALLAS=0`` (or ``off``) — always use the XLA fallbacks.
-* unset / ``auto`` — use Pallas on a directly-attached TPU backend, XLA
-  everywhere else. The axon remote-compile PJRT plugin (tunneled
-  single-chip rigs) stays on XLA: through r4 Mosaic compilation hung
-  indefinitely there; the r5 re-run found the hang gone (canary compiles
-  in ~36 s, both kernels execute and the top-k kernel is exact on
-  silicon — benchmarks/pallas_silicon.json, pallas_serving_race.py), but
-  the measured throughput is 0.42x the XLA path at Netflix serving shape
-  (the k-round streaming merge is VPU-serial), so XLA remains the right
-  default on that platform either way.
+* unset / ``auto`` — XLA everywhere, because that is what measurement
+  says: r5 was the first round able to run the Pallas kernels on real
+  silicon (through r4 Mosaic compilation hung on this rig's tunnel; the
+  r5 re-run found the hang gone — canary ~36 s cold, both kernels
+  execute, and the top-k kernel is exact after the tie-break fix,
+  benchmarks/pallas_silicon.json + pallas_serving_race.py), and the
+  measured throughput on the v5e is 0.42x the XLA TopK path at Netflix
+  serving shape (the k-round streaming merge is VPU-serial). Until a
+  backend is measured where the streaming kernel wins (its advantage is
+  HBM frugality — no (B, N) score matrix — not speed), Pallas stays
+  opt-in via the env var or ``force="pallas"``.
 
 Resolved once per process and cached; tests can override via the env var
 or by passing ``force=`` to the kernels directly.
@@ -30,19 +32,9 @@ def _resolve():
     if env in ("0", "off", "false", "no"):
         return False
 
-    import jax
-
-    # the axon plugin registers itself in jax_platforms (sitecustomize sets
-    # "axon,cpu"); its devices also report a non-"tpu"/"TPU vX"-style
-    # platform. Either signal disables the auto-Pallas path.
-    platforms = str(getattr(jax.config, "jax_platforms", "") or "")
-    if "axon" in platforms:
-        return False
-    try:
-        dev = jax.devices()[0]
-    except Exception:
-        return False
-    return dev.platform == "tpu"
+    # auto = XLA on every backend measured so far (see module docstring);
+    # flip per-process with CORNAC_TPU_PALLAS=1 or per-call with force=
+    return False
 
 
 def use_pallas():

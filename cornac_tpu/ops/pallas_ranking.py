@@ -9,9 +9,9 @@ full score matrix never exists in HBM, per-user-block HBM traffic is
 O(n_items·d + k) instead of O(n_items·(d+B)).
 
 ``fused_topk`` resolves its path through :mod:`cornac_tpu.ops.dispatch`:
-Pallas on a directly-attached TPU, XLA matmul + ``top_k`` elsewhere
-(including the axon tunnel — see the dispatch docstring for the r5
-measurement that keeps XLA the default there). CPU tests exercise the
+XLA matmul + ``top_k`` by default on every backend (the r5 silicon
+measurement in the dispatch docstring), Pallas via env var or
+``force=``. CPU tests exercise the
 kernel via interpret mode; r5 validated it on real silicon
 (benchmarks/pallas_serving_race.py: exact vs XLA at Netflix serving
 shape — after fixing a tie-break divergence interpret mode could not

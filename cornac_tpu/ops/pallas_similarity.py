@@ -17,7 +17,7 @@ block. The (n, n) similarity matrix never exists in HBM: per-row-block
 traffic is O(n·m + k) instead of O(n·(m + n)).
 
 ``cosine_topk`` resolves its path through :mod:`cornac_tpu.ops.dispatch`:
-Pallas on a directly-attached TPU, the XLA fallback (full tile in HBM +
+XLA by default on every backend (r5 measurement, ops/dispatch), the XLA path being (full tile in HBM +
 top_k) elsewhere — including this project's tunneled backend, where Mosaic
 compilation hangs. ``force='pallas_interpret'`` covers CPU tests.
 Production call sites: ``UserKNN.nearest_users`` / ``ItemKNN.nearest_items``
