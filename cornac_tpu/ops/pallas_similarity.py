@@ -17,9 +17,11 @@ block. The (n, n) similarity matrix never exists in HBM: per-row-block
 traffic is O(n·m + k) instead of O(n·(m + n)).
 
 ``cosine_topk`` resolves its path through :mod:`cornac_tpu.ops.dispatch`:
-XLA by default on every backend (r5 measurement, ops/dispatch), the XLA path being (full tile in HBM +
-top_k) elsewhere — including this project's tunneled backend, where Mosaic
-compilation hangs. ``force='pallas_interpret'`` covers CPU tests.
+XLA by default on every backend (the r5 silicon measurement — see the
+dispatch docstring), with the Pallas kernel opt-in; the XLA path holds
+the full similarity tile in HBM and selects with ``lax.top_k``.
+``force='pallas_interpret'`` covers CPU tests; r5 validated this kernel
+on real silicon against the XLA path (tied-similarity data included).
 Production call sites: ``UserKNN.nearest_users`` / ``ItemKNN.nearest_items``
 (the related-items serving surface).
 """
