@@ -7,8 +7,6 @@ inner evaluations go through the batched device eval harness, so each trial
 is as fast as a normal fit+eval.
 """
 
-import numpy as np
-
 from .eval_methods import ranking_eval, rating_eval
 from .eval_methods.next_item_evaluation import (
     ranking_eval as next_item_ranking_eval,
