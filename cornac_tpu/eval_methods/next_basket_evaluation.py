@@ -103,10 +103,18 @@ def ranking_eval(
     def seen_before(t):
         return {item for basket in t[1] for item in basket}
 
+    def repeated_items(t):
+        seen = seen_before(t)  # one history flatten per task, not per item
+        return [i for i in t[2] if i in seen]
+
+    def explored_items(t):
+        seen = seen_before(t)
+        return [i for i in t[2] if i not in seen]
+
     selectors = {
         "conventional": lambda t: t[2],
-        "repetition": lambda t: [i for i in t[2] if i in seen_before(t)],
-        "exploration": lambda t: [i for i in t[2] if i not in seen_before(t)],
+        "repetition": repeated_items,
+        "exploration": explored_items,
     }
     for kind in kinds:
         _run(kind, selectors[kind])
@@ -161,10 +169,18 @@ class NextBasketEvaluation(RatioSplit):
         val_end = self.train_size + self.val_size
 
         rows_of = lambda members: np.flatnonzero(np.isin(owners, members))
-        val_rows = rows_of(shuffled[self.train_size : val_end])
+        if self.test_size == 0:
+            # reference quirk (next_basket_evaluation.py test-user slice
+            # [-0:]): zero test share means EVERY user lands in test and
+            # the val share collapses to empty — preserved for parity
+            test_members, val_members = shuffled, shuffled[:0]
+        else:
+            test_members = shuffled[val_end:]
+            val_members = shuffled[self.train_size : val_end]
+        val_rows = rows_of(val_members)
         self.build(
             train_data=safe_indexing(self.data, rows_of(shuffled[: self.train_size])),
-            test_data=safe_indexing(self.data, rows_of(shuffled[val_end:])),
+            test_data=safe_indexing(self.data, rows_of(test_members)),
             val_data=safe_indexing(self.data, val_rows) if val_rows.size else None,
         )
 

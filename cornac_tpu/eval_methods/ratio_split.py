@@ -84,10 +84,17 @@ class RatioSplit(BaseMethod):
         # offsets into the permuted index vector
         shuffled = self.rng.permutation(len(self.data))
         val_end = self.train_size + self.val_size
-        held_val = shuffled[self.train_size : val_end]
+        if self.test_size == 0:
+            # reference quirk (ratio_split.py:119-120): the zero-size test
+            # slice is data_idx[-0:], i.e. the WHOLE shuffled array, and the
+            # val slice [train:-0] collapses to empty — preserved for parity
+            test_rows, held_val = shuffled, shuffled[:0]
+        else:
+            test_rows = shuffled[val_end:]
+            held_val = shuffled[self.train_size : val_end]
 
         self.build(
             train_data=safe_indexing(self.data, shuffled[: self.train_size]),
-            test_data=safe_indexing(self.data, shuffled[val_end:]),
+            test_data=safe_indexing(self.data, test_rows),
             val_data=safe_indexing(self.data, held_val) if held_val.size else None,
         )

@@ -93,8 +93,15 @@ class StratifiedSplit(BaseMethod):
                 arranged = np.concatenate((positions[:n_train], tail))
 
             buckets["train"].append(arranged[:n_train])
-            buckets["val"].append(arranged[n_train : positions.size - n_test])
-            buckets["test"].append(arranged[positions.size - n_test :])
+            if n_test == 0:
+                # reference quirk (stratified_split.py:137-139): a zero-size
+                # per-group test share slices [-0:] = the whole group, and
+                # the val share [n_train:-0] collapses to empty
+                buckets["val"].append(arranged[:0])
+                buckets["test"].append(arranged)
+            else:
+                buckets["val"].append(arranged[n_train : positions.size - n_test])
+                buckets["test"].append(arranged[positions.size - n_test :])
 
         picked = {
             name: np.concatenate(parts) if parts else np.empty(0, dtype=int)

@@ -293,12 +293,18 @@ def fused_topk(U, V, k, bias=None, force=None, precision="f32",
         mode = force
     if recall_target is not None:
         return _fused_topk_xla_approx(U, V, b, k, float(recall_target))
-    if partitions is not None and partitions > 1 and partitions * k < V.shape[0]:
-        return _fused_topk_xla_twostage(U, V, b, k, int(partitions))
     if precision == "bf16" and mode in ("xla", "pallas"):
         # the Pallas kernel is f32-only; bf16 routes through XLA
         return _fused_topk_xla_bf16(U, V, b, k)
     if mode == "xla":
+        # partitioned two-stage selection is an XLA-exact-path variant
+        # only: an explicit force='pallas' (or the env opt-in) wins
+        if (
+            partitions is not None
+            and partitions > 1
+            and partitions * k < V.shape[0]
+        ):
+            return _fused_topk_xla_twostage(U, V, b, k, int(partitions))
         return _fused_topk_xla(U, V, b, k)
     tile_n = int(min(512, _round_up(V.shape[0], 128)))
     tile_b = int(min(128, _round_up(U.shape[0], 8)))

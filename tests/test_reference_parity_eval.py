@@ -137,6 +137,30 @@ class TestSplitParity:
             with_val=True,
         )
 
+    def test_ratio_split_zero_test_quirk_identical(self, ref):
+        """test_size=0 hits the reference's [-0:] slice quirk: the WHOLE
+        shuffled set lands in test and the val slice collapses to empty.
+        Preserved verbatim (caught by the r5 code review)."""
+        from cornac_tpu.eval_methods import RatioSplit
+
+        kw = dict(test_size=0, val_size=0.2, rating_threshold=1.0, seed=7)
+        data = [t[:3] for t in self._uirt()]
+        ours = RatioSplit(data=data, **kw)
+        theirs = ref.eval_methods.RatioSplit(data=data, **kw)
+        self._same_splits(ours, theirs)
+        assert ours.val_set is None and theirs.val_set is None
+        assert ours.test_set.num_ratings == theirs.test_set.num_ratings
+
+    def test_stratified_zero_test_quirk_identical(self, ref):
+        from cornac_tpu.eval_methods import StratifiedSplit
+
+        kw = dict(group_by="user", test_size=0, val_size=0.25,
+                  rating_threshold=1.0, seed=7)
+        self._same_splits(
+            StratifiedSplit(data=self._uirt(), **kw),
+            ref.eval_methods.StratifiedSplit(data=self._uirt(), **kw),
+        )
+
     def test_timestamp_split_contents_identical(self, ref):
         from cornac_tpu.eval_methods import TimestampSplit
 
