@@ -25,12 +25,16 @@ class GraphModality(FeatureModality):
     @property
     def matrix(self):
         """Adjacency matrix in CSR format over dense indices."""
-        if self._csr_cache is None:
-            if self._n_nodes is None:
+        if getattr(self, "_csr_cache", None) is None:
+            # getattr/.get: pickles from before the r5 rename carry the old
+            # name-mangled cache/size keys
+            n = getattr(self, "_n_nodes", None)
+            if n is None:
+                n = self.__dict__.get("_GraphModality__matrix_size")
+            if n is None:
                 raise ValueError("build() the modality before reading .matrix")
             self._csr_cache = sp.csr_matrix(
-                (self.val, (self.map_rid, self.map_cid)),
-                shape=(self._n_nodes, self._n_nodes),
+                (self.val, (self.map_rid, self.map_cid)), shape=(n, n)
             )
         return self._csr_cache
 

@@ -49,6 +49,9 @@ class FeatureModality(Modality):
 
     @property
     def features(self):
+        if "_feat_matrix" not in self.__dict__:
+            # pickles saved before the r5 rename stored the name-mangled key
+            self._feat_matrix = self.__dict__.get("_FeatureModality__features")
         return self._feat_matrix
 
     @features.setter

@@ -166,17 +166,17 @@ class NextBasketEvaluation(RatioSplit):
         owners = np.asarray([row[0] for row in self.data])
         shuffled = np.unique(owners)
         self.rng.shuffle(shuffled)
-        val_end = self.train_size + self.val_size
 
         rows_of = lambda members: np.flatnonzero(np.isin(owners, members))
+        cut = len(shuffled) - self.test_size
         if self.test_size == 0:
             # reference quirk (next_basket_evaluation.py test-user slice
             # [-0:]): zero test share means EVERY user lands in test and
             # the val share collapses to empty — preserved for parity
             test_members, val_members = shuffled, shuffled[:0]
         else:
-            test_members = shuffled[val_end:]
-            val_members = shuffled[self.train_size : val_end]
+            test_members = shuffled[cut:]
+            val_members = shuffled[self.train_size : cut]
         val_rows = rows_of(val_members)
         self.build(
             train_data=safe_indexing(self.data, rows_of(shuffled[: self.train_size])),

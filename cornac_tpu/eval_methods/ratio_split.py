@@ -65,8 +65,11 @@ class RatioSplit(BaseMethod):
                     f"data_size={data_size}"
                 )
                 raise ValueError(msg)
+            # fractions round up; absolute sizes stay as given (possibly
+            # fractional) until the final int conversion, like the
+            # reference — int()-ing early changes the derived train count
             resolved[name] = (
-                math.ceil(requested * data_size) if requested < 1 else int(requested)
+                math.ceil(requested * data_size) if requested < 1 else requested
             )
 
         held_out = resolved["val_size"] + resolved["test_size"]
@@ -77,21 +80,28 @@ class RatioSplit(BaseMethod):
             )
             raise ValueError(msg)
 
-        return data_size - held_out, resolved["val_size"], resolved["test_size"]
+        return (
+            int(data_size - held_out),
+            int(resolved["val_size"]),
+            int(resolved["test_size"]),
+        )
 
     def _split(self):
         # one draw from the seeded stream; slice boundaries are cumulative
         # offsets into the permuted index vector
         shuffled = self.rng.permutation(len(self.data))
-        val_end = self.train_size + self.val_size
+        # boundaries anchored at the END for test (reference's [-t:] form):
+        # with fractional absolute sizes the three counts may not sum to
+        # data_size, and any remainder belongs to the middle (val) slice
+        cut = len(self.data) - self.test_size
         if self.test_size == 0:
             # reference quirk (ratio_split.py:119-120): the zero-size test
             # slice is data_idx[-0:], i.e. the WHOLE shuffled array, and the
             # val slice [train:-0] collapses to empty — preserved for parity
             test_rows, held_val = shuffled, shuffled[:0]
         else:
-            test_rows = shuffled[val_end:]
-            held_val = shuffled[self.train_size : val_end]
+            test_rows = shuffled[cut:]
+            held_val = shuffled[self.train_size : cut]
 
         self.build(
             train_data=safe_indexing(self.data, shuffled[: self.train_size]),

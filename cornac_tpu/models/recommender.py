@@ -90,13 +90,15 @@ class Recommender:
 
     @property
     def user_ids(self):
-        if self._raw_user_ids is None:
+        if getattr(self, "_raw_user_ids", None) is None:
+            # getattr: pickles saved before the r5 attribute rename carry
+            # only the old name-mangled cache; rebuild from the id map
             self._raw_user_ids = list(self.uid_map.keys())
         return self._raw_user_ids
 
     @property
     def item_ids(self):
-        if self._raw_item_ids is None:
+        if getattr(self, "_raw_item_ids", None) is None:
             self._raw_item_ids = list(self.iid_map.keys())
         return self._raw_item_ids
 

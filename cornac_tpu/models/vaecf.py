@@ -206,55 +206,26 @@ class VAECF(Recommender, ANNMixin):
                     .set(1.0, mode="drop")
                 )
 
-        @partial(jax.jit, donate_argnums=(0, 1))
-        def run_epochs(params, opt_state, X_d, key, n_epochs, epoch_offset):
-            def epoch(e, carry):
-                params, opt_state, _ = carry
-                # global epoch index: stream invariant to host chunking
-                ekey = jax.random.fold_in(key, epoch_offset + e)
-
-                def step(b, carry):
-                    params, opt_state, loss_sum = carry
-                    x = jax.lax.dynamic_slice(
-                        X_d, (b * bsz, 0), (bsz, X_d.shape[1])
-                    )
-                    loss, grads = jax.value_and_grad(_vae_loss)(
-                        params,
-                        x,
-                        jax.random.fold_in(ekey, b),
-                        act,
-                        likelihood,
-                        beta,
-                    )
-                    updates, opt_state = optimizer.update(grads, opt_state, params)
-                    params = optax.apply_updates(params, updates)
-                    return params, opt_state, loss_sum + loss
-
-                return jax.lax.fori_loop(
-                    0, n_batches, step, (params, opt_state, jnp.float32(0.0))
-                )
-
-            return jax.lax.fori_loop(
-                0, n_epochs, epoch, (params, opt_state, jnp.float32(0.0))
-            )
-
-        if not resident:
+        def make_epoch_runner(fetch):
+            """One jitted multi-epoch loop; ``fetch(b, *data)`` materializes
+            batch b's dense block (slice of the resident matrix, or an
+            on-device densify of the batch's coordinates). Data rides as
+            jit ARGUMENTS — the tunnel's compile endpoint rejects large
+            baked constants — and the key folding is shared by every mode,
+            so the random stream is chunking/mode-invariant."""
 
             @partial(jax.jit, donate_argnums=(0, 1))
-            def run_epochs_sparse(
-                params, opt_state, cols_d, rows_d, starts_d, counts_d,
-                key, n_epochs, epoch_offset,
-            ):
+            def run(params, opt_state, key, n_epochs, epoch_offset, *data):
                 def epoch(e, carry):
                     params, opt_state, _ = carry
+                    # global epoch index: stream invariant to host chunking
                     ekey = jax.random.fold_in(key, epoch_offset + e)
 
                     def step(b, carry):
                         params, opt_state, loss_sum = carry
-                        x = densify(cols_d, rows_d, starts_d[b], counts_d[b], b)
                         loss, grads = jax.value_and_grad(_vae_loss)(
                             params,
-                            x,
+                            fetch(b, *data),
                             jax.random.fold_in(ekey, b),
                             act,
                             likelihood,
@@ -273,6 +244,21 @@ class VAECF(Recommender, ANNMixin):
                 return jax.lax.fori_loop(
                     0, n_epochs, epoch, (params, opt_state, jnp.float32(0.0))
                 )
+
+            return run
+
+        run_epochs = make_epoch_runner(
+            lambda b, X_d: jax.lax.dynamic_slice(
+                X_d, (b * bsz, 0), (bsz, X_d.shape[1])
+            )
+        )
+
+        if not resident:
+            run_epochs_sparse = make_epoch_runner(
+                lambda b, cols_d, rows_d, starts_d, counts_d: densify(
+                    cols_d, rows_d, starts_d[b], counts_d[b], b
+                )
+            )
 
             if index_resident:
                 # one upload of the coordinate arrays; every epoch after
@@ -302,6 +288,8 @@ class VAECF(Recommender, ANNMixin):
             self.params, opt_state = replicate_all(self.mesh, self.params, opt_state)
         key = jax.random.PRNGKey(rng.randint(2**31))
 
+        windows = []  # lazily built per-batch (cols, rows) index windows
+
         @partial(jax.jit, donate_argnums=(0, 1))
         def stream_step(params, opt_state, x, skey):
             loss, grads = jax.value_and_grad(_vae_loss)(
@@ -314,31 +302,33 @@ class VAECF(Recommender, ANNMixin):
             params, opt_state = state
             if resident:
                 params, opt_state, loss_sum = run_epochs(
-                    params, opt_state, X_d, key, e, start
+                    params, opt_state, key, e, start, X_d
                 )
                 return (params, opt_state), loss_sum
             if index_resident:
                 # coordinates already on device: run the chunk's epochs as
                 # one compiled program, same key folding as the dense one
                 params, opt_state, loss_sum = run_epochs_sparse(
-                    params, opt_state, cols_d, rows_d, starts_d, counts_d,
-                    key, e, start,
+                    params, opt_state, key, e, start,
+                    cols_d, rows_d, starts_d, counts_d,
                 )
                 return (params, opt_state), loss_sum
             # index streaming: transfer each batch's coordinate window and
             # densify on device; epoch/batch keys match the resident
-            # program so chunking/resume is stream-invariant
-            loss_sum = 0.0
-            for ei in range(e):
-                ekey = jax.random.fold_in(key, start + ei)
-                epoch_sum = 0.0
+            # program so chunking/resume is stream-invariant. Windows are
+            # identical across epochs, so mask them once per fit.
+            if not windows:
                 for b in range(n_batches):
                     s, cnt = int(starts[b]), int(batch_counts[b])
                     cw = cols[s : s + cap].copy()
                     cw[cnt:] = data_dim  # next batch's spill: scatter-drop
-                    x = densify_win(
-                        jnp.asarray(cw), jnp.asarray(rows_g[s : s + cap]), b
-                    )
+                    windows.append((cw, rows_g[s : s + cap]))
+            loss_sum = 0.0
+            for ei in range(e):
+                ekey = jax.random.fold_in(key, start + ei)
+                epoch_sum = 0.0
+                for b, (cw, rw) in enumerate(windows):
+                    x = densify_win(jnp.asarray(cw), jnp.asarray(rw), b)
                     if self.mesh is not None:
                         from ..parallel import shard_batch
 

@@ -262,8 +262,9 @@ def fused_topk(U, V, k, bias=None, force=None, precision="f32",
     ----------
     U: (B, d) user vectors. V: (N, d) item vectors. k: int.
     bias: optional (N,) item bias added to every user's scores.
-    force: None (auto: Pallas on TPU, XLA elsewhere), 'pallas',
-        'pallas_interpret', or 'xla'.
+    force: None (auto: XLA on every backend — the r5 silicon
+        measurement, see ops/dispatch), 'pallas', 'pallas_interpret',
+        or 'xla'.
     precision: 'f32' (exact) or 'bf16' (bf16 operands with f32
         accumulation — ~1 ulp-of-bf16 score noise; ranks of
         well-separated scores are unchanged, near-ties may swap).

@@ -151,6 +151,22 @@ class TestSplitParity:
         assert ours.val_set is None and theirs.val_set is None
         assert ours.test_set.num_ratings == theirs.test_set.num_ratings
 
+    def test_ratio_split_fractional_absolute_sizes_identical(self, ref):
+        """Absolute sizes >= 1 stay fractional until the final int
+        conversion in the reference (test_size=2.7 -> train loses 2.7,
+        int-truncated later, leaving a spurious middle row in val) —
+        preserved verbatim (caught by the r5 code review)."""
+        from cornac_tpu.eval_methods import RatioSplit
+
+        kw = dict(test_size=2.7, val_size=0, rating_threshold=1.0, seed=7)
+        data = [t[:3] for t in self._uirt()]
+        ours = RatioSplit(data=data, **kw)
+        theirs = ref.eval_methods.RatioSplit(data=data, **kw)
+        self._same_splits(ours, theirs)
+        a_val = ours.val_set.num_ratings if ours.val_set else 0
+        b_val = theirs.val_set.num_ratings if theirs.val_set else 0
+        assert a_val == b_val
+
     def test_stratified_zero_test_quirk_identical(self, ref):
         from cornac_tpu.eval_methods import StratifiedSplit
 
