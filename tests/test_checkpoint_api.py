@@ -118,6 +118,34 @@ class TestVAECFCheckpoint:
         ):
             np.testing.assert_array_equal(np.asarray(ls), np.asarray(lr))
 
+    def test_sparse_resident_resume_bit_identical(self, tmp_path, train_set,
+                                                  monkeypatch):
+        """The r5 sparse-coordinate mode keys epochs on the GLOBAL index, so
+        a checkpointed+resumed fit must equal an uninterrupted one in that
+        mode too (the epoch-runner is shared with the resident path, but
+        the data plumbing differs — guard it directly)."""
+        import jax
+
+        from cornac_tpu.models import VAECF, vaecf as vaecf_mod
+
+        monkeypatch.setattr(vaecf_mod, "_RESIDENT_BYTES", 0)
+        kw = dict(k=4, autoencoder_structure=[8], n_epochs=8, batch_size=16,
+                  seed=7)
+        straight = VAECF(**kw).fit(train_set)
+
+        VAECF(**{**kw, "n_epochs": 3}).enable_checkpointing(
+            tmp_path / "vs", every=3
+        ).fit(train_set)
+        resumed = VAECF(**kw).enable_checkpointing(
+            tmp_path / "vs", every=3
+        ).fit(train_set)
+
+        for ls, lr in zip(
+            jax.tree_util.tree_leaves(straight.params),
+            jax.tree_util.tree_leaves(resumed.params),
+        ):
+            np.testing.assert_array_equal(np.asarray(ls), np.asarray(lr))
+
     def test_resume_skips_completed_fit(self, tmp_path, train_set):
         from cornac_tpu.models import VAECF
 
